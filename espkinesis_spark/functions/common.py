@@ -1,0 +1,67 @@
+"""Shared constants + portable expression fragments.
+
+Every extension operator is checked against a DuckDB oracle, so the
+*semantics* (tokenizer, hash construction, thresholds, tie-breaks) are
+defined once here and consumed by both the Spark implementation
+(espkinesis_spark.functions.*) and the oracle SQL (espkinesis_spark.oracles).
+All hashing bottoms out in md5 — the one hash both engines compute
+identically.
+"""
+
+from __future__ import annotations
+
+# --- tokenization -----------------------------------------------------------
+# Whitespace tokenizer over trimmed text. Spark `split` and DuckDB
+# `string_split_regex` agree on this pattern for non-empty trimmed input.
+TOKEN_SPLIT_RE = r"\s+"
+
+# BPE-ish pretokenizer (letters | digits | single other-symbol), shared by
+# token counting. ASCII-only so Java regex and RE2 agree.
+PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# --- shingling / MinHash ----------------------------------------------------
+SHINGLE_WORDS = 3  # word 3-grams
+MINHASH_K = 32  # permutations (md5 with per-permutation salt)
+LSH_BANDS = 16  # 16 bands x 2 rows — P(miss | jaccard 0.8) ~ 0.36^16 ~ 8e-8
+LSH_ROWS = MINHASH_K // LSH_BANDS
+JACCARD_THRESHOLD = 0.5  # the test corpus has a clean gap: dups >=0.8, noise <0.3
+
+# --- SimHash ----------------------------------------------------------------
+SIMHASH_BITS = 48  # fits exactly in a signed 64-bit int via sum(2^j)
+
+# --- embeddings -------------------------------------------------------------
+COSINE_ROUND = 6  # round cosine to 6 dp before any argmax/threshold
+NEARDUP_COSINE = 0.45
+ANN_TOPK = 5
+ANN_QUERY_MAX_ID = 20
+IVF_CENTROID_MOD = 25  # centroids = vecs with vec_id % 25 == 0
+IVF_NPROBE = 4
+IVF_TOPK = 3
+
+# --- language-id stopword lists (deterministic heuristic) -------------------
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "y", "que", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "les", "et", "est", "une", "du"),
+}
+LANG_ORDER = ("en", "es", "de", "fr")  # tie-break priority
+
+# quality-score weights (applied to already-rounded components for stability)
+QUALITY_STOPWORD_W = 0.4
+QUALITY_LENGTH_W = 0.3
+QUALITY_CLEAN_W = 0.3
+QUALITY_LENGTH_NORM = 50.0  # n_tokens / 50 capped at 1
+
+# rolling-hash fingerprint parameters
+ROLLING_BASE = 131
+ROLLING_MOD = 1_000_000_007
+ROLLING_MAX_CHARS = 64
+
+# sessionization gap
+SESSION_GAP_MINUTES = 30
+
+
+def minhash_salt(j: int) -> str:
+    """Salt for the j-th MinHash permutation; md5(salt || shingle)."""
+    return f"mh{j:02d}|"

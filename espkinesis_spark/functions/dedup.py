@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each variant at 100 TB):
+
+* exact        — one hash-partitioned groupBy on the text (or its md5);
+                 map-side partial aggregation keeps the shuffle narrow.
+* MinHash+LSH  — per-doc signatures (narrow, no shuffle), band buckets,
+                 then a bucket equi-join. Candidate pairs ~ O(dups), not
+                 O(n^2); the only shuffles are on (band, bucket) and on the
+                 candidate pair keys for exact verification.
+* SimHash      — a single 64-bit-ish signature per doc; near-dup = equal
+                 signature (or small Hamming distance via pivoted bands).
+* n-gram Jaccard — exact pairwise similarity *restricted to candidates*
+                 (or to an explicit pair list); never all-pairs at scale.
+
+All hashing is md5-based so the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from espkinesis_spark.functions import common as C
+from espkinesis_spark.functions.text import tokens
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: one surviving doc_id per distinct text.
+
+    Returns (keep_id, n) per text group. At scale, group on md5(text) to
+    keep shuffle rows narrow; here text itself keeps the oracle trivial.
+    """
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n")
+    ).drop("text")
+
+
+def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct word 3-gram shingles per document: (doc_id, s).
+
+    Docs shorter than 3 tokens degrade to one (shorter) shingle — same rule
+    as the oracle. Pure projection + explode: no shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 2, 1)),"
+        f" i -> concat_ws(' ', slice(__toks, i, {C.SHINGLE_WORDS})))"
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .select("doc_id", F.explode(sh).alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(doc_shingles: DataFrame, k: int = C.MINHASH_K) -> DataFrame:
+    """MinHash signatures: sig_j = MIN over shingles of md5(salt_j || s).
+
+    md5 output is uniform, so the lexicographic min over salted hashes is a
+    valid min-hash permutation. One groupBy(doc_id) computes all k mins as
+    partial aggregates (map-side combine — the shuffle carries k strings per
+    doc, not the shingle set).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(C.minhash_salt(j)), F.col("s")))).alias(f"sig{j:02d}")
+        for j in range(k)
+    ]
+    return doc_shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Band the signatures and bucket-join for candidate pairs (a < b).
+
+    bands = LSH_BANDS of LSH_ROWS consecutive sigs; bucket key =
+    md5(band || sigs-in-band). The self-join is an equi-join on
+    (band, bucket) — at scale this is the *only* pairwise step and touches
+    only colliding docs.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"sig{b * C.LSH_ROWS + r:02d}") for r in range(C.LSH_ROWS)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(C.LSH_BANDS)
+        ]
+    )
+    banded = signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, doc_shingles: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for an explicit pair list.
+
+    Joins the pair list to both shingle sets; intersection = matching-shingle
+    count, union = |A| + |B| - intersection. Shuffles on doc_id / pair keys
+    only — never materializes non-candidate pairs.
+    """
+    sizes = doc_shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = doc_shingles.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = doc_shingles.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+        )
+    )
+
+
+def neardup_minhash(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> DataFrame:
+    """End-to-end MinHash near-dup: shingle → sign → LSH bucket-join →
+    exact-Jaccard verification → threshold filter.
+
+    Output (doc_a, doc_b, jaccard) for verified pairs. Recall is governed by
+    the band config (common.py): P(miss | j=0.8) ≈ 8e-8.
+    """
+    sh = shingles(docs)
+    cands = lsh_candidates(minhash_signatures(sh))
+    return exact_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+def neardup_jaccard_exact(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> DataFrame:
+    """Exact (non-LSH) near-dup baseline: candidate pairs = docs sharing at
+    least one shingle. Correctness baseline for the LSH path; at 100 TB use
+    ``neardup_minhash`` instead (shared-shingle joins explode on hot
+    shingles — mitigate with document-frequency caps if used at scale).
+    """
+    sh = shingles(docs)
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = C.SIMHASH_BITS) -> DataFrame:
+    """SimHash over whitespace tokens (with multiplicity), md5-derived bits.
+
+    bit_j(token) = bit (3 - j%4) of nibble j//4 of md5(token); the signature
+    sets bit j iff sum over tokens of (2*bit_j - 1) > 0. Packed into a
+    BIGINT as sum(2^j). Arithmetic (floor/power/mod) instead of bit ops so
+    the DuckDB oracle is expression-identical.
+
+    Two narrow aggregations (doc_id x bit, then doc_id); the token explode
+    is map-local.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tok = tok.withColumn("h", F.md5(F.col("tok")))
+    per_bit = (
+        tok.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+            F.col("h"),
+        )
+        .withColumn(
+            "nib",
+            F.expr("instr('0123456789abcdef', substring(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1"),
+        )
+        .withColumn("bit", F.expr("CAST(floor(nib / power(2, 3 - (j % 4))) AS BIGINT) % 2"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(power(2, j) AS BIGINT)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

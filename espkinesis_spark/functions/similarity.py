@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three paths, same semantics (cosine rounded to 6 dp before any argmax /
+threshold; ties break to the lowest neighbor id):
+
+* brute-force top-k — the correctness baseline. Query-set x corpus join;
+  fine when the query set is bounded or the corpus side is broadcastable.
+* threshold near-dup — all pairs above a cosine threshold; brute force at
+  test scale, blocked at real scale.
+* IVF — deterministic coarse quantization: assign every vector to its
+  nearest centroid, probe only the closest IVF_NPROBE centroid buckets.
+  The scale path: candidate set shrinks by ~ (nprobe / n_centroids), the
+  assignment pass is a broadcast join against the (small) centroid set,
+  and the probe is an equi-join on centroid id — no all-pairs anywhere.
+
+Dot products run JVM-side via zip_with/aggregate in whole-stage codegen.
+For very wide vectors (>~1k dims) a pandas_udf over Arrow batches with
+numpy matmul wins — keep the same API and swap the kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from espkinesis_spark.functions import common as C
+
+
+def _as_double(arr: Column) -> Column:
+    return arr.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (bit-stable across runs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm once (reused across every pairwise computation)."""
+    return vecs.withColumn("__norm", F.sqrt(sq_norm(_as_double(F.col(vec_col)))))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return F.round(dot(_as_double(a), _as_double(b)) / (norm_a * norm_b), C.COSINE_ROUND)
+
+
+def _pairs(queries: DataFrame, corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(query x corpus) pairs with rounded cosine, self-pairs excluded.
+
+    The corpus side is hinted broadcast when Spark's size estimate allows;
+    for corpora beyond broadcast size, pre-filter with IVF (below) instead.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col("vec_id").alias("vec_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    return (
+        q.join(c, q.vec_id != c.neighbor_id)
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")))
+        .select("vec_id", "neighbor_id", "cos")
+    )
+
+
+def topk_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int = C.ANN_TOPK, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors per query vector: (vec_id, rnk, neighbor_id, cos)."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        _pairs(queries, corpus, vec_col)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "rnk", "neighbor_id", "cos")
+    )
+
+
+def neardup_cosine(vecs: DataFrame, threshold: float = C.NEARDUP_COSINE) -> DataFrame:
+    """All pairs (a < b) with rounded cosine >= threshold."""
+    a = with_norm(vecs).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__av"), F.col("__norm").alias("__an")
+    )
+    b = with_norm(vecs).select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__bv"), F.col("__norm").alias("__bn")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("__av"), F.col("__bv"), F.col("__an"), F.col("__bn")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (rounded cosine,
+    tie → lowest centroid id). Broadcast join against the centroid set."""
+    pairs = (
+        with_norm(vecs)
+        .select("vec_id", F.col("embedding").alias("__v"), F.col("__norm").alias("__vn"))
+        .crossJoin(
+            F.broadcast(
+                with_norm(centroids).select(
+                    F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("__c"),
+                    F.col("__norm").alias("__cn"),
+                )
+            )
+        )
+        .withColumn("cos", cosine(F.col("__v"), F.col("__c"), F.col("__vn"), F.col("__cn")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def topk_ivf(
+    vecs: DataFrame,
+    query_max_id: int = C.ANN_QUERY_MAX_ID,
+    centroid_mod: int = C.IVF_CENTROID_MOD,
+    nprobe: int = C.IVF_NPROBE,
+    k: int = C.IVF_TOPK,
+) -> DataFrame:
+    """IVF approximate top-k: deterministic centroids (vec_id % mod == 0),
+    probe the nprobe nearest centroid buckets, exact top-k inside them.
+
+    Output (vec_id, rnk, neighbor_id). Deterministic — the oracle reproduces
+    it exactly in SQL.
+    """
+    centroids = vecs.filter(F.col("vec_id") % centroid_mod == 0)
+    assignment = ivf_assign(vecs, centroids)
+    queries = vecs.filter(F.col("vec_id") < query_max_id)
+
+    # nprobe nearest centroids per query
+    qc = (
+        with_norm(queries)
+        .select("vec_id", F.col("embedding").alias("__v"), F.col("__norm").alias("__vn"))
+        .crossJoin(
+            F.broadcast(
+                with_norm(centroids).select(
+                    F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("__c"),
+                    F.col("__norm").alias("__cn"),
+                )
+            )
+        )
+        .withColumn("cos", cosine(F.col("__v"), F.col("__c"), F.col("__vn"), F.col("__cn")))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("vec_id", "centroid_id")
+    )
+
+    # candidates = vectors assigned to probed centroids
+    cand_ids = probes.join(assignment.withColumnRenamed("vec_id", "neighbor_id"), "centroid_id").select(
+        "vec_id", "neighbor_id"
+    )
+    q = with_norm(queries).select(
+        "vec_id", F.col("embedding").alias("__qv"), F.col("__norm").alias("__qn")
+    )
+    c = with_norm(vecs).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"), F.col("__norm").alias("__cn")
+    )
+    scored = (
+        cand_ids.filter(F.col("vec_id") != F.col("neighbor_id"))
+        .join(q, "vec_id")
+        .join(c, "neighbor_id")
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "rnk", "neighbor_id")
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators over the documents table.
+
+All JVM-side column expressions (no Python UDFs) — these run inside
+whole-stage codegen and scale linearly with document count: no shuffle at
+all for the per-document ops (tokenize/stats/lang-id/fingerprint), one
+key-partitioned shuffle for any downstream group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from espkinesis_spark.functions import common as C
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (shared tokenizer contract)."""
+    return F.split(F.trim(text), C.TOKEN_SPLIT_RE)
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit counts per language, argmax with
+    deterministic tie order (en > es > de > fr), 'und' when no hits.
+
+    The n-gram-free heuristic keeps the operator pure-columnar; swap in a
+    real model via mapInPandas without changing the interface.
+    """
+    toks = tokens(F.col(text_col))
+    counts = {lg: _stopword_hits(toks, ws) for lg, ws in C.LANG_STOPWORDS.items()}
+    en, es, de, fr = (counts[lg] for lg in C.LANG_ORDER)
+    pred = (
+        F.when(F.greatest(en, es, de, fr) == 0, "und")
+        .when(en >= F.greatest(es, de, fr), "en")
+        .when(es >= F.greatest(de, fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality stats: token count, avg token length, punctuation
+    ratio, stopword ratio, and a composite quality score in [0, 1].
+
+    Components are rounded to 4 dp *before* the weighted combination so the
+    score is bit-stable across engines and summation orders.
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    avg_token_len = F.round(sum_len / n_tokens, 4)
+    text_len = F.length(F.col(text_col))
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")) / text_len, 4
+    )
+    stop_hits = _stopword_hits(toks, C.LANG_STOPWORDS["en"])
+    stopword_ratio = F.round(stop_hits / n_tokens, 4)
+    quality = F.round(
+        F.lit(C.QUALITY_STOPWORD_W) * stopword_ratio
+        + F.lit(C.QUALITY_LENGTH_W) * F.least(n_tokens / F.lit(C.QUALITY_LENGTH_NORM), F.lit(1.0))
+        + F.lit(C.QUALITY_CLEAN_W) * (F.lit(1.0) - punct_ratio),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish pretoken count (regex)."""
+    return df.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(C.PRETOKEN_RE), 0)).cast("long").alias("re_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two document fingerprints:
+
+    * ``fp_key``  — OpenRefine-style key collision fingerprint: md5 of the
+      sorted, deduplicated token multiset (order/dup-insensitive identity).
+    * ``fp_roll`` — polynomial rolling hash ``h = (h*131 + code) % 1e9+7``
+      over the first 64 characters (order-sensitive prefix identity).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    fp_key = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    fp_roll = F.expr(
+        f"aggregate(transform(sequence(1, least(length({text_col}), {C.ROLLING_MAX_CHARS})),"
+        f" i -> ascii(substring({text_col}, i, 1))),"
+        f" CAST(0 AS BIGINT), (h, c) -> (h * {C.ROLLING_BASE} + c) % {C.ROLLING_MOD})"
+    )
+    return df.select("doc_id", fp_key.alias("fp_key"), fp_roll.alias("fp_roll"))

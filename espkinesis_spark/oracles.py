@@ -1,0 +1,273 @@
+"""DuckDB oracle SQL for every declared query (driver correctness gate).
+
+Shared-semantics discipline:
+  * every hash bottoms out in md5 (identical in both engines);
+  * tokenizer/shingle/threshold constants come from functions/common.py;
+  * float aggregates are ROUNDed (4 dp; money 2 dp) in BOTH engines;
+  * SUM over integers is CAST to BIGINT (DuckDB widens to HUGEINT);
+  * timestamps are CAST to TIMESTAMP (µs) — the parquet is ns, Spark reads µs;
+  * cosine = dot / (||a||·||b||) in double, rounded to 6 dp before any
+    argmax/threshold, ties to the lowest neighbor id.
+"""
+
+from __future__ import annotations
+
+from espkinesis_spark.functions import common as C
+
+# -- shared fragments --------------------------------------------------------
+
+_TOKS = "string_split_regex(trim({t}), '\\s+')"
+
+# distinct word 3-shingles per doc (mirror of dedup.shingles)
+_SHINGLES = f"""
+toks AS (SELECT doc_id, {_TOKS.format(t='text')} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{C.SHINGLE_WORDS - 1}], ' ') AS s
+       FROM toks, UNNEST(range(1, greatest(len(t) - {C.SHINGLE_WORDS - 2}, 2))) AS u(i))
+"""
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {C.COSINE_ROUND})"
+    )
+
+
+_EXACT_JACCARD = f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db)
+SELECT da AS doc_a, db AS doc_b, jac AS jaccard
+FROM j WHERE jac >= {C.JACCARD_THRESHOLD}
+"""
+
+_STOP = {lg: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lg, ws in C.LANG_STOPWORDS.items()}
+
+_TEXT_STATS_BASE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS.format(t='text')} AS toks FROM documents),
+s AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)
+        * 1.0 / len(toks), 4) AS avg_token_len,
+  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
+  round(len(list_filter(toks, x -> list_contains({_STOP['en']}, x))) * 1.0 / len(toks), 4) AS stopword_ratio
+FROM t)
+"""
+
+
+def _minhash_sig_sql(k: int = 8) -> str:
+    aggs = ",\n  ".join(
+        f"min(md5('{C.minhash_salt(j)}' || s)) AS sig{j:02d}" for j in range(k)
+    )
+    return f"WITH {_SHINGLES}\nSELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+
+
+def _ann_ivf_sql() -> str:
+    cos_xc = _cos("x.e", "c.e")
+    cos_qc = _cos("q.e", "c.e")
+    cos_qn = _cos("q.e", "n.e")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, e FROM v WHERE vec_id % {C.IVF_CENTROID_MOD} = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {cos_xc} DESC, c.centroid_id) AS rn
+    FROM v x CROSS JOIN cent c) WHERE rn = 1),
+probes AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT q.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+    FROM v q CROSS JOIN cent c WHERE q.vec_id < {C.ANN_QUERY_MAX_ID}) WHERE rn <= {C.IVF_NPROBE}),
+cand AS (SELECT p.vec_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+         WHERE p.vec_id <> a.vec_id),
+scored AS (SELECT cand.vec_id, cand.neighbor_id, {cos_qn} AS cos
+           FROM cand JOIN v q ON q.vec_id = cand.vec_id
+                     JOIN v n ON n.vec_id = cand.neighbor_id)
+SELECT vec_id, rnk, neighbor_id FROM (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= {C.IVF_TOPK}
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
+tb AS (SELECT doc_id, md5(tok) AS h FROM tok),
+bits AS (SELECT doc_id, j,
+         instr('0123456789abcdef', substr(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1 AS nib
+         FROM tb, UNNEST(range(0, {C.SIMHASH_BITS})) AS u(j)),
+contrib AS (SELECT doc_id, j,
+            CAST(floor(nib / power(2, 3 - (j % 4))) AS BIGINT) % 2 AS bit FROM bits),
+per_bit AS (SELECT doc_id, j, CAST(sum(bit * 2 - 1) AS BIGINT) AS s FROM contrib GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def _lang_id_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+c AS (SELECT doc_id,
+  len(list_filter(toks, x -> list_contains({_STOP['en']}, x))) AS c_en,
+  len(list_filter(toks, x -> list_contains({_STOP['es']}, x))) AS c_es,
+  len(list_filter(toks, x -> list_contains({_STOP['de']}, x))) AS c_de,
+  len(list_filter(toks, x -> list_contains({_STOP['fr']}, x))) AS c_fr
+FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+       WHEN c_en >= greatest(c_es, c_de, c_fr) THEN 'en'
+       WHEN c_es >= greatest(c_de, c_fr) THEN 'es'
+       WHEN c_de >= c_fr THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM c
+"""
+
+
+ORACLES: dict[str, str] = {
+    "dq01": "SELECT COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id FROM events",
+    "dq02": """SELECT event_id,
+        CAST(FLOOR((value - 1000.0) * (1811 - 172) / (2000.0 - 1000.0)) AS BIGINT) + 172 AS sbus
+        FROM events""",
+    "dq03": "SELECT event_id FROM events WHERE value BETWEEN 1000 AND 2000 OR value = -1",
+    "dq04": "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey = 42",
+    "dq05": "SELECT s_suppkey, s_name FROM supplier ORDER BY s_name, s_suppkey LIMIT 1",
+    "dq06": "SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS reg_id FROM customer",
+    "dq07": """SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1""",
+    "dq08": """SELECT user_id, CAST(MAX(ts) AS TIMESTAMP) AS last_ts FROM events
+        GROUP BY user_id
+        HAVING MAX(ts) < (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR""",
+    "dq09": """SELECT e.event_id,
+        (SELECT MAX(o.event_id) FROM events o
+         WHERE o.user_id = e.user_id AND o.event_type = 'purchase'
+           AND o.ts <= e.ts AND o.ts > e.ts - INTERVAL 1 HOUR) AS active_override
+        FROM events e WHERE e.event_type = 'click'""",
+    "dq10": """SELECT u.user_id, r.r_regionkey
+        FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN region r""",
+    "dq11": """SELECT user_id, CAST(DATE_TRUNC('minute', ts) AS TIMESTAMP) AS w,
+        MAX(event_id) AS last_event FROM events GROUP BY user_id, DATE_TRUNC('minute', ts)""",
+    "dq12": """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_v
+        FROM events GROUP BY event_type""",
+    "dq13": "SELECT COUNT(*) AS n FROM supplier",
+    "dq14": "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "dq15": """SELECT event_id,
+        json_extract_string(to_json({'user_id': user_id, 'event_type': event_type}),
+                            '$.event_type') AS event_type
+        FROM events""",
+    "dq16": "SELECT n_nationkey, printf('%02X', n_nationkey) AS hex2 FROM nation",
+    "dq17": """SELECT CASE WHEN value BETWEEN 1000 AND 2000 THEN 'valid'
+                    WHEN value = -1 THEN 'skip' ELSE 'invalid' END AS cls,
+        COUNT(*) AS n FROM events GROUP BY 1""",
+    "dq18": """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents
+        GROUP BY text HAVING COUNT(*) > 1""",
+    "dq19": f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, {_cos('a.e', 'b.e')} AS cos
+              FROM v a JOIN v b ON b.vec_id <> a.vec_id WHERE a.vec_id < 50)
+        SELECT vec_id, neighbor_id FROM (
+          SELECT vec_id, neighbor_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM p) WHERE rn = 1""",
+    "dq20": """SELECT lang, COUNT(*) AS n, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+        CAST(SUM(CASE WHEN LENGTH(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS len_ok
+        FROM documents GROUP BY lang""",
+    "dq21": """SELECT l_returnflag, l_linestatus,
+        ROUND(SUM(l_quantity), 2) AS sum_qty,
+        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        ROUND(AVG(l_discount), 4) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    "dq22": """SELECT n.n_name,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""",
+    "dq23": """SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "dq24": "SELECT user_id AS k FROM events INTERSECT SELECT c_custkey AS k FROM customer",
+    "dq25": """SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    # -- extensions ---------------------------------------------------------
+    "ex_dedup_exact": """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n
+        FROM documents GROUP BY text""",
+    "ex_minhash_sig": _minhash_sig_sql(8),
+    "ex_neardup_minhash": _EXACT_JACCARD,
+    "ex_neardup_jaccard": _EXACT_JACCARD,
+    "ex_simhash": _simhash_sql(),
+    "ex_neardup_cosine": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos('a.e', 'b.e')} AS cos
+              FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cos FROM p WHERE cos >= {C.NEARDUP_COSINE}""",
+    "ex_ann_topk": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, {_cos('a.e', 'b.e')} AS cos
+              FROM v a JOIN v b ON b.vec_id <> a.vec_id WHERE a.vec_id < {C.ANN_QUERY_MAX_ID})
+        SELECT vec_id, rnk, neighbor_id FROM (
+          SELECT vec_id, neighbor_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM p) WHERE rnk <= {C.ANN_TOPK}""",
+    "ex_ann_ivf": _ann_ivf_sql(),
+    "ex_lang_id": _lang_id_sql(),
+    "ex_text_stats": _TEXT_STATS_BASE
+    + f"""SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+        round({C.QUALITY_STOPWORD_W} * stopword_ratio
+              + {C.QUALITY_LENGTH_W} * least(n_tokens / {C.QUALITY_LENGTH_NORM}, 1.0)
+              + {C.QUALITY_CLEAN_W} * (1.0 - punct_ratio), 4) AS quality
+        FROM s""",
+    "ex_token_count": f"""SELECT doc_id,
+        CAST(len({_TOKS.format(t='text')}) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '{C.PRETOKEN_RE}')) AS BIGINT) AS re_tokens
+        FROM documents""",
+    "ex_fingerprint": f"""SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct({_TOKS.format(t='lower(text)')})), ' ')) AS fp_key,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, least(length(text), {C.ROLLING_MAX_CHARS}) + 1),
+                         i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+          (h, c) -> (h * {C.ROLLING_BASE} + c) % {C.ROLLING_MOD}) AS fp_roll
+        FROM documents""",
+    "ex_sessionize": f"""
+        WITH x AS (SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {C.SESSION_GAP_MINUTES} * 60 * CAST(1000000000 AS BIGINT)
+                 THEN 1 ELSE 0 END AS nw
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+              CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM x)
+        SELECT user_id, session_id, count(*) AS n_events,
+               CAST(min(ts) AS TIMESTAMP) AS start_ts, CAST(max(ts) AS TIMESTAMP) AS end_ts
+        FROM s GROUP BY user_id, session_id""",
+    "ex_multimodal_meta": """SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS content_md5 FROM documents""",
+    # -- streaming entries: checked against their batch analogs -------------
+    "st_latest_user": """SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1""",
+    "st_window_counts": """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w,
+        event_type, COUNT(*) AS n FROM events GROUP BY 1, 2""",
+    "st_override_asof": """SELECT e.event_id,
+        (SELECT MAX(o.event_id) FROM events o
+         WHERE o.user_id = e.user_id AND o.event_type = 'purchase'
+           AND o.ts <= e.ts AND o.ts > e.ts - INTERVAL 1 HOUR) AS active_override
+        FROM events e WHERE e.event_type = 'click'""",
+    # ex_multimodal_features: rows-only (mapInPandas decode plumbing; the
+    # decode stage is non-SQL by design) — deliberately no oracle entry.
+}

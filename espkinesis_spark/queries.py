@@ -1,0 +1,441 @@
+"""Declared correctness queries: DQ-01..DQ-25 (SURVEY §2.10) + extensions.
+
+Each entry is ``(spark, sf_dir) -> DataFrame``, DataFrame-API first, built
+from the operator library so the declared inventory exercises the same code
+paths users call. Every computed column is aliased to match the oracle SQL
+in ``oracles.py`` exactly (the driver compares by column name).
+
+Ordering note: the driver's value-hash is order-insensitive, but ORDER BY is
+kept where it defines the *result set* (LIMIT queries) and dropped where it
+would only add a global sort stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from espkinesis_spark.functions import common as C
+from espkinesis_spark.functions import dedup, multimodal, similarity, text
+from espkinesis_spark.operators import core as ops
+from espkinesis_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Reference-derived queries (SURVEY §2.10 DQ-01..DQ-17)
+# --------------------------------------------------------------------------
+
+
+def dq01(spark, sf_dir):
+    """S1 scan: full-table count + id range (ref: transmitter PPM scan)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+def dq02(spark, sf_dir):
+    """P1 truncating linear remap (ref: src/receiver/main.cpp:68-71)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", ops.remap_range(F.col("value")).alias("sbus"))
+
+
+def dq03(spark, sf_dir):
+    """F6 range + sentinel predicate (ref: src/transmitter/main.cpp:190-213)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("value").between(1000, 2000) | (F.col("value") == -1)).select(
+        "event_id"
+    )
+
+
+def dq04(spark, sf_dir):
+    """J1 point lookup by id (ref: TargetManager.h:66-89)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def dq05(spark, sf_dir):
+    """J3 lookup by attribute, first match (ref: TargetManager.h:112-135)."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .orderBy("s_name", "s_suppkey")
+        .select("s_suppkey", "s_name")
+        .limit(1)
+    )
+
+
+def dq06(spark, sf_dir):
+    """J4 registration-order id assignment (ref: TargetManager.h:49-63)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return ops.assign_ids(cust, "c_custkey").select("c_custkey", "reg_id")
+
+
+def dq07(spark, sf_dir):
+    """A2/A3 last value per key (ref: ack tracking / latest-frame hold)."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.latest_per_key(ev, ["user_id"], "ts", ["event_id"]).select(
+        "user_id", "event_type", "value"
+    )
+
+
+def dq08(spark, sf_dir):
+    """A6 staleness: keys silent for >1h vs global max (ref: liveness)."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.stale_keys(ev, ["user_id"], "ts", "INTERVAL 1 HOUR").select(
+        "user_id", "last_ts"
+    )
+
+
+def dq09(spark, sf_dir):
+    """A5 as-of semantics: latest purchase within 1h before each click
+    (batch analog of override TTL, ref: src/transmitter/main.cpp:84-87)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    res = ops.asof_last_match(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        lookback="INTERVAL 1 HOUR", right_val="event_id",
+    )
+    return res.select("event_id", F.col("asof_match").alias("active_override"))
+
+
+def dq10(spark, sf_dir):
+    """J5 fan-out: every key x every dim row (ref: radio broadcast loop)."""
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    region = _t(spark, sf_dir, "region").select("r_regionkey")
+    return users.crossJoin(F.broadcast(region))
+
+
+def dq11(spark, sf_dir):
+    """T2/T4 resample: last event per key per minute (ref: pacing timers)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("w")
+    ).agg(F.max("event_id").alias("last_event"))
+
+
+def dq12(spark, sf_dir):
+    """A4 snapshot aggregation by group (ref: targets_update doc)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v")
+    )
+
+
+def dq13(spark, sf_dir):
+    """A1 count (ref: TargetManager.h:138)."""
+    return _t(spark, sf_dir, "supplier").agg(F.count("*").alias("n"))
+
+
+def dq14(spark, sf_dir):
+    """F2/F3 JSON field extraction with schema-typed cast."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+def dq15(spark, sf_dir):
+    """P3/P6 JSON build + re-extract round-trip (ref: TargetManager.h:145-182)."""
+    ev = _t(spark, sf_dir, "events")
+    j = F.to_json(F.struct("user_id", "event_type"))
+    return ev.select(
+        "event_id", F.get_json_object(j, "$.event_type").alias("event_type")
+    )
+
+
+def dq16(spark, sf_dir):
+    """P2 hex formatting (ref: TargetManager.h:202-208 '%02X')."""
+    return _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.format_string("%02X", F.col("n_nationkey")).alias("hex2")
+    )
+
+
+def dq17(spark, sf_dir):
+    """F6/K4 validation split into valid/skip/invalid classes."""
+    ev = _t(spark, sf_dir, "events")
+    cls = (
+        F.when(F.col("value").between(1000, 2000), "valid")
+        .when(F.col("value") == -1, "skip")
+        .otherwise("invalid")
+    )
+    return ev.groupBy(cls.alias("cls")).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# North-star extensions (SURVEY §2.9, DQ-18..DQ-25)
+# --------------------------------------------------------------------------
+
+
+def dq18(spark, sf_dir):
+    """Exact dedup groups with duplicates only."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("keep_id", "n")
+    )
+
+
+def dq19(spark, sf_dir):
+    """Similarity top-1: nearest neighbor by rounded cosine, ties -> lowest id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    return similarity.topk_bruteforce(queries_df, emb, k=1).select(
+        "vec_id", "neighbor_id"
+    )
+
+
+def dq20(spark, sf_dir):
+    """Text stats by language group."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.sum(
+            F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)
+        ).alias("len_ok"),
+    )
+
+
+def dq21(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the flagship scan->filter->agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def dq22(spark, sf_dir):
+    """Multi-join revenue rollup (customer x orders x lineitem x nation).
+
+    Join order: facts join on their keys (shuffle), nation broadcast.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def dq23(spark, sf_dir):
+    """Top-k with deterministic tie-break (TakeOrderedAndProject, no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def dq24(spark, sf_dir):
+    """Set op: INTERSECT of event users and customer keys."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return ev.intersect(cu)
+
+
+def dq25(spark, sf_dir):
+    """Anti join: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extension queries (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+
+def ex_dedup_exact(spark, sf_dir):
+    """Exact dedup: all text groups with survivor id + multiplicity."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def ex_minhash_sig(spark, sf_dir):
+    """MinHash signatures (first 8 permutations) — exact md5-based oracle."""
+    sh = dedup.shingles(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(sh, k=8)
+
+
+def ex_neardup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified at >= 0.5."""
+    return dedup.neardup_minhash(_t(spark, sf_dir, "documents"))
+
+
+def ex_neardup_jaccard(spark, sf_dir):
+    """Exact shared-shingle Jaccard near-dup baseline (non-LSH)."""
+    return dedup.neardup_jaccard_exact(_t(spark, sf_dir, "documents"))
+
+
+def ex_simhash(spark, sf_dir):
+    """48-bit SimHash signature per document."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def ex_neardup_cosine(spark, sf_dir):
+    """Embedding near-dup: pairs with rounded cosine >= 0.45."""
+    return similarity.neardup_cosine(_t(spark, sf_dir, "embeddings"))
+
+
+def ex_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 20)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_QUERY_MAX_ID)
+    return similarity.topk_bruteforce(q, emb, k=C.ANN_TOPK).select(
+        "vec_id", "rnk", "neighbor_id"
+    )
+
+
+def ex_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-3 (deterministic centroids + nprobe)."""
+    return similarity.topk_ivf(_t(spark, sf_dir, "embeddings"))
+
+
+def ex_lang_id(spark, sf_dir):
+    """Heuristic language identification."""
+    return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def ex_text_stats(spark, sf_dir):
+    """Per-document quality statistics."""
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def ex_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
+    return text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def ex_fingerprint(spark, sf_dir):
+    """Key-collision fingerprint + rolling-hash prefix fingerprint."""
+    return text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def ex_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity splits sessions)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > C.SESSION_GAP_MINUTES * 60), 1).otherwise(0)
+    sess = (
+        ev.withColumn("__new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+def ex_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata: byte length + content md5."""
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+def ex_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (rows-only check:
+    the decode stage is a deterministic fake standing in for real decoders)."""
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming entries (replayed via availableNow; see streaming/)
+# --------------------------------------------------------------------------
+
+
+def st_latest_user(spark, sf_dir):
+    """Streaming last-value-per-key (A2/A3) — must equal batch DQ-07."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.latest_per_user_stream(spark, sf_dir)
+
+
+def st_window_counts(spark, sf_dir):
+    """Streaming tumbling-window snapshot counts (A4/T3 analog)."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.window_counts_stream(spark, sf_dir)
+
+
+def st_override_asof(spark, sf_dir):
+    """Stateful streaming as-of (A5 override semantics via
+    applyInPandasWithState) — must equal batch DQ-09."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.override_asof_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """name -> (spark, sf_dir) -> DataFrame for every declared query."""
+    return {
+        "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
+        "dq06": dq06, "dq07": dq07, "dq08": dq08, "dq09": dq09, "dq10": dq10,
+        "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq14": dq14, "dq15": dq15,
+        "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq19": dq19, "dq20": dq20,
+        "dq21": dq21, "dq22": dq22, "dq23": dq23, "dq24": dq24, "dq25": dq25,
+        "ex_dedup_exact": ex_dedup_exact,
+        "ex_minhash_sig": ex_minhash_sig,
+        "ex_neardup_minhash": ex_neardup_minhash,
+        "ex_neardup_jaccard": ex_neardup_jaccard,
+        "ex_simhash": ex_simhash,
+        "ex_neardup_cosine": ex_neardup_cosine,
+        "ex_ann_topk": ex_ann_topk,
+        "ex_ann_ivf": ex_ann_ivf,
+        "ex_lang_id": ex_lang_id,
+        "ex_text_stats": ex_text_stats,
+        "ex_token_count": ex_token_count,
+        "ex_fingerprint": ex_fingerprint,
+        "ex_sessionize": ex_sessionize,
+        "ex_multimodal_meta": ex_multimodal_meta,
+        "ex_multimodal_features": ex_multimodal_features,
+        "st_latest_user": st_latest_user,
+        "st_window_counts": st_window_counts,
+        "st_override_asof": st_override_asof,
+    }

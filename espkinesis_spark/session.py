@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults are sized for the test harness (local[32], tiny-to-small
+scale factors); on a real cluster the same settings are safe starting points —
+AQE re-plans shuffle parallelism at runtime, so the static
+``spark.sql.shuffle.partitions`` only caps the initial plan.
+
+Scale posture (100 TB readiness):
+  * AQE on (coalesce + skew-join) so runtime statistics, not static guesses,
+    pick shuffle parallelism and split skewed partitions.
+  * Broadcast threshold left at default (10 MB) — dimension tables (region,
+    nation, supplier, targets) broadcast; fact-fact joins shuffle on keys.
+  * Arrow enabled for every Python<->JVM batch crossing (pandas UDFs).
+  * Session timezone pinned to UTC so timestamp semantics match the DuckDB
+    oracle and are stable across environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "espkinesis_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback local[*]).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long and convert at the ingestion edge
+        # (tables.load_table) to µs TimestampType.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

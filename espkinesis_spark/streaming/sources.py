@@ -1,0 +1,114 @@
+"""Streaming source constructors.
+
+The reference's sources are a PPM radio scan, a serial JSON line reader, and
+ESP-NOW radio callbacks (SURVEY §2.1 S1-S4). Here every source is a
+Structured Streaming DataFrame with an explicit schema; tests and the driver
+replay file fixtures (`availableNow` drains everything deterministically),
+production swaps in Kinesis/Kafka with the same downstream plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Channel frame wire schema (ref: lib/TargetManager/TargetManager.h:15-17 —
+# 8 x uint16; -1 sentinel only in the command plane).
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("channels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+# Serial command line (ref: src/transmitter/main.cpp:301-313 — raw JSON text).
+COMMAND_LINE_SCHEMA = T.StructType(
+    [
+        T.StructField("cmd_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("raw", T.StringType()),
+    ]
+)
+
+# Parsed command payload (ref: src/transmitter/main.cpp:151-210 field contract).
+COMMAND_SCHEMA = T.StructType(
+    [
+        T.StructField("command", T.StringType()),
+        T.StructField("target_id", T.IntegerType()),
+        T.StructField("channels", T.ArrayType(T.IntegerType())),
+        T.StructField("duration", T.LongType()),
+    ]
+)
+
+# Send-ack callback (ref: src/transmitter/main.cpp:55-75).
+ACK_SCHEMA = T.StructType(
+    [
+        T.StructField("ack_ts", T.TimestampType()),
+        T.StructField("mac", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def file_stream(spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet") -> DataFrame:
+    """Replayable file source (S1/S2 analog for tests and backfills)."""
+    reader = spark.readStream.schema(schema)
+    return reader.parquet(path) if fmt == "parquet" else reader.format(fmt).load(path)
+
+
+def command_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — newline-delimited JSON command lines from a replay directory."""
+    return file_stream(spark, path, COMMAND_LINE_SCHEMA, fmt="json")
+
+
+def parse_commands(lines: DataFrame) -> DataFrame:
+    """F2 — parse raw JSON; malformed rows keep a NULL struct (the error
+    side-output filter is downstream, ref: src/transmitter/main.cpp:232-240)."""
+    return lines.withColumn("cmd", F.from_json(F.col("raw"), COMMAND_SCHEMA))
+
+
+def rate_frames(spark: SparkSession, rows_per_second: int = 2) -> DataFrame:
+    """Synthetic 2 Hz frame source (ref envelope: RADIO_SEND_FREQ_HZ=2,
+    src/transmitter/main.cpp:23-25) for live-mode demos."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    chans = F.expr(
+        "transform(sequence(1, 8), i -> CAST(1000 + pmod(value * 131 + i * 17, 1001) AS INT))"
+    )
+    return rate.select(
+        F.col("value").alias("frame_id"),
+        F.col("timestamp").alias("ts"),
+        chans.alias("channels"),
+    )
+
+
+def kinesis_frames(
+    spark: SparkSession,
+    stream_name: str,
+    region: str = "us-east-1",
+    endpoint: str | None = None,
+) -> DataFrame:
+    """Kinesis ingestion (S1/S3 production path).
+
+    Uses the spark-sql-kinesis connector (`format("kinesis")`); the
+    connector jar is NOT in this container, so constructing the reader
+    raises at stream start — the plan downstream of the source is identical
+    to the file-replay path, which is what the tests exercise.
+    """
+    reader = (
+        spark.readStream.format("kinesis")
+        .option("streamName", stream_name)
+        .option("region", region)
+        .option("initialPosition", "latest")
+    )
+    if endpoint:
+        reader = reader.option("endpointUrl", endpoint)
+    raw = reader.load()
+    # Kinesis delivers (data binary, approximateArrivalTimestamp, ...).
+    payload = F.from_json(F.col("data").cast("string"), FRAME_SCHEMA)
+    return raw.select(
+        payload.getField("frame_id").alias("frame_id"),
+        F.col("approximateArrivalTimestamp").alias("ts"),
+        payload.getField("channels").alias("channels"),
+    )

@@ -1,0 +1,39 @@
+"""Every declared query vs its DuckDB oracle at sf0.001 (the t1/t2 mirror)."""
+
+from __future__ import annotations
+
+import pytest
+
+from espkinesis_spark import oracles, queries
+from tests.oracle_util import compare, duck_connection
+
+ORACLE_KEYS = sorted(oracles.ORACLES)
+ROWS_ONLY = sorted(set(queries.registry()) - set(oracles.ORACLES))
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def test_inventory_covered():
+    reg = set(queries.registry())
+    missing = set(oracles.ORACLES) - reg
+    assert not missing, f"oracles without queries: {missing}"
+    assert len(reg) >= 25 + 15, "declared inventory shrank"
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = queries.registry()[name](spark, sf_dir)
+    ddf = duck.execute(oracles.ORACLES[name]).df()
+    compare(sdf, ddf)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = queries.registry()[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
