@@ -116,10 +116,11 @@ def _override_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterat
     for row in df.itertuples():
         t_us = row.ts.value // 1000
         if row.kind == "command":
-            patch = list(row.channels)
+            # plain Python ints — numpy scalars don't survive the return trip
+            patch = [int(c) for c in row.channels]
             expiry = t_us + int(row.duration) * 1000
         else:  # frame
-            live = list(row.channels)
+            live = [int(v) for v in row.channels]
             if patch is not None and t_us < expiry:
                 merged = [c if c != -1 else v for c, v in zip(patch, live)]
                 rows.append((int(key[0]), row.ts, int(row.frame_id), merged, True))

@@ -1,0 +1,72 @@
+"""Extension-operator behavior tests beyond the oracle parity suite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from espkinesis_spark.functions import common as C
+from espkinesis_spark.functions import dedup, multimodal, similarity
+from espkinesis_spark.tables import load_table
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"abc", "image")
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    media = multimodal.attach_binary(load_table(spark, sf_dir, "documents").limit(20))
+    a = sorted(map(tuple, multimodal.extract_features(media).collect()))
+    b = sorted(map(tuple, multimodal.extract_features(media).collect()))
+    assert a == b
+    doc = a[0]
+    assert doc[1] == "text" and doc[2] > 0 and 1 <= doc[5] <= 64 and 1 <= doc[6] <= 48
+
+
+def test_lsh_candidates_superset_of_true_pairs(spark, sf_dir):
+    """The LSH path must not miss any pair above the Jaccard threshold
+    (recall check backing the shared oracle of ex_neardup_minhash/jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.neardup_minhash(docs).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.neardup_jaccard_exact(docs).collect()
+    }
+    assert lsh == exact, f"LSH missed {exact - lsh} / extra {lsh - exact}"
+    assert exact, "fixture has no near-dup pairs; threshold too high"
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF top-3 should mostly agree with exact top-3 (sanity, not oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_QUERY_MAX_ID)
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.topk_bruteforce(q, emb, k=C.IVF_TOPK).collect()
+    }
+    ivf = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.topk_ivf(emb).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # probing 4 of 20 buckets over weakly-clustered vectors: ~0.48 observed,
+    # vs 0.2 for random probing. The IVF query itself has an exact oracle;
+    # this bound only guards against the candidate routing breaking entirely.
+    assert recall >= 0.35, f"IVF recall collapsed: {recall}"
+
+
+def test_minhash_signature_is_stable_minimum(spark, sf_dir):
+    """Signature values must be genuine minima of the salted hash set."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh, k=2).collect()
+    rows = sh.withColumn("h0", F.md5(F.concat(F.lit(C.minhash_salt(0)), F.col("s")))).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["h0"])
+    for r in sig:
+        assert r["sig00"] == min(by_doc[r["doc_id"]])
