@@ -256,6 +256,45 @@ ORACLES: dict[str, str] = {
     "ex_multimodal_meta": """SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         md5(text) AS content_md5 FROM documents""",
+    # -- relational-analytics widening --------------------------------------
+    "ex_rollup": """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "ex_pivot": """SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id""",
+    "ex_percentiles": """SELECT event_type,
+        ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        ROUND(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type""",
+    "ex_window_analytics": """SELECT o_orderkey, o_custkey,
+        ROW_NUMBER() OVER w AS rnk,
+        ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+    "ex_semijoin": """SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "ex_topk_per_group": """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        FROM part) WHERE rnk <= 3""",
+    "ex_shipping_priority": """SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
     # -- streaming entries: checked against their batch analogs -------------
     "st_latest_user": """SELECT user_id, event_type, value FROM (
         SELECT user_id, event_type, value,

@@ -383,6 +383,106 @@ def ex_multimodal_features(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Relational-analytics widening (rollup/pivot/percentiles/window/semi-join) —
+# the aggregation & window surface SURVEY §2.5 notes as absent-but-declared.
+# --------------------------------------------------------------------------
+
+
+def ex_rollup(spark, sf_dir):
+    """ROLLUP aggregation over returnflag x linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def ex_pivot(spark, sf_dir):
+    """Pivot event_type into per-user count columns (schema fixed for scale:
+    explicit pivot values avoid a discovery pass)."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+            for c in ["click", "error", "purchase", "signup", "view"]
+        ],
+    )
+
+
+def ex_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median / p90) per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
+
+
+def ex_window_analytics(spark, sf_dir):
+    """Ranking + running aggregate per customer over their orders."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+    )
+
+
+def ex_semijoin(spark, sf_dir):
+    """Left-semi join: customers that have at least one order (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+def ex_topk_per_group(spark, sf_dir):
+    """Top-3 parts by retail price per brand (WindowGroupLimit path)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "rnk", "p_partkey", "p_retailprice")
+    )
+
+
+def ex_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: top-10 unshipped orders by revenue (join + agg + top-k)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming entries (replayed via availableNow; see streaming/)
 # --------------------------------------------------------------------------
 
@@ -433,6 +533,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_token_count": ex_token_count,
         "ex_fingerprint": ex_fingerprint,
         "ex_sessionize": ex_sessionize,
+        "ex_rollup": ex_rollup,
+        "ex_pivot": ex_pivot,
+        "ex_percentiles": ex_percentiles,
+        "ex_window_analytics": ex_window_analytics,
+        "ex_semijoin": ex_semijoin,
+        "ex_topk_per_group": ex_topk_per_group,
+        "ex_shipping_priority": ex_shipping_priority,
         "ex_multimodal_meta": ex_multimodal_meta,
         "ex_multimodal_features": ex_multimodal_features,
         "st_latest_user": st_latest_user,
