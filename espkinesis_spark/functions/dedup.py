@@ -140,7 +140,11 @@ def neardup_minhash(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> 
     exact-Jaccard verification → threshold filter.
 
     Output (doc_a, doc_b, jaccard) for verified pairs. Recall is governed by
-    the band config (common.py): P(miss | j=0.8) ≈ 8e-8.
+    the band config (common.py): P(miss | j=0.8) ≈ 8e-8. The shingle table
+    feeds three stages (signatures, both sides of the verification join);
+    recomputing it is a cheap codegen'd map — measured faster than caching,
+    which steals unified memory from the bucket join and causes spills. At
+    100 TB, checkpoint it to a bucketed table instead.
     """
     sh = shingles(docs)
     cands = lsh_candidates(minhash_signatures(sh))
@@ -152,18 +156,33 @@ def neardup_jaccard_exact(docs: DataFrame, threshold: float = C.JACCARD_THRESHOL
     least one shingle. Correctness baseline for the LSH path; at 100 TB use
     ``neardup_minhash`` instead (shared-shingle joins explode on hot
     shingles — mitigate with document-frequency caps if used at scale).
+
+    Single-pass: the shared-shingle self-join *is* the intersection count
+    (each matching shingle contributes one row), so the pair list never
+    materializes separately from the verification join.
     """
     sh = shingles(docs)
-    pairs = (
-        sh.alias("x")
-        .join(sh.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
     )
-    return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
-def simhash(docs: DataFrame, bits: int = C.SIMHASH_BITS) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = C.SIMHASH_BITS, impl: str = "numpy") -> DataFrame:
     """SimHash over whitespace tokens (with multiplicity), md5-derived bits.
 
     bit_j(token) = bit (3 - j%4) of nibble j//4 of md5(token); the signature
@@ -171,9 +190,14 @@ def simhash(docs: DataFrame, bits: int = C.SIMHASH_BITS) -> DataFrame:
     BIGINT as sum(2^j). Arithmetic (floor/power/mod) instead of bit ops so
     the DuckDB oracle is expression-identical.
 
-    Two narrow aggregations (doc_id x bit, then doc_id); the token explode
-    is map-local.
+    ``impl='numpy'`` (default) computes the whole signature inside one
+    Arrow batch per task — a pure map with zero shuffle and no row
+    explosion, the shape that survives 100 TB. ``impl='sql'`` keeps the
+    expression-tree form (token x bit explode + two aggregations) that is
+    textually parallel to the DuckDB oracle.
     """
+    if impl == "numpy":
+        return _simhash_numpy(docs, bits)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tok = tok.withColumn("h", F.md5(F.col("tok")))
     per_bit = (
@@ -195,3 +219,46 @@ def simhash(docs: DataFrame, bits: int = C.SIMHASH_BITS) -> DataFrame:
             F.when(F.col("s") > 0, F.expr("CAST(power(2, j) AS BIGINT)")).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def _simhash_numpy(docs: DataFrame, bits: int) -> DataFrame:
+    """Arrow-batched SimHash kernel, bit-identical to the SQL form.
+
+    bit_j(token) = bit (3 - j%4) of nibble j//4 of md5(token) — exactly the
+    MSB-first bit order of the digest bytes, so ``np.unpackbits`` over the
+    first ceil(bits/8) digest bytes reproduces it directly.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    nbytes = (bits + 7) // 8
+    split_re = re.compile(C.TOKEN_SPLIT_RE)
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+
+    def run(batches):
+        cache: dict[str, np.ndarray] = {}
+
+        def token_bits(t: str) -> np.ndarray:
+            v = cache.get(t)
+            if v is None:
+                d = hashlib.md5(t.encode("utf-8")).digest()[:nbytes]
+                v = np.unpackbits(np.frombuffer(d, dtype=np.uint8))[:bits].astype(np.int64)
+                cache[t] = v
+            return v
+
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                counts: dict[str, int] = {}
+                for t in split_re.split(text.strip()):
+                    counts[t] = counts.get(t, 0) + 1
+                s = np.zeros(bits, dtype=np.int64)
+                for t, c in counts.items():
+                    s += c * (2 * token_bits(t) - 1)
+                out[i] = int(weights[s > 0].sum())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, simhash long")
