@@ -307,6 +307,44 @@ ORACLES: dict[str, str] = {
          WHERE o.user_id = e.user_id AND o.event_type = 'purchase'
            AND o.ts <= e.ts AND o.ts > e.ts - INTERVAL 1 HOUR) AS active_override
         FROM events e WHERE e.event_type = 'click'""",
+    # session_window merges while next_ts < prev_ts + gap (end exclusive),
+    # so the batch form breaks sessions on diff >= gap.
+    "st_session_window": f"""
+        WITH x AS (SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                         >= {C.SESSION_GAP_MINUTES} * 60 * CAST(1000000000 AS BIGINT)
+                 THEN 1 ELSE 0 END AS nw
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts, event_id,
+              CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+              FROM x)
+        SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS s_start, COUNT(*) AS n,
+               MAX(event_id) AS last_event
+        FROM s GROUP BY user_id, sid""",
+    # 1 h windows sliding by 30 min: every event lands in exactly the two
+    # epoch-aligned windows starting at bucket(ts) and bucket(ts) - 30 min.
+    "st_sliding_counts": """
+        WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+        c AS (SELECT event_type, tus,
+                     unnest([(tus // 1800000000) * 1800000000,
+                             (tus // 1800000000) * 1800000000 - 1800000000]) AS w
+              FROM e)
+        SELECT make_timestamp(w) AS w_start, event_type, COUNT(*) AS n
+        FROM c WHERE tus >= w AND tus < w + 3600000000
+        GROUP BY w, event_type""",
+    # command_plane_stream synthesizes one command per event with
+    # event_id % 10 selecting the failure mode; the oracle maps each residue
+    # to the verdict the validation pipeline must produce.
+    "st_command_plane": """
+        SELECT CASE event_id % 10
+            WHEN 0 THEN 'parse_error' WHEN 1 THEN 'parse_error'
+            WHEN 2 THEN 'unknown_command' WHEN 3 THEN 'missing_field'
+            WHEN 4 THEN 'bad_channel_count' WHEN 5 THEN 'bad_duration'
+            WHEN 6 THEN 'bad_channel_value' WHEN 7 THEN 'unknown_target'
+            ELSE 'ok' END AS cls, COUNT(*) AS n
+        FROM events GROUP BY cls""",
     # ex_multimodal_features: rows-only (mapInPandas decode plumbing; the
     # decode stage is non-SQL by design) — deliberately no oracle entry.
 }

@@ -509,6 +509,28 @@ def st_override_asof(spark, sf_dir):
     return jobs.override_asof_stream(spark, sf_dir)
 
 
+def st_session_window(spark, sf_dir):
+    """Event-time session windows (30-min gap) per user."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.session_window_stream(spark, sf_dir)
+
+
+def st_sliding_counts(spark, sf_dir):
+    """Sliding event-time windows (1 h / 30 min slide) per event type."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.sliding_counts_stream(spark, sf_dir)
+
+
+def st_command_plane(spark, sf_dir):
+    """Full command plane (parse -> validate -> dispatch) replayed as a
+    stream; per-error-class counts."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.command_plane_stream(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -545,4 +567,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_latest_user": st_latest_user,
         "st_window_counts": st_window_counts,
         "st_override_asof": st_override_asof,
+        "st_session_window": st_session_window,
+        "st_sliding_counts": st_sliding_counts,
+        "st_command_plane": st_command_plane,
     }

@@ -90,3 +90,83 @@ def override_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream(spark, sf_dir)
     out = st.asof_override(src)
     return _drain_to_memory(out, "st_override_asof_sink", "append")
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30-min gap) per user — the streaming
+    generalization of the override-session construct (A5): a session closes
+    when the key goes quiet for the gap. ``session_window`` merges while
+    ``next_ts < prev_ts + gap`` (window end exclusive), so the batch oracle
+    breaks sessions on ``diff >= gap``."""
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id").agg(
+        F.count("*").alias("n"), F.max("event_id").alias("last_event")
+    )
+    out = agg.select("user_id", F.col("sw.start").alias("s_start"), "n", "last_event")
+    return _drain_to_memory(out, "st_session_window_sink", "complete")
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h long, 30 min slide) per event type —
+    every event lands in exactly two windows."""
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = agg.select(F.col("win.start").alias("w_start"), "event_type", "n")
+    return _drain_to_memory(out, "st_sliding_counts_sink", "complete")
+
+
+def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full command plane (SURVEY §3.1) replayed as a stream and reduced
+    to per-error-class counts.
+
+    A deterministic JSON command line is synthesized from every event row
+    (event_id % 10 selects the failure mode), parsed with ``from_json``,
+    validated in the reference's early-exit order, and routed valid/rejected
+    (ref: src/transmitter/main.cpp:125-277). The oracle maps each residue
+    class straight to its expected verdict, so this checks the whole
+    parse -> validate -> dispatch pipeline end-to-end.
+    """
+    from espkinesis_spark.streaming.pipeline import command_plane
+
+    src = _events_stream(spark, sf_dir)
+    tid = (F.col("event_id") % 8 + 1).cast("int")
+    m = F.col("event_id") % 10
+    ok_line = (
+        '{"command": "override_channels", "target_id": %d,'
+        ' "channels": [1500, -1, 2000], "duration": 100}'
+    )
+    raw = (
+        F.when(m == 0, F.lit('{"command": "override_channels", '))  # truncated
+        .when(m == 1, F.lit("{}"))  # no command field
+        .when(m == 2, F.format_string(ok_line.replace("override_channels", "reboot"), tid))
+        .when(
+            m == 3,
+            F.format_string(
+                '{"command": "override_channels", "target_id": %d, "duration": 100}', tid
+            ),
+        )
+        .when(
+            m == 4,
+            F.format_string(
+                '{"command": "override_channels", "target_id": %d,'
+                f' "channels": [{", ".join(["1500"] * 9)}], "duration": 100}}',
+                tid,
+            ),
+        )
+        .when(m == 5, F.format_string(ok_line.replace('"duration": 100', '"duration": 0'), tid))
+        .when(m == 6, F.format_string(ok_line.replace("2000", "3000"), tid))
+        .when(m == 7, F.format_string(ok_line, F.lit(99)))
+        .otherwise(F.format_string(ok_line, tid))
+    )
+    lines = src.select(F.col("event_id").alias("cmd_id"), "ts", raw.alias("raw"))
+    targets = spark.createDataFrame(
+        [(i, f"AA:BB:CC:DD:EE:{i:02X}") for i in range(1, 9)], "id int, mac string"
+    )
+    valid, rejected = command_plane(lines, targets)
+    cls = rejected.select(F.col("error").alias("cls")).unionByName(
+        valid.select(F.lit("ok").alias("cls"))
+    )
+    out = cls.groupBy("cls").agg(F.count("*").alias("n"))
+    return _drain_to_memory(out, "st_command_plane_sink", "complete")
