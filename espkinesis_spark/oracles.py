@@ -295,6 +295,48 @@ ORACLES: dict[str, str] = {
           AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         GROUP BY o.o_orderkey, o.o_orderdate
         ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+    "ex_cube": """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "ex_grouping_sets": """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "ex_exists_shipped": """SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority""",
+    "ex_except": """SELECT DISTINCT user_id AS k FROM events
+        EXCEPT SELECT DISTINCT c_custkey AS k FROM customer""",
+    "ex_distinct_agg": """SELECT event_type, COUNT(DISTINCT user_id) AS nu,
+        COUNT(*) AS n FROM events GROUP BY event_type""",
+    "ex_custdist": """SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey) GROUP BY c_count""",
+    "ex_promo_share": """SELECT ROUND(
+        100.0 * SUM(CASE WHEN p_size > 25 THEN l_extendedprice * (1 - l_discount) END)
+              / SUM(l_extendedprice * (1 - l_discount)), 4) AS large_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "ex_scalar_funcs": """SELECT n_nationkey,
+        upper(n_name) AS up, lower(n_name) AS lo,
+        substring(n_name, 1, 3) AS pre3,
+        CAST(length(n_name) AS BIGINT) AS len,
+        reverse(n_name) AS rev,
+        lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS pad,
+        replace(n_name, 'A', '@') AS repl,
+        CAST(n_nationkey % 7 AS BIGINT) AS m7,
+        ROUND(sqrt(n_nationkey), 6) AS rt,
+        CAST(abs(n_nationkey - 12) AS BIGINT) AS dist12
+        FROM nation""",
+    "ex_date_funcs": """SELECT o_orderkey,
+        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+        CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+        CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
+        FROM orders""",
     # -- streaming entries: checked against their batch analogs -------------
     "st_latest_user": """SELECT user_id, event_type, value FROM (
         SELECT user_id, event_type, value,

@@ -482,6 +482,110 @@ def ex_shipping_priority(spark, sf_dir):
     )
 
 
+def ex_cube(spark, sf_dir):
+    """CUBE aggregation over order status x priority (all 4 grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+def ex_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ())."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+def ex_exists_shipped(spark, sf_dir):
+    """TPC-H Q4-style: orders with at least one line shipped after the order
+    date, counted by priority (correlated EXISTS ≡ left-semi join)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+def ex_except(spark, sf_dir):
+    """Set difference: event user ids that are not customer keys."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return ev.exceptAll(c.distinct())
+
+
+def ex_distinct_agg(spark, sf_dir):
+    """Distinct aggregation: unique users + row count per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nu"), F.count("*").alias("n")
+    )
+
+
+def ex_custdist(spark, sf_dir):
+    """TPC-H Q13-style: distribution of customers by order count (left outer
+    join keeps zero-order customers; the dim side broadcasts)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def ex_promo_share(spark, sf_dir):
+    """TPC-H Q14-style scalar aggregate: revenue share of large parts
+    (p_size > 25), part dim broadcast into the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * F.sum(F.when(F.col("p_size") > 25, rev)) / F.sum(rev), 4
+        ).alias("large_share")
+    )
+
+
+def ex_scalar_funcs(spark, sf_dir):
+    """Scalar string/math function surface over the nation dim."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("up"),
+        F.lower("n_name").alias("lo"),
+        F.substring("n_name", 1, 3).alias("pre3"),
+        F.length("n_name").cast("long").alias("len"),
+        F.reverse(F.col("n_name")).alias("rev"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("pad"),
+        F.replace(F.col("n_name"), F.lit("A"), F.lit("@")).alias("repl"),
+        (F.col("n_nationkey") % 7).cast("long").alias("m7"),
+        F.round(F.sqrt(F.col("n_nationkey")), 6).alias("rt"),
+        F.abs(F.col("n_nationkey") - 12).cast("long").alias("dist12"),
+    )
+
+
+def ex_date_funcs(spark, sf_dir):
+    """Date/time function surface over order dates."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("age_days"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming entries (replayed via availableNow; see streaming/)
 # --------------------------------------------------------------------------
@@ -562,6 +666,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_semijoin": ex_semijoin,
         "ex_topk_per_group": ex_topk_per_group,
         "ex_shipping_priority": ex_shipping_priority,
+        "ex_cube": ex_cube,
+        "ex_grouping_sets": ex_grouping_sets,
+        "ex_exists_shipped": ex_exists_shipped,
+        "ex_except": ex_except,
+        "ex_distinct_agg": ex_distinct_agg,
+        "ex_custdist": ex_custdist,
+        "ex_promo_share": ex_promo_share,
+        "ex_scalar_funcs": ex_scalar_funcs,
+        "ex_date_funcs": ex_date_funcs,
         "ex_multimodal_meta": ex_multimodal_meta,
         "ex_multimodal_features": ex_multimodal_features,
         "st_latest_user": st_latest_user,
