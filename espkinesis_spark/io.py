@@ -1,0 +1,91 @@
+"""Batch IO: schema-enforced sources and partitioned/bucketed sinks.
+
+The reference has no file formats at all (SURVEY §2.1 — its only sinks are
+the radio, the UART, and SBUS), so this module is the engine's own storage
+surface, designed for the 100 TB posture:
+
+  * every read takes an explicit schema — no inference in the engine
+    (inference is a dev convenience only, SURVEY §1.3);
+  * writes partition by low-cardinality columns so downstream reads
+    partition-prune, and never coalesce to one file;
+  * bucketed saves co-locate join keys so repeated fact-fact joins skip the
+    shuffle entirely (`spark.table(..)` joins on the bucket key produce no
+    Exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMATS = ("parquet", "json", "csv")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    **options: str,
+) -> DataFrame:
+    """Schema-enforced batch read (parquet/json/csv).
+
+    CSV defaults to header=true so round-trips are self-describing; malformed
+    rows surface as nulls (PERMISSIVE) for the dead-letter filter pattern
+    (SURVEY §2.2 F1-F3) rather than failing the scan.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    reader = spark.read.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Partitioned batch write (parquet/json/csv).
+
+    ``partition_by`` columns become directory partitions — readers filtering
+    on them prune at planning time (no file even opened). Partition columns
+    should be low-cardinality; high-cardinality keys create a small-file
+    explosion at scale.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so every later
+    equi-join/aggregation on the bucket key is exchange-free.
+
+    This is the batch answer to "reuse a partitioning across stages": two
+    tables bucketed the same way sort-merge-join with zero shuffles.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
