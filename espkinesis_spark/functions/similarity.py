@@ -76,15 +76,80 @@ def _pairs(queries: DataFrame, corpus: DataFrame, vec_col: str = "embedding") ->
 
 
 def topk_bruteforce(
-    queries: DataFrame, corpus: DataFrame, k: int = C.ANN_TOPK, vec_col: str = "embedding"
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = C.ANN_TOPK,
+    vec_col: str = "embedding",
+    impl: str = "numpy",
 ) -> DataFrame:
-    """Exact top-k neighbors per query vector: (vec_id, rnk, neighbor_id, cos)."""
+    """Exact top-k neighbors per query vector: (vec_id, rnk, neighbor_id, cos).
+
+    ``impl='numpy'`` (default): broadcast the (small) query matrix, BLAS
+    matmul against each Arrow batch of the corpus, keep a local top-k per
+    query per batch, then one tiny window merge over batches*k candidates —
+    the scan over the corpus is a pure map, so the shape holds at any corpus
+    size. ``impl='sql'`` keeps the pure-Catalyst pairwise join.
+    """
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    pairs = (
+        _topk_candidates_numpy(queries, corpus, k, vec_col)
+        if impl == "numpy"
+        else _pairs(queries, corpus, vec_col)
+    )
     return (
-        _pairs(queries, corpus, vec_col)
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("vec_id", "rnk", "neighbor_id", "cos")
+    )
+
+
+def _topk_candidates_numpy(
+    queries: DataFrame, corpus: DataFrame, k: int, vec_col: str
+) -> DataFrame:
+    """Per-batch local top-k candidates (vec_id, neighbor_id, cos): the
+    global merge only sees batches*k rows per query. Ties keep the lowest
+    neighbor_id, matching the SQL path."""
+    import numpy as np
+    import pandas as pd
+
+    rows = queries.select("vec_id", vec_col).collect()  # broadcast build side
+    q_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    q_mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    def run(batches):
+        qi, qm, qn = bc.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cos = np.round((c_mat @ qm.T) / (c_norms[:, None] * qn[None, :]), C.COSINE_ROUND)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qi)):
+                col = np.where(c_ids != qi[j], cos[:, j], -np.inf)
+                if len(col) > k:
+                    # all rows >= the k-th largest value (ties included), then
+                    # an exact (-cos, neighbor_id) sort of that tiny set
+                    kth = np.partition(col, -k)[-k]
+                    cand = np.nonzero(col >= kth)[0]
+                else:
+                    cand = np.nonzero(col > -np.inf)[0]
+                order = np.lexsort((c_ids[cand], -col[cand]))[:k]
+                sel = cand[order]
+                out_q.extend([qi[j]] * len(sel))
+                out_n.extend(c_ids[sel])
+                out_c.extend(col[sel])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cos": np.array(out_c, dtype=np.float64),
+                }
+            )
+
+    return corpus.select("vec_id", vec_col).mapInPandas(
+        run, schema="vec_id long, neighbor_id long, cos double"
     )
 
 
