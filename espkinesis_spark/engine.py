@@ -35,6 +35,17 @@ class Engine:
             raise KeyError(f"table {name!r} not registered; call register_tables()")
         return self._tables[name]
 
+    # -- functions (the command-registry analog, SURVEY §2.8) -------------
+    def register_functions(self, include_python: bool = True) -> list[str]:
+        """Register the engine's SQL-callable function surface: SQL scalar
+        UDFs (Catalyst-inlined) + Arrow-batched Python handlers."""
+        from espkinesis_spark.functions import registry
+
+        names = registry.register_sql_functions(self.spark)
+        if include_python:
+            names += registry.register_python_functions(self.spark)
+        return names
+
     # -- queries ----------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         """SQL surface (Catalyst handles plan + optimization)."""

@@ -337,6 +337,15 @@ ORACLES: dict[str, str] = {
         CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due,
         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
         FROM orders""",
+    "ex_udf_surface": """SELECT event_id,
+        CAST(FLOOR((CAST(FLOOR(value) AS BIGINT) - 1000) * 1639 / 1000.0) + 172 AS BIGINT)
+            AS sbus,
+        (CAST(FLOOR(value) AS INT) = -1
+         OR CAST(FLOOR(value) AS INT) BETWEEN 1000 AND 2000) AS ok,
+        CAST(FLOOR(value) AS INT) AS patched0,
+        'A1:B2:C3:D4:E5:F6' AS mac,
+        CAST(3000 AS BIGINT) AS ttl
+        FROM events""",
     # -- streaming entries: checked against their batch analogs -------------
     "st_latest_user": """SELECT user_id, event_type, value FROM (
         SELECT user_id, event_type, value,

@@ -569,6 +569,26 @@ def ex_scalar_funcs(spark, sf_dir):
     )
 
 
+def ex_udf_surface(spark, sf_dir):
+    """The registered-function surface (SURVEY §2.8) exercised from SQL:
+    remap, channel validation, sentinel patch, MAC formatting, TTL clamp —
+    all SQL scalar UDFs that Catalyst inlines into the scan."""
+    from espkinesis_spark.functions.registry import register_sql_functions
+
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__espk_events")
+    return spark.sql(
+        """SELECT event_id,
+            espk_remap(CAST(FLOOR(value) AS BIGINT)) AS sbus,
+            espk_valid_channels(array(CAST(FLOOR(value) AS INT), -1)) AS ok,
+            element_at(espk_patch(array(-1, 1500), array(CAST(FLOOR(value) AS INT), 0)), 1)
+                AS patched0,
+            espk_mac(X'A1B2C3D4E5F6') AS mac,
+            espk_ttl_ms(4000000, 1000000) AS ttl
+        FROM __espk_events"""
+    )
+
+
 def ex_date_funcs(spark, sf_dir):
     """Date/time function surface over order dates."""
     o = _t(spark, sf_dir, "orders")
@@ -675,6 +695,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_promo_share": ex_promo_share,
         "ex_scalar_funcs": ex_scalar_funcs,
         "ex_date_funcs": ex_date_funcs,
+        "ex_udf_surface": ex_udf_surface,
         "ex_multimodal_meta": ex_multimodal_meta,
         "ex_multimodal_features": ex_multimodal_features,
         "st_latest_user": st_latest_user,
