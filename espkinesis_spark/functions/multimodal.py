@@ -94,3 +94,60 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize plumbing: one output payload per input, fixed target shape.
+
+    The deterministic fake "resamples" the payload to width*height bytes by
+    striding (real path: decode_media -> PIL resize -> re-encode). Output
+    carries the target dims + resized payload — the schema a thumbnailing
+    stage hands to training-data writers.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if len(b) >= target:
+                    step = len(b) // target
+                    out.append(bytes(b[i * step] for i in range(target)))
+                else:  # pad by cycling
+                    out.append((b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "thumb": out,
+                }
+            )
+
+    return media.mapInPandas(run, schema="doc_id long, width int, height int, thumb binary")
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, every: int = 3) -> DataFrame:
+    """Frame-sampling plumbing: explode each payload into fixed-size frames,
+    keep every ``every``-th (video-keyframe shape: one input row fans out to
+    N output rows inside the Python worker, still zero shuffle).
+
+    Emits (doc_id, frame_idx, frame_md5) — md5 instead of raw bytes so the
+    result is oracle-checkable.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(hashlib.md5(b[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": sums})
+
+    return media.mapInPandas(run, schema="doc_id long, frame_idx long, frame_md5 string")

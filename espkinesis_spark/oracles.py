@@ -337,6 +337,15 @@ ORACLES: dict[str, str] = {
         CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due,
         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
         FROM orders""",
+    # payloads are ASCII (asserted in tests), so frames computed on VARCHAR
+    # equal the engine's byte-space frames
+    "ex_multimodal_frames": """
+        WITH f AS (SELECT doc_id, text,
+            unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_idx
+            FROM documents)
+        SELECT doc_id, frame_idx,
+               md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        FROM f WHERE frame_idx % 3 = 0""",
     "ex_udf_surface": """SELECT event_id,
         CAST(FLOOR((CAST(FLOOR(value) AS BIGINT) - 1000) * 1639 / 1000.0) + 172 AS BIGINT)
             AS sbus,

@@ -382,6 +382,21 @@ def ex_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def ex_multimodal_frames(spark, sf_dir):
+    """Frame sampling over binary payloads: every 3rd 64-byte frame, md5'd
+    (video-keyframe plumbing; payload bytes are ASCII so the oracle computes
+    the same frames in text space)."""
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
+def ex_multimodal_resize(spark, sf_dir):
+    """Resize plumbing: fixed 8x8 'thumbnail' per payload (rows-only: the
+    strided-byte fake stands in for a real decoder)."""
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_media(media)
+
+
 # --------------------------------------------------------------------------
 # Relational-analytics widening (rollup/pivot/percentiles/window/semi-join) —
 # the aggregation & window surface SURVEY §2.5 notes as absent-but-declared.
@@ -698,6 +713,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_udf_surface": ex_udf_surface,
         "ex_multimodal_meta": ex_multimodal_meta,
         "ex_multimodal_features": ex_multimodal_features,
+        "ex_multimodal_frames": ex_multimodal_frames,
+        "ex_multimodal_resize": ex_multimodal_resize,
         "st_latest_user": st_latest_user,
         "st_window_counts": st_window_counts,
         "st_override_asof": st_override_asof,

@@ -128,7 +128,7 @@ def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     class straight to its expected verdict, so this checks the whole
     parse -> validate -> dispatch pipeline end-to-end.
     """
-    from espkinesis_spark.streaming.pipeline import command_plane
+    from espkinesis_spark.streaming.pipeline import classify_command_lines
 
     src = _events_stream(spark, sf_dir)
     tid = (F.col("event_id") % 8 + 1).cast("int")
@@ -164,9 +164,10 @@ def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets = spark.createDataFrame(
         [(i, f"AA:BB:CC:DD:EE:{i:02X}") for i in range(1, 9)], "id int, mac string"
     )
-    valid, rejected = command_plane(lines, targets)
-    cls = rejected.select(F.col("error").alias("cls")).unionByName(
-        valid.select(F.lit("ok").alias("cls"))
+    annotated = classify_command_lines(lines, targets)
+    out = (
+        annotated.select(F.coalesce(F.col("error"), F.lit("ok")).alias("cls"))
+        .groupBy("cls")
+        .agg(F.count("*").alias("n"))
     )
-    out = cls.groupBy("cls").agg(F.count("*").alias("n"))
     return _drain_to_memory(out, "st_command_plane_sink", "complete")
