@@ -211,6 +211,61 @@ def _neardup_cosine_numpy(vecs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Sign-bit LSH bucket: bit i = (vec[i] > 0), packed into a BIGINT.
+
+    The cheapest possible hyperplane family (axis-aligned through the
+    origin) — deterministic and SQL-expressible, so the oracle reproduces
+    it. Random-rotation hyperplanes drop in behind the same bucket column.
+    """
+    v = _as_double(vec)
+    terms = [
+        F.when(F.element_at(v, i + 1) > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def topk_lsh(
+    vecs: DataFrame,
+    query_max_id: int = C.ANN_QUERY_MAX_ID,
+    bits: int = 8,
+    k: int = C.IVF_TOPK,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share the query's sign
+    bucket; exact cosine top-k inside the bucket.
+
+    The bucket equi-join is the only pairwise step — at scale each bucket
+    holds ~n/2^bits vectors, and the join shuffles on the bucket key only.
+    Lower recall than IVF near bucket boundaries (no multi-probe here);
+    output (vec_id, rnk, neighbor_id) is deterministic for the oracle.
+    """
+    bucketed = vecs.withColumn("__bucket", sign_bucket(F.col("embedding"), bits))
+    queries = bucketed.filter(F.col("vec_id") < query_max_id)
+    q = with_norm(queries).select(
+        "vec_id", "__bucket", F.col("embedding").alias("__qv"), F.col("__norm").alias("__qn")
+    )
+    c = with_norm(bucketed).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("__bucket").alias("__cbucket"),
+        F.col("embedding").alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    scored = (
+        q.join(c, (F.col("__bucket") == F.col("__cbucket")) & (F.col("vec_id") != F.col("neighbor_id")))
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "rnk", "neighbor_id")
+    )
+
+
 def ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (rounded cosine,
     tie → lowest centroid id). Broadcast join against the centroid set."""

@@ -222,6 +222,18 @@ ORACLES: dict[str, str] = {
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
           FROM p) WHERE rnk <= {C.ANN_TOPK}""",
     "ex_ann_ivf": _ann_ivf_sql(),
+    "ex_ann_lsh": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id, e,
+              CAST({' + '.join(f'(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)' for i in range(8))}
+                   AS BIGINT) AS bucket FROM v),
+        p AS (SELECT a.vec_id, n.vec_id AS neighbor_id, {_cos('a.e', 'n.e')} AS cos
+              FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+              WHERE a.vec_id < {C.ANN_QUERY_MAX_ID})
+        SELECT vec_id, rnk, neighbor_id FROM (
+          SELECT vec_id, neighbor_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM p) WHERE rnk <= {C.IVF_TOPK}""",
     "ex_lang_id": _lang_id_sql(),
     "ex_text_stats": _TEXT_STATS_BASE
     + f"""SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,

@@ -325,6 +325,11 @@ def ex_ann_ivf(spark, sf_dir):
     return similarity.topk_ivf(_t(spark, sf_dir, "embeddings"))
 
 
+def ex_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-3 (sign-bit buckets over 8 dims)."""
+    return similarity.topk_lsh(_t(spark, sf_dir, "embeddings"))
+
+
 def ex_lang_id(spark, sf_dir):
     """Heuristic language identification."""
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
@@ -689,6 +694,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_neardup_cosine": ex_neardup_cosine,
         "ex_ann_topk": ex_ann_topk,
         "ex_ann_ivf": ex_ann_ivf,
+        "ex_ann_lsh": ex_ann_lsh,
         "ex_lang_id": ex_lang_id,
         "ex_text_stats": ex_text_stats,
         "ex_token_count": ex_token_count,

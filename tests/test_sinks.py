@@ -1,0 +1,58 @@
+"""Streaming sink tests (K1/K4 analogs): replay fixtures into real sinks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from espkinesis_spark.streaming import fixtures, pipeline, sinks, sources
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sink_fixtures")
+    return fixtures.write_fixtures(spark, str(out))
+
+
+@pytest.fixture(scope="module")
+def targets(spark):
+    df = fixtures.targets_df(spark)
+    df.cache().count()
+    return df
+
+
+def test_parquet_and_dead_letter_sinks(spark, fixture_paths, targets, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sink_out")
+    lines = sources.file_stream(
+        spark, fixture_paths["commands"], sources.COMMAND_LINE_SCHEMA, fmt="json"
+    )
+    valid, rejected = pipeline.command_plane(lines, targets)
+    q1 = sinks.parquet_sink(valid, str(out / "valid"), str(out / "ck1"), available_now=True)
+    q1.awaitTermination()
+    q2 = sinks.dead_letter_sink(rejected, str(out / "dead"), str(out / "ck2"), available_now=True)
+    q2.awaitTermination()
+
+    back_valid = spark.read.parquet(str(out / "valid"))
+    back_dead = spark.read.text(str(out / "dead"))
+    total = spark.read.schema(sources.COMMAND_LINE_SCHEMA).json(fixture_paths["commands"]).count()
+    assert back_valid.count() + back_dead.count() == total
+    for line in back_dead.limit(5).collect():
+        doc = json.loads(json.loads(line["value"])["doc"])
+        assert doc["type"] == "error" and doc["message"]
+
+
+def test_keyed_foreach_batch_delivery(spark, fixture_paths, targets):
+    frames = sources.file_stream(spark, fixture_paths["frames"], sources.FRAME_SCHEMA)
+    lines = sources.file_stream(
+        spark, fixture_paths["commands"], sources.COMMAND_LINE_SCHEMA, fmt="json"
+    )
+    out_stream, _ = pipeline.transmitter(frames, lines, targets)
+    delivered: list[tuple[int, int]] = []
+
+    def deliver(batch, batch_id):
+        delivered.append((batch_id, batch.count()))
+
+    q = sinks.keyed_foreach_batch_sink(out_stream, deliver, available_now=True)
+    q.awaitTermination()
+    assert sum(n for _, n in delivered) == 400 * 8  # every frame reached the sink
