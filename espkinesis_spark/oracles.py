@@ -406,6 +406,10 @@ ORACLES: dict[str, str] = {
         SELECT make_timestamp(w) AS w_start, event_type, COUNT(*) AS n
         FROM c WHERE tus >= w AND tus < w + 3600000000
         GROUP BY w, event_type""",
+    "st_stream_join": """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 1 HOUR""",
     # command_plane_stream synthesizes one command per event with
     # event_id % 10 selecting the failure mode; the oracle maps each residue
     # to the verdict the validation pipeline must produce.

@@ -667,6 +667,14 @@ def st_sliding_counts(spark, sf_dir):
     return jobs.sliding_counts_stream(spark, sf_dir)
 
 
+def st_stream_join(spark, sf_dir):
+    """Stream-stream event-time interval join (clicks x purchases, 1h
+    lookback per user) with watermarks bounding join state."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.stream_stream_join(spark, sf_dir)
+
+
 def st_command_plane(spark, sf_dir):
     """Full command plane (parse -> validate -> dispatch) replayed as a
     stream; per-error-class counts."""
@@ -727,4 +735,5 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_session_window": st_session_window,
         "st_sliding_counts": st_sliding_counts,
         "st_command_plane": st_command_plane,
+        "st_stream_join": st_stream_join,
     }

@@ -117,6 +117,40 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_sliding_counts_sink", "complete")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases within the preceding hour (the ack-correlation shape J7 as an
+    event-time join). Watermarks bound the join state on both sides; the
+    replay drains in append mode (matches emit as both sides arrive)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") <= F.col("c_ts"))
+        & (F.col("p_ts") > F.col("c_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id")
+    return _drain_to_memory(joined, "st_stream_join_sink", "append")
+
+
 def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full command plane (SURVEY §3.1) replayed as a stream and reduced
     to per-error-class counts.
