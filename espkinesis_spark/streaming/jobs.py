@@ -53,14 +53,27 @@ def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    query = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    # Stateful operators pay a fixed per-partition state-store cost each
+    # micro-batch, so the partition count must track key cardinality, not the
+    # session default (measured 3x on the replay jobs: 32 -> 8 partitions).
+    # On a cluster, size via ESPK_STREAM_STATE_PARTITIONS ~ keys / target
+    # state per task; shuffle.partitions is captured at query start, so the
+    # temporary override pins only this query's state layout.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("ESPK_STREAM_STATE_PARTITIONS", "8")
     )
-    query.awaitTermination()
+    try:
+        query = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
