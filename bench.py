@@ -22,6 +22,11 @@ def main() -> None:
     registry = queries.registry()
     # warm up the JVM / parquet footers once
     registry["dq13"](spark, sf_dir).collect()
+    # ... and the Python worker pool (first pandas/Arrow query otherwise pays
+    # the ~2s daemon spawn inside its measured time)
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in sorted(registry):
