@@ -21,10 +21,29 @@ PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 # --- shingling / MinHash ----------------------------------------------------
 SHINGLE_WORDS = 3  # word 3-grams
-MINHASH_K = 32  # permutations (md5 with per-permutation salt)
+MINHASH_K = 32  # permutations
 LSH_BANDS = 16  # 16 bands x 2 rows — P(miss | jaccard 0.8) ~ 0.36^16 ~ 8e-8
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.5  # the test corpus has a clean gap: dups >=0.8, noise <0.3
+
+# MinHash permutation family: ONE md5 per shingle -> 60-bit int h, then
+# sig_j = min((A_j * (h % P) + B_j) % P) — a universal-hash permutation per j.
+# 32 multiply-mods replace 32 md5s per shingle (the md5-per-permutation form
+# was an allocation storm: ~150M hash strings at sf0.1). P = 2^31 - 1 keeps
+# A_j * h' + B_j < 2^62 (no int64 overflow in either engine).
+MINHASH_P = 2_147_483_647
+
+
+def _lcg_constants(n: int, seed: int, lo: int) -> tuple[int, ...]:
+    out, x = [], seed
+    while len(out) < n:
+        x = (x * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (1 << 63)
+        out.append(lo + x % (MINHASH_P - lo))
+    return tuple(out)
+
+
+MINHASH_A = _lcg_constants(MINHASH_K, seed=42, lo=1)  # multipliers in [1, P)
+MINHASH_B = _lcg_constants(MINHASH_K, seed=4242, lo=0)  # offsets in [0, P)
 
 # --- SimHash ----------------------------------------------------------------
 SIMHASH_BITS = 48  # fits exactly in a signed 64-bit int via sum(2^j)

@@ -55,18 +55,23 @@ def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(doc_shingles: DataFrame, k: int = C.MINHASH_K) -> DataFrame:
-    """MinHash signatures: sig_j = MIN over shingles of md5(salt_j || s).
+    """MinHash signatures: sig_j = MIN over shingles of (A_j*h + B_j) mod P,
+    with h = first 60 bits of md5(s) reduced mod P (common.py constants).
 
-    md5 output is uniform, so the lexicographic min over salted hashes is a
-    valid min-hash permutation. One groupBy(doc_id) computes all k mins as
-    partial aggregates (map-side combine — the shuffle carries k strings per
+    One md5 per shingle + k multiply-mods (all inside whole-stage codegen) —
+    the md5-per-permutation alternative allocates k hash strings per shingle
+    and stalls in GC at scale. One groupBy(doc_id) computes all k mins as
+    partial aggregates (map-side combine — the shuffle carries k longs per
     doc, not the shingle set).
     """
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long") % C.MINHASH_P
     aggs = [
-        F.min(F.md5(F.concat(F.lit(C.minhash_salt(j)), F.col("s")))).alias(f"sig{j:02d}")
+        F.min((F.lit(C.MINHASH_A[j]) * F.col("__h") + F.lit(C.MINHASH_B[j])) % C.MINHASH_P).alias(
+            f"sig{j:02d}"
+        )
         for j in range(k)
     ]
-    return doc_shingles.groupBy("doc_id").agg(*aggs)
+    return doc_shingles.withColumn("__h", h).groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidates(signatures: DataFrame) -> DataFrame:

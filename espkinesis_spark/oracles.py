@@ -62,9 +62,15 @@ FROM t)
 
 def _minhash_sig_sql(k: int = 8) -> str:
     aggs = ",\n  ".join(
-        f"min(md5('{C.minhash_salt(j)}' || s)) AS sig{j:02d}" for j in range(k)
+        f"min(({C.MINHASH_A[j]} * h + {C.MINHASH_B[j]}) % {C.MINHASH_P}) AS sig{j:02d}"
+        for j in range(k)
     )
-    return f"WITH {_SHINGLES}\nSELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+    return (
+        f"WITH {_SHINGLES},\n"
+        f"hh AS (SELECT doc_id, CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)"
+        f" % {C.MINHASH_P} AS h FROM sh)\n"
+        f"SELECT doc_id, {aggs} FROM hh GROUP BY doc_id"
+    )
 
 
 def _ann_ivf_sql() -> str:

@@ -60,13 +60,17 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
 
 
 def test_minhash_signature_is_stable_minimum(spark, sf_dir):
-    """Signature values must be genuine minima of the salted hash set."""
+    """Signature values must be genuine minima of the permuted hash set."""
+    import hashlib
+
     docs = load_table(spark, sf_dir, "documents").limit(5)
     sh = dedup.shingles(docs)
     sig = dedup.minhash_signatures(sh, k=2).collect()
-    rows = sh.withColumn("h0", F.md5(F.concat(F.lit(C.minhash_salt(0)), F.col("s")))).collect()
     by_doc = {}
-    for r in rows:
-        by_doc.setdefault(r["doc_id"], []).append(r["h0"])
+    for r in sh.collect():
+        h = int(hashlib.md5(r["s"].encode()).hexdigest()[:15], 16) % C.MINHASH_P
+        by_doc.setdefault(r["doc_id"], []).append(
+            (C.MINHASH_A[0] * h + C.MINHASH_B[0]) % C.MINHASH_P
+        )
     for r in sig:
         assert r["sig00"] == min(by_doc[r["doc_id"]])
