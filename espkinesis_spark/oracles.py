@@ -364,6 +364,19 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_range_window": """SELECT event_id, user_id,
+        ROUND(SUM(value) OVER w, 4) AS sum_1h,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+        FROM (SELECT *, epoch_us(ts) // 1000000 AS tsec FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    "ex_array_agg": """SELECT l_orderkey, lines,
+        CAST(len(lines) AS BIGINT) AS n,
+        list_slice(lines, 1, 2) AS first2,
+        list_contains(lines, 1) AS has1,
+        list_max(lines) AS mx
+        FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+              FROM lineitem GROUP BY l_orderkey)""",
     "ex_udf_surface": """SELECT event_id,
         CAST(FLOOR((CAST(FLOOR(value) AS BIGINT) - 1000) * 1639 / 1000.0) + 172 AS BIGINT)
             AS sbus,

@@ -589,6 +589,40 @@ def ex_scalar_funcs(spark, sf_dir):
     )
 
 
+def ex_range_window(spark, sf_dir):
+    """Time-range window frame: per user, rolling 1h sum/count of event
+    values (RANGE BETWEEN interval, not row-count frames)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+    )
+
+
+def ex_array_agg(spark, sf_dir):
+    """Complex-type surface: per-order sorted line-number arrays + element
+    ops (slice, contains, max)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+    )
+    return agg.select(
+        "l_orderkey",
+        "lines",
+        F.size("lines").cast("long").alias("n"),
+        F.slice("lines", 1, 2).alias("first2"),
+        F.array_contains("lines", 1).alias("has1"),
+        F.array_max("lines").alias("mx"),
+    )
+
+
 def ex_udf_surface(spark, sf_dir):
     """The registered-function surface (SURVEY §2.8) exercised from SQL:
     remap, channel validation, sentinel patch, MAC formatting, TTL clamp —
@@ -725,6 +759,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_scalar_funcs": ex_scalar_funcs,
         "ex_date_funcs": ex_date_funcs,
         "ex_udf_surface": ex_udf_surface,
+        "ex_range_window": ex_range_window,
+        "ex_array_agg": ex_array_agg,
         "ex_multimodal_meta": ex_multimodal_meta,
         "ex_multimodal_features": ex_multimodal_features,
         "ex_multimodal_frames": ex_multimodal_frames,
