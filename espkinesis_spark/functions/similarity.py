@@ -266,9 +266,17 @@ def topk_lsh(
     )
 
 
-def ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(vecs: DataFrame, centroids: DataFrame, impl: str = "numpy") -> DataFrame:
     """Assign every vector to its nearest centroid (rounded cosine,
-    tie → lowest centroid id). Broadcast join against the centroid set."""
+    tie → lowest centroid id).
+
+    ``impl='numpy'`` (default): broadcast the centroid matrix, one matmul +
+    argmax per Arrow batch — the assignment is a pure map over the corpus,
+    which is what makes IVF the scale path in the first place.
+    ``impl='sql'``: broadcast cross join + window (the oracle's shape).
+    """
+    if impl == "numpy":
+        return _ivf_assign_numpy(vecs, centroids)
     pairs = (
         with_norm(vecs)
         .select("vec_id", F.col("embedding").alias("__v"), F.col("__norm").alias("__vn"))
@@ -288,6 +296,33 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
         pairs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("vec_id", "centroid_id")
+    )
+
+
+def _ivf_assign_numpy(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Matmul assignment kernel. Centroid ids are sorted ascending so a
+    plain argmax over rounded cosines lands on the lowest id at ties,
+    matching the SQL path."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(centroids.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    c_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    c_mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+    bc = vecs.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_norms))
+
+    def run(batches):
+        ci, cm, cn = bc.value
+        for pdf in batches:
+            v_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            v_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v_norms = np.sqrt((v_mat * v_mat).sum(axis=1))
+            cos = np.round((v_mat @ cm.T) / (v_norms[:, None] * cn[None, :]), C.COSINE_ROUND)
+            yield pd.DataFrame({"vec_id": v_ids, "centroid_id": ci[np.argmax(cos, axis=1)]})
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, centroid_id long"
     )
 
 
