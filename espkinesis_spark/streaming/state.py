@@ -146,3 +146,59 @@ def override_sessions(tagged: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def override_sessions_tws(tagged: DataFrame) -> DataFrame:
+    """The same override session on Spark 4's ``transformWithStateInPandas``
+    (the successor stateful API: typed state handles, timer support, state
+    schema evolution). Semantics identical to ``override_sessions``;
+    requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` — the production
+    provider recommended at scale anyway). NOTE: the API spawns a local
+    state-server socket; sandboxes that block local connections cannot run
+    it (the test suite skips in that case) — ``override_sessions`` is the
+    portable default.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class OverrideProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("override", OVERRIDE_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            df = pd.concat(list(rows)).sort_values(["ts", "seq"])
+            if self._state.exists():
+                patch, expiry = self._state.get()
+                patch = list(patch) if patch is not None else None
+            else:
+                patch, expiry = None, -1
+            out: list[tuple] = []
+            for row in df.itertuples():
+                t_us = row.ts.value // 1000
+                if row.kind == "command":
+                    patch = [int(c) for c in row.channels]
+                    expiry = t_us + int(row.duration) * 1000
+                else:
+                    live = [int(v) for v in row.channels]
+                    if patch is not None and t_us < expiry:
+                        merged = [c if c != -1 else v for c, v in zip(patch, live)]
+                        out.append((int(key[0]), row.ts, int(row.frame_id), merged, True))
+                    else:
+                        out.append((int(key[0]), row.ts, int(row.frame_id), live, False))
+            self._state.update((patch, int(expiry)))
+            yield pd.DataFrame(
+                out, columns=["target_id", "ts", "frame_id", "channels", "overridden"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return tagged.groupBy("target_id").transformWithStateInPandas(
+        statefulProcessor=OverrideProcessor(),
+        outputStructType=OVERRIDE_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

