@@ -364,6 +364,21 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    # the sketch-accuracy gate: the Spark side emits tolerance VIOLATIONS,
+    # so the expected result is the empty set with this exact schema
+    "ex_approx_distinct": """SELECT event_type, CAST(NULL AS BIGINT) AS approx,
+        CAST(NULL AS BIGINT) AS exact FROM events WHERE FALSE""",
+    "ex_unpivot": """SELECT l_returnflag, measure, ROUND(SUM(val), 2) AS total FROM (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+        GROUP BY l_returnflag, measure""",
+    "ex_scd2_history": """SELECT user_id, event_id, ROUND(value, 4) AS val,
+        CAST(ts AS TIMESTAMP) AS valid_from,
+        CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+        (lead(ts) OVER w IS NULL) AS is_current
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "ex_range_window": """SELECT event_id, user_id,
         ROUND(SUM(value) OVER w, 4) AS sum_1h,
         CAST(COUNT(*) OVER w AS BIGINT) AS n_1h

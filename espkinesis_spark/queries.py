@@ -623,6 +623,48 @@ def ex_array_agg(spark, sf_dir):
     )
 
 
+def ex_approx_distinct(spark, sf_dir):
+    """Sketch aggregation: HLL approx distinct vs exact, emitting only
+    violations of the 5% tolerance — the oracle expects zero rows, so the
+    driver gate asserts the sketch's accuracy contract distributedly."""
+    ev = _t(spark, sf_dir, "events")
+    checked = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    return checked.filter(
+        F.abs(F.col("approx") - F.col("exact")) > 0.05 * F.col("exact")
+    ).select("event_type", "approx", "exact")
+
+
+def ex_unpivot(spark, sf_dir):
+    """Unpivot (stack) three lineitem measures into rows, then aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (measure, val)",
+    )
+    return stacked.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("val"), 2).alias("total")
+    )
+
+
+def ex_scd2_history(spark, sf_dir):
+    """SCD2-style validity intervals: each purchase's value holds per user
+    until their next purchase (lead() closes the interval; NULL = current)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("val"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
 def ex_udf_surface(spark, sf_dir):
     """The registered-function surface (SURVEY §2.8) exercised from SQL:
     remap, channel validation, sentinel patch, MAC formatting, TTL clamp —
@@ -761,6 +803,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_udf_surface": ex_udf_surface,
         "ex_range_window": ex_range_window,
         "ex_array_agg": ex_array_agg,
+        "ex_approx_distinct": ex_approx_distinct,
+        "ex_unpivot": ex_unpivot,
+        "ex_scd2_history": ex_scd2_history,
         "ex_multimodal_meta": ex_multimodal_meta,
         "ex_multimodal_features": ex_multimodal_features,
         "ex_multimodal_frames": ex_multimodal_frames,
