@@ -1,0 +1,52 @@
+"""Plan-shape regression tests: the optimizer must keep producing the
+scale-safe plans (pushdown, pruning, broadcasts, bounded shuffles)."""
+
+from __future__ import annotations
+
+from espkinesis_spark import queries
+from espkinesis_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    pushed_filters,
+    scan_columns,
+)
+
+
+def _q(spark, sf_dir, name):
+    return queries.registry()[name](spark, sf_dir)
+
+
+def test_dq21_filter_pushdown_and_pruning(spark, sf_dir):
+    df = _q(spark, sf_dir, "dq21")
+    assert any("l_shipdate" in f for f in pushed_filters(df)), "shipdate filter not pushed"
+    (cols,) = scan_columns(df)
+    # 6 needed columns, not all 11 of lineitem
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    assert exchange_count(df) == 1, "pricing summary needs exactly one shuffle"
+
+
+def test_dq22_broadcasts_dims(spark, sf_dir):
+    df = _q(spark, sf_dir, "dq22")
+    assert broadcast_join_count(df) == 3, "orders/customer/nation should broadcast"
+    assert exchange_count(df) == 1, "only the final aggregation may shuffle"
+
+
+def test_semijoin_broadcasts(spark, sf_dir):
+    df = _q(spark, sf_dir, "ex_semijoin")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_point_lookup_scans_minimal_columns(spark, sf_dir):
+    df = _q(spark, sf_dir, "dq04")
+    assert any("c_custkey" in f for f in pushed_filters(df))
+    (cols,) = scan_columns(df)
+    assert cols == {"c_custkey", "c_name", "c_nationkey"}
+
+
+def test_shipping_priority_pushes_all_three_filters(spark, sf_dir):
+    df = _q(spark, sf_dir, "ex_shipping_priority")
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "o_orderdate" in pf and "c_mktsegment" in pf
