@@ -90,14 +90,21 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprints(df: DataFrame, text_col: str = "text", impl: str = "numpy") -> DataFrame:
     """Two document fingerprints:
 
     * ``fp_key``  — OpenRefine-style key collision fingerprint: md5 of the
       sorted, deduplicated token multiset (order/dup-insensitive identity).
     * ``fp_roll`` — polynomial rolling hash ``h = (h*131 + code) % 1e9+7``
       over the first 64 characters (order-sensitive prefix identity).
+
+    ``impl='numpy'`` (default): Arrow-batched kernel. The expression form
+    (``impl='sql'``) unrolls a 64-step fold into one enormous codegen
+    method whose JIT compile intermittently stalls for seconds — the
+    kernel is also a pure map, so nothing is lost at scale.
     """
+    if impl == "numpy":
+        return _fingerprints_numpy(df, text_col)
     toks = tokens(F.lower(F.col(text_col)))
     fp_key = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
     fp_roll = F.expr(
@@ -106,3 +113,31 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         f" CAST(0 AS BIGINT), (h, c) -> (h * {C.ROLLING_BASE} + c) % {C.ROLLING_MOD})"
     )
     return df.select("doc_id", fp_key.alias("fp_key"), fp_roll.alias("fp_roll"))
+
+
+def _fingerprints_numpy(df: DataFrame, text_col: str) -> DataFrame:
+    """Kernel form of ``fingerprints`` — bit-identical to the SQL path.
+    UTF-8 byte order (Spark array_sort) equals code-point order (Python
+    sorted), so the key fingerprint matches for any input."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    split_re = re.compile(C.TOKEN_SPLIT_RE)
+
+    def run(batches):
+        for pdf in batches:
+            keys, rolls = [], []
+            for t in pdf[text_col]:
+                uniq = sorted(set(split_re.split(t.lower().strip())))
+                keys.append(hashlib.md5(" ".join(uniq).encode("utf-8")).hexdigest())
+                h = 0
+                for ch in t[: C.ROLLING_MAX_CHARS]:
+                    h = (h * C.ROLLING_BASE + ord(ch)) % C.ROLLING_MOD
+                rolls.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fp_key": keys, "fp_roll": rolls})
+
+    return df.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, fp_key string, fp_roll long"
+    )
