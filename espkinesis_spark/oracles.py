@@ -440,6 +440,7 @@ ORACLES: dict[str, str] = {
         SELECT make_timestamp(w) AS w_start, event_type, COUNT(*) AS n
         FROM c WHERE tus >= w AND tus < w + 3600000000
         GROUP BY w, event_type""",
+    "st_dedup": """SELECT DISTINCT user_id, event_type FROM events""",
     "st_stream_join": """SELECT c.event_id AS click_id, p.event_id AS purchase_id
         FROM events c JOIN events p
           ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'

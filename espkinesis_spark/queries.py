@@ -743,6 +743,13 @@ def st_sliding_counts(spark, sf_dir):
     return jobs.sliding_counts_stream(spark, sf_dir)
 
 
+def st_dedup(spark, sf_dir):
+    """Streaming deduplication on (user_id, event_type); kept-key set."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.dedup_stream(spark, sf_dir)
+
+
 def st_stream_join(spark, sf_dir):
     """Stream-stream event-time interval join (clicks x purchases, 1h
     lookback per user) with watermarks bounding join state."""
@@ -817,4 +824,5 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sliding_counts": st_sliding_counts,
         "st_command_plane": st_command_plane,
         "st_stream_join": st_stream_join,
+        "st_dedup": st_dedup,
     }

@@ -130,6 +130,16 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_sliding_counts_sink", "complete")
 
 
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first event per (user_id, event_type) wins;
+    the kept-key set (not the arbitrary winning row) is the deterministic,
+    oracle-checkable output. State is one entry per distinct key — bound it
+    in production with ``dropDuplicatesWithinWatermark``."""
+    src = _events_stream(spark, sf_dir)
+    out = src.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+    return _drain_to_memory(out, "st_dedup_sink", "append")
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each click joined to the same user's
     purchases within the preceding hour (the ack-correlation shape J7 as an
