@@ -66,3 +66,15 @@ class Engine:
         from espkinesis_spark import queries
 
         return sorted(queries.registry())
+
+    # -- differential verification ----------------------------------------
+    def verify(self, name: str, sf_dir: str | None = None) -> tuple[bool, str]:
+        """Run a declared query AND its DuckDB oracle on the same tables;
+        returns (matched, detail). The engine ships its own correctness
+        harness — the test suite and driver gate use the same comparator."""
+        from espkinesis_spark.verify import verify_query
+
+        target = sf_dir or self.sf_dir
+        if target is None:
+            raise RuntimeError("pass sf_dir or call register_tables(sf_dir) first")
+        return verify_query(self.spark, name, target)
