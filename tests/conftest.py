@@ -1,10 +1,14 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from espkinesis_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for fast iteration; ESPK_TEST_SF_DIR=/root/testdata/sf0.01
+# runs the identical suite at the driver gate's scale factor
+SF_DIR = os.environ.get("ESPK_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
