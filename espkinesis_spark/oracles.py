@@ -364,6 +364,26 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_stat_agg": """SELECT event_type,
+        ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uv,
+        ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_uv,
+        ROUND(stddev_samp(value), 4) AS sd_v,
+        ROUND(var_samp(value), 4) AS var_v
+        FROM events GROUP BY event_type""",
+    # sketch-quantile gate: Spark emits out-of-band approximate medians;
+    # expected result is the empty set with this schema
+    "ex_approx_quantile": """SELECT event_type, CAST(NULL AS DOUBLE) AS approx_p50
+        FROM events WHERE FALSE""",
+    "ex_semantic_search": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, {_cos('a.e', 'b.e')} AS cos
+              FROM v a JOIN v b ON b.vec_id <> a.vec_id WHERE a.vec_id < 5),
+        hits AS (SELECT vec_id, neighbor_id, rnk FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM p) WHERE rnk <= 3)
+        SELECT h.vec_id, h.rnk, h.neighbor_id, d.n_chars
+        FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id""",
     # the sketch-accuracy gate: the Spark side emits tolerance VIOLATIONS,
     # so the expected result is the empty set with this exact schema
     "ex_approx_distinct": """SELECT event_type, CAST(NULL AS BIGINT) AS approx,

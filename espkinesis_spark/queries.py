@@ -665,6 +665,49 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_stat_agg(spark, sf_dir):
+    """Statistical aggregates per event type: Pearson correlation, sample
+    covariance/stddev/variance (skewness/kurtosis excluded: Spark uses
+    population moments, DuckDB bias-corrected sample moments)."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", uid), 4).alias("corr_uv"),
+        F.round(F.covar_samp("value", uid), 4).alias("cov_uv"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_v"),
+        F.round(F.var_samp("value"), 4).alias("var_v"),
+    )
+
+
+def ex_approx_quantile(spark, sf_dir):
+    """Sketch-quantile accuracy gate: approximate medians must land between
+    the exact 45th and 55th percentiles per event type; only violations are
+    emitted, so the oracle expects the empty set."""
+    ev = _t(spark, sf_dir, "events")
+    checked = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+    )
+    return checked.filter(
+        (F.col("approx_p50") < F.col("lo")) | (F.col("approx_p50") > F.col("hi"))
+    ).select("event_type", F.round("approx_p50", 4).alias("approx_p50"))
+
+
+def ex_semantic_search(spark, sf_dir):
+    """Cross-modal pipeline: ANN top-3 over embeddings joined back to the
+    document table for content metadata (doc_id keys the embedding)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"), "n_chars"
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    hits = similarity.topk_bruteforce(q, emb, k=3).select("vec_id", "rnk", "neighbor_id")
+    return hits.join(F.broadcast(docs), "neighbor_id").select(
+        "vec_id", "rnk", "neighbor_id", "n_chars"
+    )
+
+
 def ex_udf_surface(spark, sf_dir):
     """The registered-function surface (SURVEY §2.8) exercised from SQL:
     remap, channel validation, sentinel patch, MAC formatting, TTL clamp —
@@ -813,6 +856,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_approx_distinct": ex_approx_distinct,
         "ex_unpivot": ex_unpivot,
         "ex_scd2_history": ex_scd2_history,
+        "ex_stat_agg": ex_stat_agg,
+        "ex_approx_quantile": ex_approx_quantile,
+        "ex_semantic_search": ex_semantic_search,
         "ex_multimodal_meta": ex_multimodal_meta,
         "ex_multimodal_features": ex_multimodal_features,
         "ex_multimodal_frames": ex_multimodal_frames,
