@@ -83,6 +83,23 @@ def rate_frames(spark: SparkSession, rows_per_second: int = 2) -> DataFrame:
     )
 
 
+def decode_kinesis_payload(raw: DataFrame) -> DataFrame:
+    """Decode Kinesis-wire records into channel frames.
+
+    ``raw`` carries the connector's output shape: ``data`` (binary JSON
+    payload) + ``approximateArrivalTimestamp``. Separated from the reader so
+    the decode plan is testable without the connector jar — a batch
+    DataFrame with the same two columns exercises the identical expressions
+    (tests/test_sources.py).
+    """
+    payload = F.from_json(F.col("data").cast("string"), FRAME_SCHEMA)
+    return raw.select(
+        payload.getField("frame_id").alias("frame_id"),
+        F.col("approximateArrivalTimestamp").alias("ts"),
+        payload.getField("channels").alias("channels"),
+    )
+
+
 def kinesis_frames(
     spark: SparkSession,
     stream_name: str,
@@ -93,8 +110,9 @@ def kinesis_frames(
 
     Uses the spark-sql-kinesis connector (`format("kinesis")`); the
     connector jar is NOT in this container, so constructing the reader
-    raises at stream start — the plan downstream of the source is identical
-    to the file-replay path, which is what the tests exercise.
+    raises at stream start — the decode stage (``decode_kinesis_payload``)
+    and everything downstream are identical to the file-replay path the
+    tests exercise.
     """
     reader = (
         spark.readStream.format("kinesis")
@@ -104,11 +122,4 @@ def kinesis_frames(
     )
     if endpoint:
         reader = reader.option("endpointUrl", endpoint)
-    raw = reader.load()
-    # Kinesis delivers (data binary, approximateArrivalTimestamp, ...).
-    payload = F.from_json(F.col("data").cast("string"), FRAME_SCHEMA)
-    return raw.select(
-        payload.getField("frame_id").alias("frame_id"),
-        F.col("approximateArrivalTimestamp").alias("ts"),
-        payload.getField("channels").alias("channels"),
-    )
+    return decode_kinesis_payload(reader.load())
