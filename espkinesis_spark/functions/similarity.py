@@ -181,22 +181,27 @@ def neardup_cosine(
     )
 
 
-def _neardup_cosine_numpy(vecs: DataFrame, threshold: float) -> DataFrame:
-    """Arrow-batched matmul kernel behind the same (vec_a, vec_b, cos) contract."""
+def _neardup_cosine_numpy(
+    probe: DataFrame, threshold: float, build: DataFrame | None = None
+) -> DataFrame:
+    """Arrow-batched matmul kernel behind the same (vec_a, vec_b, cos)
+    contract. ``build`` (default: the whole corpus) is collected and
+    broadcast; every probe batch matmuls against it, emitting pairs with
+    probe_id < build_id."""
     import numpy as np
     import pandas as pd
 
-    rows = vecs.select("vec_id", "embedding").collect()  # broadcast build side
+    rows = (build if build is not None else probe).select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = vecs.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    bc = probe.sparkSession.sparkContext.broadcast((ids, mat, norms))
 
     def run(batches):
         b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
             cos = np.round(
                 (a_mat @ b_mat.T) / (a_norms[:, None] * b_norms[None, :]), C.COSINE_ROUND
@@ -206,9 +211,33 @@ def _neardup_cosine_numpy(vecs: DataFrame, threshold: float) -> DataFrame:
                 {"vec_a": a_ids[ai], "vec_b": b_ids[bi], "cos": cos[ai, bi]}
             )
 
-    return vecs.select("vec_id", "embedding").mapInPandas(
+    return probe.select("vec_id", "embedding").mapInPandas(
         run, schema="vec_a long, vec_b long, cos double"
     )
+
+
+def neardup_cosine_blocked(
+    vecs: DataFrame, threshold: float = C.NEARDUP_COSINE, n_blocks: int = 4
+) -> DataFrame:
+    """The beyond-broadcast near-dup path: split the corpus into
+    ``n_blocks`` (vec_id % n_blocks), broadcast one block at a time, and
+    union the per-block pair outputs.
+
+    Memory per task is corpus_size / n_blocks — pick n_blocks so a block
+    fits the broadcast budget; total work is unchanged (every pair is
+    scored against exactly one block: the one holding its higher id).
+    Equivalent output to ``neardup_cosine`` (tested).
+    """
+    parts = [
+        _neardup_cosine_numpy(
+            vecs, threshold, build=vecs.filter(F.col("vec_id") % n_blocks == b)
+        )
+        for b in range(n_blocks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:

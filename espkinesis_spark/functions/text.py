@@ -24,13 +24,17 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(df: DataFrame, text_col: str = "text", impl: str = "numpy") -> DataFrame:
     """Heuristic language ID: stopword-hit counts per language, argmax with
     deterministic tie order (en > es > de > fr), 'und' when no hits.
 
-    The n-gram-free heuristic keeps the operator pure-columnar; swap in a
-    real model via mapInPandas without changing the interface.
+    ``impl='numpy'`` (default) counts hits via set lookups in one Arrow
+    batch pass (a pure map); ``impl='sql'`` keeps the columnar expression
+    form (4 array-filter passes over the token array). Swap in a real model
+    via the same mapInPandas shape without changing the interface.
     """
+    if impl == "numpy":
+        return _lang_id_numpy(df, text_col)
     toks = tokens(F.col(text_col))
     counts = {lg: _stopword_hits(toks, ws) for lg, ws in C.LANG_STOPWORDS.items()}
     en, es, de, fr = (counts[lg] for lg in C.LANG_ORDER)
@@ -42,6 +46,34 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise("fr")
     )
     return df.withColumn("lang_pred", pred)
+
+
+def _lang_id_numpy(df: DataFrame, text_col: str) -> DataFrame:
+    """Kernel form of ``lang_id`` (identical tie semantics)."""
+    import re
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    split_re = re.compile(C.TOKEN_SPLIT_RE)
+    stop = {lg: frozenset(ws) for lg, ws in C.LANG_STOPWORDS.items()}
+    order = C.LANG_ORDER
+
+    def run(batches):
+        for pdf in batches:
+            preds = []
+            for t in pdf[text_col]:
+                toks = split_re.split(t.strip())
+                counts = [sum(1 for x in toks if x in stop[lg]) for lg in order]
+                best = max(counts)
+                preds.append("und" if best == 0 else order[counts.index(best)])
+            pdf = pdf.copy()
+            pdf["lang_pred"] = preds
+            yield pdf
+
+    schema = T.StructType(list(df.schema.fields) + [T.StructField("lang_pred", T.StringType())])
+    return df.mapInPandas(run, schema=schema)
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

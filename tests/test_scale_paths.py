@@ -1,0 +1,37 @@
+"""Scale-path variants must equal their baseline implementations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from espkinesis_spark.functions import similarity
+from espkinesis_spark.operators import core as ops
+from espkinesis_spark.tables import load_table
+
+
+def _pairs_set(df):
+    return {(r["vec_a"], r["vec_b"], r["cos"]) for r in df.collect()}
+
+
+def test_blocked_neardup_equals_broadcast(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    full = _pairs_set(similarity.neardup_cosine(vecs))
+    blocked = _pairs_set(similarity.neardup_cosine_blocked(vecs, n_blocks=3))
+    assert blocked == full and len(full) > 0
+
+
+def test_pandas_asof_equals_join_form(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    sql_form = ops.asof_last_match(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts"
+    )
+    pandas_form = ops.asof_last_match_pandas(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts"
+    )
+    want = {(r["event_id"], r["asof_match"]) for r in sql_form.collect()}
+    got = {(r["event_id"], r["asof_match"]) for r in pandas_form.collect()}
+    assert got == want and len(want) > 0
