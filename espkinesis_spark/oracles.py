@@ -364,6 +364,20 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_tfidf": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS.format(t='lower(text)')}) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        scored AS (SELECT t.doc_id, t.term, t.tf,
+                          round(t.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / d.df), 6)
+                              AS tfidf
+                   FROM tf t JOIN dfc d ON t.term = d.term WHERE t.doc_id < 50)
+        SELECT doc_id, rnk, term, tfidf FROM (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rnk
+            FROM scored) WHERE rnk <= 3""",
     "ex_stat_agg": """SELECT event_type,
         ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uv,
         ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_uv,

@@ -665,6 +665,34 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document (doc_id < 50): token explode ->
+    per-(doc, term) tf -> document-frequency join -> windowed top-k.
+    Deterministic: scores rounded to 6 dp, ties break to the lexically
+    smallest term."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # dimension-sized scalar, embedded as a literal
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(df_counts, "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tfidf")
+    )
+
+
 def ex_stat_agg(spark, sf_dir):
     """Statistical aggregates per event type: Pearson correlation, sample
     covariance/stddev/variance (skewness/kurtosis excluded: Spark uses
@@ -856,6 +884,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_approx_distinct": ex_approx_distinct,
         "ex_unpivot": ex_unpivot,
         "ex_scd2_history": ex_scd2_history,
+        "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
         "ex_approx_quantile": ex_approx_quantile,
         "ex_semantic_search": ex_semantic_search,
