@@ -364,6 +364,17 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_group_concat": """SELECT n_regionkey,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n
+        FROM nation GROUP BY n_regionkey""",
+    "ex_regex_funcs": """SELECT p_partkey,
+        coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        regexp_matches(p_name, '^[a-m]') AS first_half
+        FROM part""",
+    "ex_histogram": """SELECT CAST(FLOOR(value / 100) AS BIGINT) AS bin,
+        COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_v
+        FROM events GROUP BY bin""",
     "ex_tfidf": f"""
         WITH tok AS (SELECT doc_id, unnest({_TOKS.format(t='lower(text)')}) AS term
                      FROM documents),

@@ -665,6 +665,37 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_group_concat(spark, sf_dir):
+    """Ordered string aggregation: nation names per region."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+def ex_regex_funcs(spark, sf_dir):
+    """Regex surface: extract, replace, and match over part names."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-m]").alias("first_half"),
+    )
+
+
+def ex_histogram(spark, sf_dir):
+    """Histogram binning: event values in 100-wide bins (floor division
+    keeps the bin rule portable)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bin", F.floor(F.col("value") / 100).cast("long"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_v"))
+    )
+
+
 def ex_tfidf(spark, sf_dir):
     """TF-IDF top-3 terms per document (doc_id < 50): token explode ->
     per-(doc, term) tf -> document-frequency join -> windowed top-k.
@@ -886,6 +917,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_scd2_history": ex_scd2_history,
         "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
+        "ex_group_concat": ex_group_concat,
+        "ex_regex_funcs": ex_regex_funcs,
+        "ex_histogram": ex_histogram,
         "ex_approx_quantile": ex_approx_quantile,
         "ex_semantic_search": ex_semantic_search,
         "ex_multimodal_meta": ex_multimodal_meta,
