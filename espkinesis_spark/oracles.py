@@ -364,6 +364,15 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_null_logic": """SELECT event_type,
+        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
+        COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+              THEN 1 END) AS k_absent,
+        CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0))
+             AS BIGINT) AS k_sum,
+        COUNT(CASE WHEN user_id IS NOT DISTINCT FROM 42 THEN 1 END) AS user42,
+        COUNT(NULLIF(CAST(FLOOR(value) AS BIGINT), -1)) AS non_sentinel
+        FROM events GROUP BY event_type""",
     "ex_group_concat": """SELECT n_regionkey,
         string_agg(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n
         FROM nation GROUP BY n_regionkey""",

@@ -665,6 +665,21 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_null_logic(spark, sf_dir):
+    """Three-valued logic surface: null-safe equality, coalesce/nullif, and
+    null-aware aggregation over the extracted JSON field (which is NULL when
+    the key is absent)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("k_present"),
+        F.count(F.when(k.isNull(), 1)).alias("k_absent"),
+        F.sum(F.coalesce(k, F.lit(0))).alias("k_sum"),
+        F.count(F.when(F.col("user_id").eqNullSafe(F.lit(42)), 1)).alias("user42"),
+        F.count(F.nullif(F.floor("value").cast("long"), F.lit(-1))).alias("non_sentinel"),
+    )
+
+
 def ex_group_concat(spark, sf_dir):
     """Ordered string aggregation: nation names per region."""
     n = _t(spark, sf_dir, "nation")
@@ -917,6 +932,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_scd2_history": ex_scd2_history,
         "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
+        "ex_null_logic": ex_null_logic,
         "ex_group_concat": ex_group_concat,
         "ex_regex_funcs": ex_regex_funcs,
         "ex_histogram": ex_histogram,

@@ -42,6 +42,29 @@ def test_parquet_and_dead_letter_sinks(spark, fixture_paths, targets, tmp_path_f
         assert doc["type"] == "error" and doc["message"]
 
 
+def test_parquet_sink_checkpoint_resume_is_exactly_once(
+    spark, fixture_paths, targets, tmp_path_factory
+):
+    """Restarting an availableNow sink on the same checkpoint must not
+    duplicate output (the source offsets are committed transactionally)."""
+    out = tmp_path_factory.mktemp("resume_out")
+    lines = sources.file_stream(
+        spark, fixture_paths["commands"], sources.COMMAND_LINE_SCHEMA, fmt="json"
+    )
+    valid, _ = pipeline.command_plane(lines, targets)
+    for _ in range(2):  # second run: nothing new to process
+        q = sinks.parquet_sink(valid, str(out / "v"), str(out / "ck"), available_now=True)
+        q.awaitTermination()
+    total_valid = spark.read.parquet(str(out / "v")).count()
+    lines2 = sources.file_stream(
+        spark, fixture_paths["commands"], sources.COMMAND_LINE_SCHEMA, fmt="json"
+    )
+    valid2, _ = pipeline.command_plane(lines2, targets)
+    q = sinks.parquet_sink(valid2, str(out / "v"), str(out / "ck"), available_now=True)
+    q.awaitTermination()
+    assert spark.read.parquet(str(out / "v")).count() == total_valid, "resume duplicated rows"
+
+
 def test_keyed_foreach_batch_delivery(spark, fixture_paths, targets):
     frames = sources.file_stream(spark, fixture_paths["frames"], sources.FRAME_SCHEMA)
     lines = sources.file_stream(
