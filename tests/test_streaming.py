@@ -148,6 +148,46 @@ def test_ack_tracker(spark, fixture_paths, targets):
     assert by_id[3]["connection_state"] is False
 
 
+def test_multibatch_replay_equals_single_batch(spark, sf_dir, tmp_path_factory):
+    """Incremental state correctness: the same aggregation replayed in 4
+    micro-batches (maxFilesPerTrigger=1) must equal the batch result —
+    partial state carried across batches, not recomputed per batch."""
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    chunk_dir = tmp_path_factory.mktemp("chunks")
+    ev.withColumn("__c", F.pmod(F.hash("user_id"), F.lit(4))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "ev"))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "ev"))
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mb_replay")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    got = {tuple(r) for r in spark.table("mb_replay").collect()}
+    want = {
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    assert got == want
+    assert n_batches > 1, "replay did not actually split into micro-batches"
+
+
 def test_status_snapshots(spark, fixture_paths, targets):
     frames = sources.file_stream(spark, fixture_paths["frames"], sources.FRAME_SCHEMA)
     lines = sources.file_stream(
