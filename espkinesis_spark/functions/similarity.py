@@ -263,19 +263,31 @@ def topk_lsh(
     query_max_id: int = C.ANN_QUERY_MAX_ID,
     bits: int = 8,
     k: int = C.IVF_TOPK,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: candidates share the query's sign
-    bucket; exact cosine top-k inside the bucket.
+    """LSH-bucketed approximate top-k: candidates share one of the query's
+    probe buckets; exact cosine top-k inside them.
 
-    The bucket equi-join is the only pairwise step — at scale each bucket
-    holds ~n/2^bits vectors, and the join shuffles on the bucket key only.
-    Lower recall than IVF near bucket boundaries (no multi-probe here);
-    output (vec_id, rnk, neighbor_id) is deterministic for the oracle.
+    ``multiprobe`` probes the exact bucket plus every 1-bit-flip neighbor
+    (bits+1 probes) — the standard recall fix for boundary vectors, at
+    (bits+1)x the candidate volume but the same single bucket-key shuffle.
+    Each corpus vector lives in exactly one bucket, and the probe list is
+    distinct, so no candidate dedup is needed. Output (vec_id, rnk,
+    neighbor_id) is deterministic for the oracle.
     """
     bucketed = vecs.withColumn("__bucket", sign_bucket(F.col("embedding"), bits))
     queries = bucketed.filter(F.col("vec_id") < query_max_id)
-    q = with_norm(queries).select(
-        "vec_id", "__bucket", F.col("embedding").alias("__qv"), F.col("__norm").alias("__qn")
+    probe_cols = [F.col("__bucket")]
+    if multiprobe:
+        probe_cols += [F.expr(f"__bucket ^ {2 ** i}") for i in range(bits)]
+    q = (
+        with_norm(queries)
+        .select(
+            "vec_id",
+            F.explode(F.array(*probe_cols)).alias("__probe"),
+            F.col("embedding").alias("__qv"),
+            F.col("__norm").alias("__qn"),
+        )
     )
     c = with_norm(bucketed).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -284,7 +296,7 @@ def topk_lsh(
         F.col("__norm").alias("__cn"),
     )
     scored = (
-        q.join(c, (F.col("__bucket") == F.col("__cbucket")) & (F.col("vec_id") != F.col("neighbor_id")))
+        q.join(c, (F.col("__probe") == F.col("__cbucket")) & (F.col("vec_id") != F.col("neighbor_id")))
         .withColumn("cos", cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

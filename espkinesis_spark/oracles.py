@@ -233,9 +233,11 @@ ORACLES: dict[str, str] = {
         b AS (SELECT vec_id, e,
               CAST({' + '.join(f'(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)' for i in range(8))}
                    AS BIGINT) AS bucket FROM v),
+        pr AS (SELECT vec_id, e,
+               unnest([bucket, {', '.join(f'xor(bucket, {2**i})' for i in range(8))}]) AS pb
+               FROM b WHERE vec_id < {C.ANN_QUERY_MAX_ID}),
         p AS (SELECT a.vec_id, n.vec_id AS neighbor_id, {_cos('a.e', 'n.e')} AS cos
-              FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
-              WHERE a.vec_id < {C.ANN_QUERY_MAX_ID})
+              FROM pr a JOIN b n ON a.pb = n.bucket AND a.vec_id <> n.vec_id)
         SELECT vec_id, rnk, neighbor_id FROM (
           SELECT vec_id, neighbor_id,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
@@ -364,6 +366,10 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_scalar_subquery": """SELECT o_orderkey,
+        (SELECT ROUND(MIN(l_extendedprice), 2) FROM lineitem
+         WHERE l_orderkey = o_orderkey) AS min_price
+        FROM orders""",
     "ex_null_logic": """SELECT event_type,
         COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
         COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL

@@ -665,6 +665,19 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q2 shape): each order's cheapest
+    line price. Catalyst decorrelates this into an aggregate + join."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_sq")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__lineitem_sq")
+    return spark.sql(
+        """SELECT o_orderkey,
+                  (SELECT ROUND(MIN(l_extendedprice), 2) FROM __lineitem_sq
+                   WHERE l_orderkey = o_orderkey) AS min_price
+           FROM __orders_sq"""
+    )
+
+
 def ex_null_logic(spark, sf_dir):
     """Three-valued logic surface: null-safe equality, coalesce/nullif, and
     null-aware aggregation over the extracted JSON field (which is NULL when
@@ -932,6 +945,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_scd2_history": ex_scd2_history,
         "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
+        "ex_scalar_subquery": ex_scalar_subquery,
         "ex_null_logic": ex_null_logic,
         "ex_group_concat": ex_group_concat,
         "ex_regex_funcs": ex_regex_funcs,
