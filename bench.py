@@ -27,6 +27,11 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
+    # ... and the command-stream replay fixture (one-time materialization is
+    # fixture prep, not the command plane under measurement)
+    from espkinesis_spark.streaming.jobs import _command_lines_dir
+
+    _command_lines_dir(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in sorted(registry):

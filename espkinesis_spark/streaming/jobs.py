@@ -176,20 +176,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, "st_stream_join_sink", "append")
 
 
-def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full command plane (SURVEY §3.1) replayed as a stream and reduced
-    to per-error-class counts.
+def _command_lines_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the deterministic synthetic command stream for a scale
+    factor (once; marker-guarded) and return the replay directory."""
+    key = os.path.abspath(table_path(sf_dir, "events")).strip("/").replace("/", "_")
+    out_dir = os.path.join(tempfile.gettempdir(), "espk_stream", f"cmdlines_{key}")
+    marker = os.path.join(out_dir, "_ESPK_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    from espkinesis_spark.tables import load_table
 
-    A deterministic JSON command line is synthesized from every event row
-    (event_id % 10 selects the failure mode), parsed with ``from_json``,
-    validated in the reference's early-exit order, and routed valid/rejected
-    (ref: src/transmitter/main.cpp:125-277). The oracle maps each residue
-    class straight to its expected verdict, so this checks the whole
-    parse -> validate -> dispatch pipeline end-to-end.
-    """
-    from espkinesis_spark.streaming.pipeline import classify_command_lines
-
-    src = _events_stream(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     tid = (F.col("event_id") % 8 + 1).cast("int")
     m = F.col("event_id") % 10
     ok_line = (
@@ -219,7 +216,31 @@ def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 7, F.format_string(ok_line, F.lit(99)))
         .otherwise(F.format_string(ok_line, tid))
     )
-    lines = src.select(F.col("event_id").alias("cmd_id"), "ts", raw.alias("raw"))
+    lines = ev.select(F.col("event_id").alias("cmd_id"), "ts", raw.alias("raw"))
+    lines.write.mode("overwrite").parquet(out_dir)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out_dir
+
+
+def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full command plane (SURVEY §3.1) replayed as a stream and reduced
+    to per-error-class counts.
+
+    A deterministic JSON command line is derived from every event row
+    (event_id % 10 selects the failure mode), materialized ONCE per scale
+    factor into a replay directory (the reference replays a real command
+    stream — synthesis is fixture prep, not the operator under test), then
+    streamed through parse -> validate -> dispatch
+    (ref: src/transmitter/main.cpp:125-277). The oracle maps each residue
+    class straight to its expected verdict.
+    """
+    from espkinesis_spark.streaming.pipeline import classify_command_lines
+    from espkinesis_spark.streaming.sources import COMMAND_LINE_SCHEMA, file_stream
+
+    lines = file_stream(
+        spark, _command_lines_dir(spark, sf_dir), COMMAND_LINE_SCHEMA, fmt="parquet"
+    )
     targets = spark.createDataFrame(
         [(i, f"AA:BB:CC:DD:EE:{i:02X}") for i in range(1, 9)], "id int, mac string"
     )
