@@ -46,6 +46,20 @@ def test_point_lookup_scans_minimal_columns(spark, sf_dir):
     assert cols == {"c_custkey", "c_name", "c_nationkey"}
 
 
+def test_join_hints_are_honored(spark, sf_dir):
+    """Users can override Catalyst's join strategy; results are identical."""
+    from espkinesis_spark.plans import physical_plan
+    from espkinesis_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    merge = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    shuffle_hash = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in physical_plan(merge)
+    assert "ShuffledHashJoin" in physical_plan(shuffle_hash)
+    assert merge.count() == shuffle_hash.count()
+
+
 def test_shipping_priority_pushes_all_three_filters(spark, sf_dir):
     df = _q(spark, sf_dir, "ex_shipping_priority")
     pf = " ".join(pushed_filters(df))
