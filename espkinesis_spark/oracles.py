@@ -366,6 +366,20 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_gapfill": """
+        WITH pm AS (SELECT user_id, date_trunc('minute', ts) AS w, COUNT(*) AS n,
+                           round(avg(value), 4) AS avg_v
+                    FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        b AS (SELECT user_id, min(w) AS lo, max(w) AS hi FROM pm GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS w
+                 FROM b),
+        j AS (SELECT g.user_id, g.w, pm.n, pm.avg_v
+              FROM grid g LEFT JOIN pm ON pm.user_id = g.user_id AND pm.w = g.w)
+        SELECT user_id, CAST(w AS TIMESTAMP) AS w,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n,
+               last_value(avg_v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY w
+                   ROWS UNBOUNDED PRECEDING) AS avg_locf
+        FROM j""",
     "ex_scalar_subquery": """SELECT o_orderkey,
         (SELECT ROUND(MIN(l_extendedprice), 2) FROM lineitem
          WHERE l_orderkey = o_orderkey) AS min_price

@@ -665,6 +665,31 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_gapfill(spark, sf_dir):
+    """Time-series gap fill + LOCF (the hypertable-rollup shape): per-user
+    minute grid from first to last event (sequence + explode), left-joined
+    counts with zero fill, and last-observation-carried-forward averages."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("w")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_v"))
+    bounds = per_min.groupBy("user_id").agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 MINUTE)")).alias("w"),
+    )
+    joined = grid.join(per_min, ["user_id", "w"], "left")
+    locf = Window.partitionBy("user_id").orderBy("w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "user_id",
+        "w",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.last("avg_v", ignorenulls=True).over(locf).alias("avg_locf"),
+    )
+
+
 def ex_scalar_subquery(spark, sf_dir):
     """Correlated scalar subquery (TPC-H Q2 shape): each order's cheapest
     line price. Catalyst decorrelates this into an aggregate + join."""
@@ -945,6 +970,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_scd2_history": ex_scd2_history,
         "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
+        "ex_gapfill": ex_gapfill,
         "ex_scalar_subquery": ex_scalar_subquery,
         "ex_null_logic": ex_null_logic,
         "ex_group_concat": ex_group_concat,
