@@ -366,6 +366,24 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_rank_funcs": """SELECT o_orderkey, o_custkey,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        ROUND(percent_rank() OVER w, 6) AS prnk,
+        ROUND(cume_dist() OVER w, 6) AS cd,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+    "ex_fuzzy_match": """SELECT a.n_nationkey AS ka, b.n_nationkey AS kb,
+        CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        WHERE levenshtein(a.n_name, b.n_name) <= 6""",
+    "ex_bitwise": """SELECT n_nationkey,
+        CAST(n_nationkey & 12 AS BIGINT) AS band,
+        CAST(n_nationkey | 5 AS BIGINT) AS bor,
+        CAST(xor(n_nationkey, 9) AS BIGINT) AS bxor,
+        CAST(n_nationkey << 2 AS BIGINT) AS shl,
+        CAST(n_nationkey >> 1 AS BIGINT) AS shr
+        FROM nation""",
     "ex_gapfill": """
         WITH pm AS (SELECT user_id, date_trunc('minute', ts) AS w, COUNT(*) AS n,
                            round(avg(value), 4) AS avg_v

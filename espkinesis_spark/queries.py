@@ -665,6 +665,55 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_rank_funcs(spark, sf_dir):
+    """Ranking-function surface: dense_rank / percent_rank / cume_dist /
+    ntile over each customer's orders by price."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def ex_fuzzy_match(spark, sf_dir):
+    """Fuzzy string matching: nation-name pairs within Levenshtein
+    distance 6 (dimension-sized cross join; at fact scale pre-block by
+    length or prefix before the distance)."""
+    a = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("na")
+    )
+    b = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("nb")
+    )
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .withColumn("dist", F.levenshtein("na", "nb").cast("long"))
+        .filter(F.col("dist") <= 6)
+        .select("ka", "kb", "dist")
+    )
+
+
+def ex_bitwise(spark, sf_dir):
+    """Bitwise function surface over nation keys."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    return n.select(
+        "n_nationkey",
+        (k.bitwiseAND(F.lit(12))).alias("band"),
+        (k.bitwiseOR(F.lit(5))).alias("bor"),
+        (k.bitwiseXOR(F.lit(9))).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+    )
+
+
 def ex_gapfill(spark, sf_dir):
     """Time-series gap fill + LOCF (the hypertable-rollup shape): per-user
     minute grid from first to last event (sequence + explode), left-joined
@@ -971,6 +1020,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
         "ex_gapfill": ex_gapfill,
+        "ex_rank_funcs": ex_rank_funcs,
+        "ex_fuzzy_match": ex_fuzzy_match,
+        "ex_bitwise": ex_bitwise,
         "ex_scalar_subquery": ex_scalar_subquery,
         "ex_null_logic": ex_null_logic,
         "ex_group_concat": ex_group_concat,
