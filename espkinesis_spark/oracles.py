@@ -533,6 +533,16 @@ ORACLES: dict[str, str] = {
         FROM c WHERE tus >= w AND tus < w + 3600000000
         GROUP BY w, event_type""",
     "st_dedup": """SELECT DISTINCT user_id, event_type FROM events""",
+    "st_ack_tracker": """
+        WITH r AS (SELECT CAST(user_id % 8 + 1 AS INT) AS id, ts, event_id,
+                          (event_id % 3 <> 0) AS ok FROM events),
+        latest AS (SELECT id, ok FROM (
+            SELECT id, ok, row_number() OVER (PARTITION BY id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM r) WHERE rn = 1)
+        SELECT l.id, l.ok AS connection_state,
+               (SELECT CAST(max(ts) AS TIMESTAMP) FROM r
+                WHERE r.id = l.id AND r.ok) AS last_successful_send
+        FROM latest l""",
     "st_stream_join": """SELECT c.event_id AS click_id, p.event_id AS purchase_id
         FROM events c JOIN events p
           ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'

@@ -947,6 +947,13 @@ def st_sliding_counts(spark, sf_dir):
     return jobs.sliding_counts_stream(spark, sf_dir)
 
 
+def st_ack_tracker(spark, sf_dir):
+    """Ack-stream connection tracking (J7/A2) per target."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.ack_tracker_stream(spark, sf_dir)
+
+
 def st_dedup(spark, sf_dir):
     """Streaming deduplication on (user_id, event_type); kept-key set."""
     from espkinesis_spark.streaming import jobs
@@ -1042,4 +1049,5 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_command_plane": st_command_plane,
         "st_stream_join": st_stream_join,
         "st_dedup": st_dedup,
+        "st_ack_tracker": st_ack_tracker,
     }

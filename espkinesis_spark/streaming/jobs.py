@@ -130,6 +130,29 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_sliding_counts_sink", "complete")
 
 
+def ack_tracker_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A2 as a driver query: a deterministic ack stream derived from the
+    events table (mac keyed by user_id % 8, ok unless event_id % 3 == 0)
+    joined to the target dim; latest ack wins per target, ok acks refresh
+    last_successful_send."""
+    from espkinesis_spark.streaming.pipeline import ack_tracker
+
+    src = _events_stream(spark, sf_dir)
+    acks = src.select(
+        F.col("ts").alias("ack_ts"),
+        F.format_string("AA:BB:CC:DD:EE:%02X", (F.col("user_id") % 8 + 1).cast("int")).alias(
+            "mac"
+        ),
+        (F.col("event_id") % 3 != 0).alias("ok"),
+        F.col("event_id").alias("ack_id"),
+    )
+    targets = spark.createDataFrame(
+        [(i, f"AA:BB:CC:DD:EE:{i:02X}") for i in range(1, 9)], "id int, mac string"
+    )
+    out = ack_tracker(acks, targets, tiebreak="ack_id")
+    return _drain_to_memory(out, "st_ack_tracker_sink", "complete")
+
+
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: first event per (user_id, event_type) wins;
     the kept-key set (not the arbitrary winning row) is the deterministic,

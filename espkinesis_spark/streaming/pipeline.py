@@ -135,13 +135,15 @@ def receiver_remap(frames: DataFrame) -> DataFrame:
     return frames.withColumn("sbus", ops.remap_channels(F.col("channels")))
 
 
-def ack_tracker(acks: DataFrame, targets: DataFrame) -> DataFrame:
+def ack_tracker(acks: DataFrame, targets: DataFrame, tiebreak: str | None = None) -> DataFrame:
     """A2 — connection state per target from the ack stream
     (ref: src/transmitter/main.cpp:55-75): latest ack wins; ok acks also
-    refresh last_successful_send."""
+    refresh last_successful_send. Pass ``tiebreak`` (a unique column) to
+    make same-timestamp acks deterministic."""
+    order = f"struct(ack_ts, {tiebreak})" if tiebreak else "ack_ts"
     joined = acks.join(F.broadcast(targets.select("id", "mac")), "mac")
     return joined.groupBy("id").agg(
-        F.expr("max_by(ok, ack_ts)").alias("connection_state"),
+        F.expr(f"max_by(ok, {order})").alias("connection_state"),
         F.max(F.when(F.col("ok"), F.col("ack_ts"))).alias("last_successful_send"),
     )
 
