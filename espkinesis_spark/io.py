@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def read_table(

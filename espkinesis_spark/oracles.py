@@ -366,6 +366,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_union_all": """SELECT k, COUNT(*) AS n FROM (
+        SELECT user_id AS k FROM events
+        UNION ALL SELECT c_custkey AS k FROM customer) GROUP BY k""",
     "ex_rank_funcs": """SELECT o_orderkey, o_custkey,
         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
         ROUND(percent_rank() OVER w, 6) AS prnk,

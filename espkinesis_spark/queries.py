@@ -665,6 +665,13 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_union_all(spark, sf_dir):
+    """Bag-semantics union across heterogeneous sources, then key counts."""
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return ev.unionByName(c).groupBy("k").agg(F.count("*").alias("n"))
+
+
 def ex_rank_funcs(spark, sf_dir):
     """Ranking-function surface: dense_rank / percent_rank / cume_dist /
     ntile over each customer's orders by price."""
@@ -1027,6 +1034,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
         "ex_gapfill": ex_gapfill,
+        "ex_union_all": ex_union_all,
         "ex_rank_funcs": ex_rank_funcs,
         "ex_fuzzy_match": ex_fuzzy_match,
         "ex_bitwise": ex_bitwise,

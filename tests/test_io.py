@@ -18,7 +18,7 @@ def events(spark, sf_dir):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_roundtrip(spark, events, tmp_path_factory, fmt):
     path = str(tmp_path_factory.mktemp("io") / f"events_{fmt}")
     eio.write_table(events, path, fmt=fmt)
