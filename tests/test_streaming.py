@@ -188,6 +188,65 @@ def test_multibatch_replay_equals_single_batch(spark, sf_dir, tmp_path_factory):
     assert n_batches > 1, "replay did not actually split into micro-batches"
 
 
+def test_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Event-time watermark semantics, deterministically: three file chunks
+    replayed in mtime order (maxFilesPerTrigger=1). Chunk 3 carries a row
+    far older than the watermark established by chunk 2 — append-mode
+    windowed counts must exclude it; an on-time chunk-3 row must land."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    chunk_dir = str(tmp_path_factory.mktemp("late") / "ev")
+    os.makedirs(chunk_dir)
+
+    def write_chunk(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        path = os.path.join(chunk_dir, name)
+        # µs timestamps: the session reads TIMESTAMP(NANOS) as long
+        # (nanosAsLong), which would fight the declared schema here
+        pdf.to_parquet(path, engine="pyarrow", coerce_timestamps="us")
+        os.utime(path, (mtime, mtime))
+
+    t0 = _time.time()
+    # chunk 1: hour 10; chunk 2: hour 13 (advances the watermark to 12:00);
+    # chunk 3: on-time row whose batch finalizes + evicts the hour-10
+    # window; chunk 4: a LATE hour-10 row arriving after eviction — dropped
+    # (a late row arriving in the SAME batch as finalization is still
+    # absorbed; the drop guarantee starts once state is evicted)
+    write_chunk("c1.parquet", [(1, "2024-01-01 10:05:00"), (1, "2024-01-01 10:20:00")], t0)
+    write_chunk("c2.parquet", [(1, "2024-01-01 13:00:00")], t0 + 10)
+    write_chunk("c3.parquet", [(1, "2024-01-01 13:10:00")], t0 + 20)
+    write_chunk("c4.parquet", [(1, "2024-01-01 10:40:00")], t0 + 30)
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(str(r["w"]), r["n"]) for r in spark.table("late_drop").collect()}
+    # hour-10 window finalized with ONLY the two on-time rows (late 10:40
+    # row dropped); hour-13 window is not yet below the final watermark, so
+    # append mode has not emitted it
+    assert got == {("2024-01-01 10:00:00", 2)}, got
+
+
 def test_status_snapshots(spark, fixture_paths, targets):
     frames = sources.file_stream(spark, fixture_paths["frames"], sources.FRAME_SCHEMA)
     lines = sources.file_stream(
