@@ -366,6 +366,10 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_map_funcs": """SELECT l_orderkey, l_linenumber,
+        ROUND(map(['qty', 'tax'], [l_quantity, l_tax])['qty'][1], 2) AS qty,
+        CAST(cardinality(map(['qty', 'tax'], [l_quantity, l_tax])) AS BIGINT) AS msz
+        FROM lineitem""",
     "ex_union_all": """SELECT k, COUNT(*) AS n FROM (
         SELECT user_id AS k FROM events
         UNION ALL SELECT c_custkey AS k FROM customer) GROUP BY k""",

@@ -665,6 +665,21 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_map_funcs(spark, sf_dir):
+    """Map-type surface: build a measure map per line item, extract by key,
+    report cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("tax"), F.col("l_tax")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at(m, F.lit("qty")), 2).alias("qty"),
+        F.size(m).cast("long").alias("msz"),
+    )
+
+
 def ex_union_all(spark, sf_dir):
     """Bag-semantics union across heterogeneous sources, then key counts."""
     ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
@@ -1034,6 +1049,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
         "ex_gapfill": ex_gapfill,
+        "ex_map_funcs": ex_map_funcs,
         "ex_union_all": ex_union_all,
         "ex_rank_funcs": ex_rank_funcs,
         "ex_fuzzy_match": ex_fuzzy_match,
