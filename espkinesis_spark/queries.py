@@ -826,7 +826,7 @@ def ex_tfidf(spark, sf_dir):
     Deterministic: scores rounded to 6 dp, ties break to the lexically
     smallest term."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # dimension-sized scalar, embedded as a literal
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n"))  # 1-row broadcast
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -835,10 +835,8 @@ def ex_tfidf(spark, sf_dir):
     scored = (
         tf.filter(F.col("doc_id") < 50)
         .join(df_counts, "term")
-        .withColumn(
-            "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
-        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
