@@ -8,6 +8,7 @@ so Catalyst keeps pushdown/pruning/codegen across them.
 from espkinesis_spark.operators.core import (
     assign_ids,
     asof_last_match,
+    asof_last_match_pandas,
     latest_per_key,
     mac_str,
     patch_channels,
@@ -19,11 +20,14 @@ from espkinesis_spark.operators.core import (
     validate_channels,
     validate_commands,
 )
+from espkinesis_spark.operators.skew import salted_join
 
 __all__ = [
     "assign_ids",
     "asof_last_match",
+    "asof_last_match_pandas",
     "latest_per_key",
+    "salted_join",
     "mac_str",
     "patch_channels",
     "remaining_ttl_ms",

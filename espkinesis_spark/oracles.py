@@ -540,6 +540,7 @@ ORACLES: dict[str, str] = {
         FROM c WHERE tus >= w AND tus < w + 3600000000
         GROUP BY w, event_type""",
     "st_dedup": """SELECT DISTINCT user_id, event_type FROM events""",
+    "st_content_dedup": f"SELECT DISTINCT simhash FROM ({_simhash_sql()})",
     "st_ack_tracker": """
         WITH r AS (SELECT CAST(user_id % 8 + 1 AS INT) AS id, ts, event_id,
                           (event_id % 3 <> 0) AS ok FROM events),

@@ -967,6 +967,13 @@ def st_sliding_counts(spark, sf_dir):
     return jobs.sliding_counts_stream(spark, sf_dir)
 
 
+def st_content_dedup(spark, sf_dir):
+    """Online SimHash content dedup over a document stream."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.content_dedup_stream(spark, sf_dir)
+
+
 def st_ack_tracker(spark, sf_dir):
     """Ack-stream connection tracking (J7/A2) per target."""
     from espkinesis_spark.streaming import jobs
@@ -1072,4 +1079,5 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_stream_join": st_stream_join,
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
+        "st_content_dedup": st_content_dedup,
     }

@@ -130,6 +130,32 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_sliding_counts_sink", "complete")
 
 
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayable documents stream (symlink-dir trick, as for events)."""
+    src_file = os.path.abspath(table_path(sf_dir, "documents"))
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "espk_stream", src_file.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    return spark.readStream.schema(SCHEMAS["documents"]).parquet(stream_dir)
+
+
+def content_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content dedup: SimHash each incoming document (Arrow
+    kernel inside the stream) and keep one document per signature —
+    the LLM-pipeline dedup shape applied online. Output is the kept
+    signature set (deterministic regardless of which doc wins a bucket)."""
+    from espkinesis_spark.functions import dedup
+
+    src = _documents_stream(spark, sf_dir)
+    signed = dedup.simhash(src)  # mapInPandas works on streaming DataFrames
+    out = signed.dropDuplicates(["simhash"]).select("simhash")
+    return _drain_to_memory(out, "st_content_dedup_sink", "append")
+
+
 def ack_tracker_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A2 as a driver query: a deterministic ack stream derived from the
     events table (mac keyed by user_id % 8, ok unless event_id % 3 == 0)
