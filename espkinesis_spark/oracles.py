@@ -366,6 +366,14 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, frame_idx,
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM f WHERE frame_idx % 3 = 0""",
+    "ex_string_funcs2": """SELECT p_partkey,
+        translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        split_part(p_name, ' ', 1) AS w1,
+        repeat(substring(p_name, 1, 2), 3) AS rep,
+        substring(p_name, 1, 4) AS l4,
+        substring(p_name, length(p_name) - 3, 4) AS r4,
+        CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a
+        FROM part""",
     "ex_map_funcs": """SELECT l_orderkey, l_linenumber,
         ROUND(map(['qty', 'tax'], [l_quantity, l_tax])['qty'][1], 2) AS qty,
         CAST(cardinality(map(['qty', 'tax'], [l_quantity, l_tax])) AS BIGINT) AS msz

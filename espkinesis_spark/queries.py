@@ -665,6 +665,21 @@ def ex_scd2_history(spark, sf_dir):
     )
 
 
+def ex_string_funcs2(spark, sf_dir):
+    """Second string-function batch: translate, split_part, repeat,
+    left/right slices, substring position."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("rep"),
+        F.substring("p_name", 1, 4).alias("l4"),
+        F.col("p_name").substr(F.length("p_name") - 3, F.lit(4)).alias("r4"),
+        F.instr("p_name", "a").cast("long").alias("pos_a"),
+    )
+
+
 def ex_map_funcs(spark, sf_dir):
     """Map-type surface: build a measure map per line item, extract by key,
     report cardinality."""
@@ -1054,6 +1069,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_tfidf": ex_tfidf,
         "ex_stat_agg": ex_stat_agg,
         "ex_gapfill": ex_gapfill,
+        "ex_string_funcs2": ex_string_funcs2,
         "ex_map_funcs": ex_map_funcs,
         "ex_union_all": ex_union_all,
         "ex_rank_funcs": ex_rank_funcs,
