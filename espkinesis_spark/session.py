@@ -22,6 +22,43 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Result-bearing confs that MUST hold on whatever session executes our
+# queries — including externally-owned sessions (the driver harness builds
+# its own vanilla SparkSession and passes it into __spark_entry__.queries()).
+# All are runtime-settable SQL confs (verified: spark.conf.set works on a
+# plain session for each). Builder-time-only settings (memory, master, AQE
+# toggles) stay in get_spark(); they affect speed, not results.
+_RUNTIME_REQUIRED_CONFS = {
+    # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+    # timestamp — read as long, convert at the ingestion edge.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # every timestamp hash in the oracle compare assumes UTC semantics
+    "spark.sql.session.timeZone": "UTC",
+    # pandas-UDF kernels (simhash/fingerprint/ANN) assume Arrow batching
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Pin the confs query results depend on, on a session we didn't build.
+
+    Idempotent and cheap (no-op sets when already correct); called from
+    ``tables.load_table`` so every query entry point is covered regardless
+    of who constructed the SparkSession.
+    """
+    for key, want in _RUNTIME_REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != want:
+                spark.conf.set(key, want)
+        except Exception:
+            # unknown conf on a future Spark — set best-effort
+            try:
+                spark.conf.set(key, want)
+            except Exception:
+                pass
+    return spark
+
+
 def get_spark(
     app_name: str = "espkinesis_spark",
     master: str | None = None,

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
 
+from espkinesis_spark.session import ensure_session_confs
 from espkinesis_spark.streaming import state as st
 from espkinesis_spark.tables import SCHEMAS, table_path
 
@@ -33,17 +34,30 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def _ensure_symlink(src_file: str, link: str) -> None:
+    # lexists (not exists) so a dangling link to regenerated testdata is
+    # detected and replaced; EEXIST tolerated for concurrent sessions racing
+    # the check-then-act.
+    if os.path.lexists(link):
+        if os.path.realpath(link) == os.path.realpath(src_file):
+            return
+        os.unlink(link)
+    try:
+        os.symlink(src_file, link)
+    except FileExistsError:
+        pass
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource requires a *directory*; expose the single parquet
     # file through a symlink dir (testdata itself is read-only).
+    ensure_session_confs(spark)
     src_file = os.path.abspath(table_path(sf_dir, "events"))
     stream_dir = os.path.join(
         tempfile.gettempdir(), "espk_stream", src_file.strip("/").replace("/", "_")
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
+    _ensure_symlink(src_file, os.path.join(stream_dir, "events.parquet"))
     raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(stream_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -132,14 +146,13 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replayable documents stream (symlink-dir trick, as for events)."""
+    ensure_session_confs(spark)
     src_file = os.path.abspath(table_path(sf_dir, "documents"))
     stream_dir = os.path.join(
         tempfile.gettempdir(), "espk_stream", src_file.strip("/").replace("/", "_")
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
+    _ensure_symlink(src_file, os.path.join(stream_dir, "documents.parquet"))
     return spark.readStream.schema(SCHEMAS["documents"]).parquet(stream_dir)
 
 
@@ -228,10 +241,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _command_lines_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the deterministic synthetic command stream for a scale
     factor (once; marker-guarded) and return the replay directory."""
-    key = os.path.abspath(table_path(sf_dir, "events")).strip("/").replace("/", "_")
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    st_ = os.stat(src)
+    # cache key includes source mtime+size so regenerated testdata
+    # invalidates stale fixtures; rename-into-place below makes the
+    # directory appear atomically (no half-written dir visible to readers).
+    key = f"{src.strip('/').replace('/', '_')}_{int(st_.st_mtime)}_{st_.st_size}"
     out_dir = os.path.join(tempfile.gettempdir(), "espk_stream", f"cmdlines_{key}")
-    marker = os.path.join(out_dir, "_ESPK_DONE")
-    if os.path.exists(marker):
+    if os.path.isdir(out_dir):
         return out_dir
     from espkinesis_spark.tables import load_table
 
@@ -266,9 +283,15 @@ def _command_lines_dir(spark: SparkSession, sf_dir: str) -> str:
         .otherwise(F.format_string(ok_line, tid))
     )
     lines = ev.select(F.col("event_id").alias("cmd_id"), "ts", raw.alias("raw"))
-    lines.write.mode("overwrite").parquet(out_dir)
-    with open(marker, "w") as fh:
-        fh.write("ok\n")
+    tmp_dir = out_dir + f".tmp.{os.getpid()}"
+    lines.write.mode("overwrite").parquet(tmp_dir)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        # another process won the race; its completed dir is equivalent
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 

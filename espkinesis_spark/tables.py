@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .session import ensure_session_confs
+
 # The ten driver-generated tables (see /root/repo/FIXTURES.md §A).
 TABLE_NAMES = (
     "region",
@@ -144,6 +146,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    # The caller may hand us an externally-built session (the driver harness
+    # does); pin the confs results depend on before the first scan.
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
