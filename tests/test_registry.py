@@ -12,6 +12,38 @@ from espkinesis_spark.functions.registry import (
 from espkinesis_spark.tables import load_table
 
 
+def test_registry_prefix_window_holds_flagships():
+    """Correctness harnesses may sample a 50-entry prefix of queries();
+    every category's flagship must sit inside it (VERDICT r1 task 2)."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert len(names) == len(set(names))
+    first50 = set(names[:50])
+    # all dq*, ALL st_*, and the flagship ex_* entries
+    assert all(n in first50 for n in names if n.startswith("dq"))
+    assert all(n in first50 for n in names if n.startswith("st_"))
+    for flagship in (
+        "ex_udf_surface",
+        "ex_tfidf",
+        "ex_multimodal_meta",
+        "ex_dedup_exact",
+        "ex_neardup_minhash",
+        "ex_neardup_cosine",
+        "ex_ann_topk",
+    ):
+        assert flagship in first50, flagship
+    # every queries() entry has an oracle or is a documented rows-only check
+    oracles = entry.oracle_sql()
+    rows_only = {n for n in names if n not in oracles}
+    assert rows_only <= {
+        "ex_multimodal_meta",
+        "ex_multimodal_features",
+        "ex_multimodal_frames",
+        "ex_multimodal_resize",
+    } | {n for n in names if n.startswith("st_")}, rows_only
+
+
 def test_sql_functions_register_and_inline(spark):
     names = register_sql_functions(spark)
     assert "espk_remap" in names
