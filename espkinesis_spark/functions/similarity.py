@@ -153,18 +153,56 @@ def _topk_candidates_numpy(
     )
 
 
+# Raw-bytes budget for collecting the whole corpus to the driver for a
+# single-broadcast matmul; larger corpora go through the blocked path
+# (one corpus block in memory at a time). 64 MiB of plan-estimated bytes
+# keeps the broadcast well inside the executor/driver defaults while the
+# blocked path's per-task footprint stays ~budget / n_blocks.
+NEARDUP_BROADCAST_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate — no job, no collect.
+
+    For a parquet scan this is (filtered) file size; conservative (huge)
+    sentinel values for unknown sources simply route to the blocked path,
+    which is the safe direction.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def neardup_cosine(
-    vecs: DataFrame, threshold: float = C.NEARDUP_COSINE, impl: str = "numpy"
+    vecs: DataFrame, threshold: float = C.NEARDUP_COSINE, impl: str = "auto"
 ) -> DataFrame:
     """All pairs (a < b) with rounded cosine >= threshold.
 
-    ``impl='numpy'`` (default): broadcast the corpus matrix to every task and
-    let each Arrow batch compute a (batch x corpus) BLAS matmul — ~50x the
-    throughput of the expression-tree dot product. The corpus must fit in a
-    broadcast (same constraint as any broadcast join side); beyond that,
-    block the corpus and union the per-block outputs, or pre-filter with IVF.
-    ``impl='sql'`` keeps the pure-Catalyst pairwise join (reference path).
+    ``impl='auto'`` (default): pick the single-broadcast matmul kernel when
+    Catalyst's size estimate fits ``NEARDUP_BROADCAST_BYTES``, otherwise the
+    blocked path (corpus processed ``n_blocks`` slices at a time) — same
+    output either way (equivalence-tested). A 100 TB embedding table can
+    never be collected to the driver, so auto-routing on the plan estimate
+    is what makes this the default-safe entry point.
+    ``impl='numpy'``: force the broadcast kernel — each Arrow batch computes
+    a (batch x corpus) BLAS matmul, ~50x the expression-tree dot product.
+    ``impl='sql'`` keeps the pure-Catalyst pairwise join (oracle's shape).
     """
+    if impl == "auto":
+        size = _plan_size_bytes(vecs)
+        if size is not None and size <= NEARDUP_BROADCAST_BYTES:
+            return _neardup_cosine_numpy(vecs, threshold)
+        import math
+
+        # cap: each block is one sequential collect+broadcast round; past
+        # ~64 rounds the right tool is IVF/LSH pre-filtering, not more blocks
+        n_blocks = (
+            min(64, max(2, math.ceil(size / NEARDUP_BROADCAST_BYTES)))
+            if size is not None
+            else 8
+        )
+        return neardup_cosine_blocked(vecs, threshold, n_blocks)
     if impl == "numpy":
         return _neardup_cosine_numpy(vecs, threshold)
     a = with_norm(vecs).select(
@@ -192,6 +230,10 @@ def _neardup_cosine_numpy(
     import pandas as pd
 
     rows = (build if build is not None else probe).select("vec_id", "embedding").collect()
+    if not rows:  # empty build block (sparse id range) → no pairs
+        return probe.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cos double"
+        )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))

@@ -15,9 +15,24 @@ def _pairs_set(df):
 
 def test_blocked_neardup_equals_broadcast(spark, sf_dir):
     vecs = load_table(spark, sf_dir, "embeddings")
-    full = _pairs_set(similarity.neardup_cosine(vecs))
+    full = _pairs_set(similarity.neardup_cosine(vecs, impl="numpy"))
     blocked = _pairs_set(similarity.neardup_cosine_blocked(vecs, n_blocks=3))
     assert blocked == full and len(full) > 0
+
+
+def test_neardup_auto_routes_by_size(spark, sf_dir, monkeypatch):
+    """Default impl='auto' must pick the blocked path once the plan-size
+    estimate exceeds the broadcast budget, with identical output."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    size = similarity._plan_size_bytes(vecs)
+    assert size is not None and size > 0  # parquet scan → real estimate
+    baseline = _pairs_set(similarity.neardup_cosine(vecs, impl="numpy"))
+    # tiny budget → auto must block (and still match)
+    monkeypatch.setattr(similarity, "NEARDUP_BROADCAST_BYTES", 1)
+    assert _pairs_set(similarity.neardup_cosine(vecs)) == baseline
+    # huge budget → auto takes the single-broadcast kernel (and matches)
+    monkeypatch.setattr(similarity, "NEARDUP_BROADCAST_BYTES", 1 << 60)
+    assert _pairs_set(similarity.neardup_cosine(vecs)) == baseline
 
 
 def test_pandas_asof_equals_join_form(spark, sf_dir):
