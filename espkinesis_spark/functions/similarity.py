@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from espkinesis_spark.functions import common as C
+from espkinesis_spark.plans.audit import plan_size_bytes as _plan_size_bytes
 
 
 def _as_double(arr: Column) -> Column:
@@ -159,19 +160,6 @@ def _topk_candidates_numpy(
 # keeps the broadcast well inside the executor/driver defaults while the
 # blocked path's per-task footprint stays ~budget / n_blocks.
 NEARDUP_BROADCAST_BYTES = 64 << 20
-
-
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's optimized-plan size estimate — no job, no collect.
-
-    For a parquet scan this is (filtered) file size; conservative (huge)
-    sentinel values for unknown sources simply route to the blocked path,
-    which is the safe direction.
-    """
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return None
 
 
 def neardup_cosine(

@@ -161,20 +161,78 @@ def resample_last(
     )
 
 
-def assign_ids(df: DataFrame, order_col: str) -> DataFrame:
+# Plan-size estimate above which assign_ids switches from the global-window
+# form (one task sorts everything) to the range-bucketed two-phase form.
+ASSIGN_IDS_WINDOW_BYTES = 16 << 20
+
+
+def assign_ids(
+    df: DataFrame, order_col: str, impl: str = "auto", n_buckets: int | None = None
+) -> DataFrame:
     """J4 — registration-order dense id assignment (``next_id++``).
 
     Ref: lib/TargetManager/TargetManager.h:46-63 (ids start at 1, dense,
     insertion order).
 
-    Scale caveat: a global ``row_number`` over one window serializes on a
-    single partition. Fine for dimension-sized inputs (the reference's
-    registry is 8 rows); for fact-scale id assignment prefer
-    ``zipWithIndex``-style ``monotonically_increasing_id`` + per-partition
-    offsets. This operator targets the dimension use case.
+    ``impl='window'``: global ``row_number`` — a single-partition sort, fine
+    for dimension-sized inputs (the reference's registry is 8 rows).
+    ``impl='ranged'``: the fact-scale form — quantile range-bucket on
+    ``order_col`` (fixed boundary literals, so bucketing is deterministic),
+    per-bucket parallel sort + ``row_number``, then add each bucket's
+    cumulative row-count offset. Only bucket boundaries (n-1 values) and
+    bucket counts (n rows) ever reach the driver; no single-partition
+    exchange (plan-audited). Requires an orderable numeric/timestamp
+    ``order_col``; equal values land in one bucket, so ties behave exactly
+    as in the window form.
+    ``impl='auto'`` (default): pick by Catalyst's plan-size estimate.
     """
-    w = Window.orderBy(F.col(order_col))
-    return df.withColumn("reg_id", F.row_number().over(w).cast("long"))
+    if impl == "auto":
+        from espkinesis_spark.plans.audit import plan_size_bytes
+
+        size = plan_size_bytes(df)
+        dtype = dict(df.dtypes).get(order_col, "")
+        rangeable = dtype in {
+            "tinyint", "smallint", "int", "bigint", "float", "double", "date", "timestamp",
+        } or dtype.startswith("decimal")
+        impl = (
+            "ranged"
+            if rangeable and (size is None or size > ASSIGN_IDS_WINDOW_BYTES)
+            else "window"
+        )
+    if impl == "window":
+        w = Window.orderBy(F.col(order_col))
+        return df.withColumn("reg_id", F.row_number().over(w).cast("long"))
+
+    n = n_buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    numeric = F.col(order_col).cast("double")
+    qs = [i / n for i in range(1, n)]
+    boundaries = (
+        df.agg(F.percentile_approx(numeric, qs, 100_000).alias("b")).first()["b"] or []
+        if qs
+        else []
+    )
+    if not boundaries:  # empty input or n_buckets=1 → nothing to range over
+        w = Window.orderBy(F.col(order_col))
+        return df.withColumn("reg_id", F.row_number().over(w).cast("long"))
+    # value-based bucketing: count of boundaries strictly below the value —
+    # approximate boundaries affect balance only, never correctness
+    b_arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    bucket = F.size(F.filter(b_arr, lambda b: b < numeric))
+    bucketed = df.withColumn("__bkt", bucket)
+
+    counts = {r["__bkt"]: r["cnt"] for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for i in range(n):
+        offsets.append(acc)
+        acc += counts.get(i, 0)
+    off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
+
+    w = Window.partitionBy("__bkt").orderBy(F.col(order_col))
+    return (
+        bucketed.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("reg_id", F.element_at(off_arr, F.col("__bkt") + 1) + F.col("__rn"))
+        .drop("__bkt", "__rn")
+    )
 
 
 def stale_keys(

@@ -20,6 +20,19 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate — no job, no collect.
+
+    For a parquet scan this is the (filtered) file size; unknown sources get
+    a huge sentinel, which auto-routing callers treat as "too big to
+    collect/broadcast" — the safe direction.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All parquet-scan PushedFilters entries, flattened."""
     out: list[str] = []

@@ -35,6 +35,42 @@ def test_neardup_auto_routes_by_size(spark, sf_dir, monkeypatch):
     assert _pairs_set(similarity.neardup_cosine(vecs)) == baseline
 
 
+def test_assign_ids_ranged_equals_window(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    want = {
+        (r["c_custkey"], r["reg_id"])
+        for r in ops.assign_ids(cust, "c_custkey", impl="window").collect()
+    }
+    got = {
+        (r["c_custkey"], r["reg_id"])
+        for r in ops.assign_ids(cust, "c_custkey", impl="ranged", n_buckets=7).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_assign_ids_ranged_has_no_single_partition_exchange(spark, sf_dir):
+    from espkinesis_spark.plans import audit
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    plan = audit.physical_plan(ops.assign_ids(cust, "c_custkey", impl="ranged", n_buckets=7))
+    assert "SinglePartition" not in plan
+    # the dimension form, by contrast, is the documented single sort
+    plan_w = audit.physical_plan(ops.assign_ids(cust, "c_custkey", impl="window"))
+    assert "SinglePartition" in plan_w
+
+
+def test_assign_ids_auto_routes_by_size(spark, sf_dir, monkeypatch):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    from espkinesis_spark.plans import audit
+
+    monkeypatch.setattr(ops, "ASSIGN_IDS_WINDOW_BYTES", 1)  # force ranged
+    assert "SinglePartition" not in audit.physical_plan(
+        ops.assign_ids(cust, "c_custkey")
+    )
+    monkeypatch.setattr(ops, "ASSIGN_IDS_WINDOW_BYTES", 1 << 60)  # force window
+    assert "SinglePartition" in audit.physical_plan(ops.assign_ids(cust, "c_custkey"))
+
+
 def test_pandas_asof_equals_join_form(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
