@@ -297,17 +297,26 @@ def asof_last_match(
     predicate is applied post-join, and the re-aggregation is on the left
     primary key. For severely skewed keys, pre-bucket ``right`` by time or
     use ``applyInPandas``+``pd.merge_asof`` per key-bucket instead.
+
+    A synthetic per-row id rides through the join so fully-duplicate left
+    rows keep their multiplicity (true asof-join semantics), then is dropped.
     """
-    lcols = [F.col(f"l.{c}") for c in left.columns]
+    lid = "__asof_lid"
+    left_tagged = left.withColumn(lid, F.monotonically_increasing_id())
+    lcols = [F.col(f"l.{c}") for c in (*left.columns, lid)]
     r = right.alias("r")
-    joined = left.alias("l").join(
+    joined = left_tagged.alias("l").join(
         r,
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") > F.expr(f"l.{left_ts} - {lookback}")),
         "left",
     )
-    return joined.groupBy(*lcols).agg(F.max(F.col(f"r.{right_val}")).alias("asof_match"))
+    return (
+        joined.groupBy(*lcols)
+        .agg(F.max(F.col(f"r.{right_val}")).alias("asof_match"))
+        .drop(lid)
+    )
 
 
 def asof_last_match_pandas(

@@ -39,42 +39,59 @@ ASOF_STATE_SCHEMA = T.StructType(
 )
 
 
-def _asof_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    """Per-user as-of matcher: for each click, the max purchase event_id
-    with purchase_ts in (click_ts - 1h, click_ts]. Purchases persist in
-    state (pruned to the 1h horizon) so late batches continue correctly."""
-    df = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-    p_ts, p_id = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
-    out_ids: list[int] = []
-    out_over: list[int | None] = []
-    max_ts = 0
-    for row in df.itertuples():
-        t_us = row.ts.value // 1000  # pandas ns -> µs
-        max_ts = max(max_ts, t_us)
-        if row.event_type == "purchase":
-            p_ts.append(t_us)
-            p_id.append(int(row.event_id))
-        elif row.event_type == "click":
-            best = None
-            for pt, pid in zip(p_ts, p_id):
-                if pt <= t_us and pt > t_us - US_PER_HOUR:
-                    best = pid if best is None else max(best, pid)
-            out_ids.append(int(row.event_id))
-            out_over.append(best)
-    keep = [(a, b) for a, b in zip(p_ts, p_id) if a > max_ts - US_PER_HOUR]
-    state.update(([a for a, _ in keep], [b for _, b in keep]))
-    yield pd.DataFrame(
-        {"event_id": out_ids, "active_override": pd.array(out_over, dtype="Int64")}
-    )
+def _make_asof_fn(late_slack_us: int):
+    def _asof_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user as-of matcher: for each click, the max purchase event_id
+        with purchase_ts in (click_ts - 1h, click_ts]. Purchases persist in
+        state (pruned to the 1h horizon + late slack) so late batches
+        continue correctly."""
+        df = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        p_ts, p_id = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        out_ids: list[int] = []
+        out_over: list[int | None] = []
+        max_ts = 0
+        for row in df.itertuples():
+            t_us = row.ts.value // 1000  # pandas ns -> µs
+            max_ts = max(max_ts, t_us)
+            if row.event_type == "purchase":
+                p_ts.append(t_us)
+                p_id.append(int(row.event_id))
+            elif row.event_type == "click":
+                best = None
+                for pt, pid in zip(p_ts, p_id):
+                    if pt <= t_us and pt > t_us - US_PER_HOUR:
+                        best = pid if best is None else max(best, pid)
+                out_ids.append(int(row.event_id))
+                out_over.append(best)
+        horizon = max_ts - US_PER_HOUR - late_slack_us
+        keep = [(a, b) for a, b in zip(p_ts, p_id) if a > horizon]
+        state.update(([a for a, _ in keep], [b for _, b in keep]))
+        yield pd.DataFrame(
+            {"event_id": out_ids, "active_override": pd.array(out_over, dtype="Int64")}
+        )
+
+    return _asof_fn
 
 
-def asof_override(events: DataFrame) -> DataFrame:
-    """A5 streaming form over an events stream (click/purchase rows)."""
+def asof_override(events: DataFrame, late_slack: str = "1 hour") -> DataFrame:
+    """A5 streaming form over an events stream (click/purchase rows).
+
+    Ordering assumption: state is pruned relative to each batch's max event
+    time (applyInPandasWithState exposes no per-group watermark), so a click
+    arriving in a LATER micro-batch can only match purchases younger than
+    (that batch max - lookback - ``late_slack``). ``late_slack`` must be >=
+    the upstream watermark delay; events later than the watermark are the
+    caller's responsibility to drop (``withWatermark`` upstream). Single-
+    batch replays (the driver's availableNow drain) are exact regardless.
+    """
+    slack_us = int(pd.Timedelta(late_slack).value // 1000)
     filtered = events.filter(events.event_type.isin("click", "purchase")).select(
         "user_id", "ts", "event_id", "event_type"
     )
     return filtered.groupBy("user_id").applyInPandasWithState(
-        _asof_fn,
+        _make_asof_fn(slack_us),
         outputStructType=ASOF_OUTPUT_SCHEMA,
         stateStructType=ASOF_STATE_SCHEMA,
         outputMode="append",

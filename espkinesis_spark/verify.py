@@ -40,13 +40,15 @@ def _norm_value(v):
         return v.floor("us").isoformat()
     if isinstance(v, datetime):
         return pd.Timestamp(v).floor("us").isoformat()
+    if isinstance(v, (int,)):
+        return int(v)
+    # numpy scalars have .tolist() too (returns a plain scalar) — route them
+    # to .item() before the sequence branch, which expects an iterable
+    if hasattr(v, "item") and not hasattr(v, "__len__"):
+        return _norm_value(v.item())
     if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
         seq = v.tolist() if hasattr(v, "tolist") else v
         return tuple(_norm_value(x) for x in seq)
-    if isinstance(v, (int,)):
-        return int(v)
-    if hasattr(v, "item"):  # numpy scalar
-        return _norm_value(v.item())
     return v
 
 

@@ -127,3 +127,30 @@ def test_snapshot_json_shape(spark):
     )
     doc = ops.snapshot_json(df, ["id", "name"]).collect()[0]["targets_json"]
     assert doc == '[{"id":1,"name":"Drone_1"},{"id":2,"name":"Drone_2"}]'
+
+
+def test_asof_last_match_preserves_duplicate_left_rows(spark):
+    t = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+    t_p = datetime(2024, 1, 1, 11, 30, tzinfo=timezone.utc)
+    # two fully-identical left rows must yield two output rows
+    left = spark.createDataFrame(
+        [(1, t), (1, t), (2, t)], "k int, lts timestamp"
+    )
+    right = spark.createDataFrame([(1, t_p, 99)], "k int, rts timestamp, event_id long")
+    out = ops.asof_last_match(left, right, "k", "lts", "rts").collect()
+    assert len(out) == 3
+    assert sorted((r["k"], r["asof_match"]) for r in out) == [
+        (1, 99), (1, 99), (2, None),
+    ]
+    assert "__asof_lid" not in {c for r in out for c in r.asDict()}
+
+
+def test_norm_value_numpy_scalars_and_arrays():
+    import numpy as np
+
+    from espkinesis_spark.verify import _norm_value
+
+    assert _norm_value(np.int64(5)) == 5
+    assert _norm_value(np.float64(1.5)) == 1.5
+    assert _norm_value(np.array([1, 2])) == (1, 2)
+    assert _norm_value([np.int32(3), np.float32(0.5)]) == (3, 0.5)
