@@ -156,17 +156,46 @@ def neardup_minhash(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> 
     return exact_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
-def neardup_jaccard_exact(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> DataFrame:
+def neardup_jaccard_exact(
+    docs: DataFrame,
+    threshold: float = C.JACCARD_THRESHOLD,
+    df_cap: int | None = None,
+) -> DataFrame:
     """Exact (non-LSH) near-dup baseline: candidate pairs = docs sharing at
     least one shingle. Correctness baseline for the LSH path; at 100 TB use
-    ``neardup_minhash`` instead (shared-shingle joins explode on hot
-    shingles — mitigate with document-frequency caps if used at scale).
+    ``neardup_minhash`` instead.
 
-    Single-pass: the shared-shingle self-join *is* the intersection count
-    (each matching shingle contributes one row), so the pair list never
-    materializes separately from the verification join.
+    ``df_cap`` guards the self-join against hot shingles (stopword-ish
+     3-grams shared by thousands of docs blow the join up quadratically):
+    shingles with document frequency > df_cap are excluded from CANDIDATE
+    GENERATION only — verification still scores the full shingle sets, so
+    any pair that shares at least one sub-cap shingle gets its exact
+    jaccard. Near-dup pairs above a meaningful threshold share many
+    shingles, so recall loss requires EVERY shared shingle to be hot —
+    df_cap trades that sliver of recall for a join bounded by cap² per
+    shingle. The hot-shingle set is tiny by construction and broadcast.
+
+    Without a cap, single-pass: the shared-shingle self-join *is* the
+    intersection count (each matching shingle contributes one row), so the
+    pair list never materializes separately from the verification join.
     """
     sh = shingles(docs)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("s")
+        )
+        capped = sh.join(F.broadcast(hot), "s", "left_anti")
+        pairs = (
+            capped.select(F.col("doc_id").alias("doc_a"), "s")
+            .join(capped.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.select(F.col("doc_id").alias("doc_a"), "s")

@@ -297,8 +297,13 @@ def ex_neardup_minhash(spark, sf_dir):
 
 
 def ex_neardup_jaccard(spark, sf_dir):
-    """Exact shared-shingle Jaccard near-dup baseline (non-LSH)."""
-    return dedup.neardup_jaccard_exact(_t(spark, sf_dir, "documents"))
+    """Exact shared-shingle Jaccard near-dup baseline (non-LSH).
+
+    df_cap=1000 bounds the hot-shingle self-join blow-up; testdata shingle
+    document frequencies max out at ~25 so the cap is a no-op for the
+    oracle while making the operator safe to point at a real corpus.
+    """
+    return dedup.neardup_jaccard_exact(_t(spark, sf_dir, "documents"), df_cap=1000)
 
 
 def ex_simhash(spark, sf_dir):

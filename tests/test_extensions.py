@@ -74,3 +74,14 @@ def test_minhash_signature_is_stable_minimum(spark, sf_dir):
         )
     for r in sig:
         assert r["sig00"] == min(by_doc[r["doc_id"]])
+
+
+def test_jaccard_df_cap_equivalence(spark, sf_dir):
+    """Capped candidate generation (verification on full shingle sets) must
+    reproduce the uncapped output whenever every surviving pair shares at
+    least one sub-cap shingle; a low cap exercises the capped join path."""
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = sorted(map(tuple, dedup.neardup_jaccard_exact(docs).collect()))
+    capped = sorted(map(tuple, dedup.neardup_jaccard_exact(docs, df_cap=5).collect()))
+    assert capped == uncapped
+    assert uncapped, "fixture has no near-dup pairs"
