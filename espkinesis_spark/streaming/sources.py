@@ -93,11 +93,41 @@ def decode_kinesis_payload(raw: DataFrame) -> DataFrame:
     (tests/test_sources.py).
     """
     payload = F.from_json(F.col("data").cast("string"), FRAME_SCHEMA)
-    return raw.select(
+    cols = [
         payload.getField("frame_id").alias("frame_id"),
         F.col("approximateArrivalTimestamp").alias("ts"),
         payload.getField("channels").alias("channels"),
+    ]
+    if "__raw" in raw.columns:  # dead-letter split keeps the original bytes
+        cols.append(F.col("__raw"))
+    return raw.select(*cols)
+
+
+def split_decoded_frames(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Decode Kinesis-wire records and route malformed payloads to a
+    dead-letter branch (F1/F2 at the ingestion edge + K4 shape).
+
+    Returns ``(frames, dead)``: frames with the FRAME_SCHEMA columns for
+    fully-decoded payloads, and for the rest an error doc carrying the
+    original bytes base64'd so nothing is lost (ref semantics:
+    src/transmitter/main.cpp:232-240 rejects bad payloads with an error
+    response instead of dropping them). One ``from_json`` pass feeds both
+    branches — the filter is on the decoded struct, not a re-parse.
+    """
+    decoded = decode_kinesis_payload(raw.withColumn("__raw", F.col("data")))
+    bad = F.col("frame_id").isNull() | F.col("channels").isNull()
+    frames = decoded.filter(~bad).drop("__raw")
+    dead = decoded.filter(bad).select(
+        F.to_json(
+            F.struct(
+                F.lit("error").alias("type"),
+                F.lit("frame_decode_error").alias("message"),
+                F.base64(F.col("__raw")).alias("payload_b64"),
+                F.col("ts").alias("arrival_ts"),
+            )
+        ).alias("doc")
     )
+    return frames, dead
 
 
 def kinesis_frames(

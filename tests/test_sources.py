@@ -43,3 +43,24 @@ def test_rate_frames_shape(spark):
     df = sources.rate_frames(spark)
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["frame_id", "ts", "channels"]
+
+
+def test_kinesis_dead_letter_split_routes_malformed(spark):
+    recs = [
+        (json.dumps({"frame_id": 1, "ts": "2024-01-01T00:00:00", "channels": [1500] * 8}).encode(), "2024-01-01 00:00:01"),
+        (b"{not json", "2024-01-01 00:00:02"),
+        (json.dumps({"frame_id": None, "channels": None}).encode(), "2024-01-01 00:00:03"),
+        (json.dumps({"frame_id": 2, "ts": "2024-01-01T00:00:00", "channels": [1600] * 8}).encode(), "2024-01-01 00:00:04"),
+    ]
+    raw = spark.createDataFrame(recs, "data binary, approximateArrivalTimestamp string").withColumn(
+        "approximateArrivalTimestamp", F.col("approximateArrivalTimestamp").cast("timestamp")
+    )
+    frames, dead = sources.split_decoded_frames(raw)
+    assert sorted(r["frame_id"] for r in frames.collect()) == [1, 2]
+    assert "__raw" not in frames.columns
+    docs = [json.loads(r["doc"]) for r in dead.collect()]
+    assert len(docs) == 2
+    assert all(d["type"] == "error" and d["message"] == "frame_decode_error" for d in docs)
+    import base64
+    payloads = {base64.b64decode(d["payload_b64"]) for d in docs}
+    assert b"{not json" in payloads  # original bytes preserved for forensics

@@ -258,3 +258,45 @@ def test_status_snapshots(spark, fixture_paths, targets):
     assert snaps
     parsed = json.loads(snaps[0]["targets_json"])
     assert len(parsed) == 8 and {p["target_id"] for p in parsed} == set(range(1, 9))
+
+
+def _batch_gaps(spark, trigger: str | None, n_batches: int) -> list[float]:
+    import time
+
+    from espkinesis_spark.streaming import sinks, sources
+
+    stamps: list[float] = []
+    q = sinks.keyed_foreach_batch_sink(
+        sources.rate_frames(spark, rows_per_second=4),
+        lambda b, bid: stamps.append(time.monotonic()),  # action-free: pacing only
+        key_col="frame_id",
+        trigger=trigger,
+        query_name=f"espk_cadence_{(trigger or 'freerun').replace(' ', '_')}",
+    )
+    try:
+        deadline = time.monotonic() + 30
+        while len(stamps) < n_batches and time.monotonic() < deadline:
+            time.sleep(0.05)
+    finally:
+        q.stop()
+    assert len(stamps) >= n_batches, f"only {len(stamps)} batches in 30s"
+    return [b - a for a, b in zip(stamps, stamps[1:])]
+
+
+def test_processing_time_trigger_paces_batches(spark):
+    """T2/T4 — processingTime triggers pace micro-batch emission (2 Hz radio
+    / 30 Hz SBUS cadence, ref src/transmitter/main.cpp:23-25 and
+    src/receiver/main.cpp:20-22).
+
+    This VM's fixed micro-batch floor is ~1 s (checkpoint fsyncs), so the
+    literal 500 ms / 33 ms intervals are unobservable — Spark logs 'falling
+    behind' and free-runs at the floor, which IS the contract for a trigger
+    shorter than the batch cost. Pacing is asserted at an observable scale:
+    a 3 s trigger must hold gaps near 3 s, and must be clearly slower than
+    the free-running floor under an (unreachable) 33 ms trigger."""
+    import statistics
+
+    paced = statistics.median(_batch_gaps(spark, "3 seconds", 4))
+    floor = statistics.median(_batch_gaps(spark, "33 milliseconds", 6))
+    assert 2.5 <= paced <= 4.5, f"3s trigger: median gap {paced:.2f}s"
+    assert floor < paced - 1.0, f"33ms trigger floor {floor:.2f}s vs paced {paced:.2f}s"
