@@ -181,21 +181,45 @@ def neardup_jaccard_exact(
     """
     sh = shingles(docs)
     if df_cap is not None:
-        hot = (
-            sh.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("s")
-        )
-        capped = sh.join(F.broadcast(hot), "s", "left_anti")
-        pairs = (
-            capped.select(F.col("doc_id").alias("doc_a"), "s")
-            .join(capped.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        from pyspark.sql import Window
+
+        # df via a window over the SAME s-partitioning the self-join needs:
+        # the exchange is shared, so the cap costs no extra shuffle of sh
+        annotated = sh.withColumn("__df", F.count("*").over(Window.partitionBy("s")))
+        cold = annotated.filter(F.col("__df") <= df_cap).select("doc_id", "s")
+        hot = annotated.filter(F.col("__df") > df_cap).select("doc_id", "s")
+        i_cold = (
+            cold.select(F.col("doc_id").alias("doc_a"), "s")
+            .join(cold.select(F.col("doc_id").alias("doc_b"), "s"), "s")
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("ic"))
         )
-        return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+        # exact intersection = cold part + hot part, the latter restricted to
+        # already-candidate pairs (never an all-pairs join on hot shingles)
+        i_hot = (
+            i_cold.select("doc_a", "doc_b")
+            .join(hot.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(hot.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "s"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("ih"))
+        )
+        inter = i_cold.join(i_hot, ["doc_a", "doc_b"], "left").select(
+            "doc_a",
+            "doc_b",
+            (F.col("ic") + F.coalesce(F.col("ih"), F.lit(0))).alias("i"),
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        return (
+            inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.select(F.col("doc_id").alias("doc_a"), "s")
