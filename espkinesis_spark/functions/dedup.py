@@ -320,3 +320,52 @@ def _simhash_numpy(docs: DataFrame, bits: int) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, simhash long")
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) with
+    cluster_id = min doc_id in the component (keep iff doc_id == cluster_id).
+
+    Near-dup PAIRS overcount the work a dedup pass must do — the keep/drop
+    decision needs CLUSTERS (A~B, B~C must drop two docs, not settle two
+    independent pairs). Min-label propagation: each round every node takes
+    the min of its own and its neighbors' labels; converges in
+    graph-diameter rounds, and near-dup clusters are shallow in practice.
+    Each round is one shuffle on node id; ``localCheckpoint`` truncates the
+    iterative lineage so plans stay bounded. For adversarial (chain-shaped)
+    graphs swap the round body for the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce"), which is
+    O(log n) rounds over the same join primitive.
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -576,4 +576,47 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY cls""",
     # ex_multimodal_features: rows-only (mapInPandas decode plumbing; the
     # decode stage is non-SQL by design) — deliberately no oracle entry.
+    # --- round 2 additions ---
+    "ex_dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {C.JACCARD_THRESHOLD}),
+edges AS (SELECT da AS u, db AS v FROM j UNION ALL SELECT db, da FROM j),
+reach(node, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node""",
+    "ex_correlated_min": """SELECT o_custkey, o_orderkey,
+        ROUND(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)""",
+    "ex_stratified_sample": """SELECT doc_id, lang, source FROM documents
+        WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100
+              < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""",
+    "ex_hash_split": """WITH b AS (
+            SELECT lang,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS bk
+            FROM documents)
+        SELECT CASE WHEN bk < 5 THEN 'test' WHEN bk < 95 THEN 'train'
+               ELSE 'val' END AS split, lang, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2""",
+    "ex_label_centroids": """WITH per AS (
+            SELECT label, CAST(i AS INT) AS dim,
+                   avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS m
+            FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+            GROUP BY 1, 2)
+        SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+               array_agg(round(m, 6) ORDER BY dim) AS centroid
+        FROM per GROUP BY label""",
 }

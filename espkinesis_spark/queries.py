@@ -1024,6 +1024,78 @@ def st_command_plane(spark, sf_dir):
     return jobs.command_plane_stream(spark, sf_dir)
 
 
+def ex_dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash near-dup pairs: (doc_id,
+    cluster_id), cluster_id = min doc in the component. The keep/drop
+    decision of a dedup pass (keep iff doc_id == cluster_id)."""
+    pairs = dedup.neardup_minhash(_t(spark, sf_dir, "documents"))
+    return dedup.dedup_clusters(pairs)
+
+
+def ex_correlated_min(spark, sf_dir):
+    """TPC-H Q2-shape correlated min-subquery: each customer's cheapest
+    order(s). Spark decorrelates to a per-key window min — one shuffle on
+    the correlation key, no per-row subquery execution."""
+    w = Window.partitionBy("o_custkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("__min", F.min("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("__min"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+def ex_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: downsample English docs to 10%,
+    keep other languages at 50% (training-data language rebalancing)."""
+    from espkinesis_spark.functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "lang", rates={"en": 10}, default_pct=50, key_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def ex_hash_split(spark, sf_dir):
+    """Deterministic train/val/test routing by hash bucket; per-split,
+    per-language counts (the split audit a training pipeline reports)."""
+    from espkinesis_spark.functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.hash_split(docs, "doc_id", {"train": 90, "val": 5, "test": 5})
+    return split.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+def ex_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid (mean per dimension) + L2 norm — the
+    class-prototype aggregation of an embedding pipeline. posexplode +
+    per-(label, dim) avg keeps the shuffle rows scalar-narrow; the array is
+    reassembled ordered by dimension."""
+    emb = _t(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(
+            "label",
+            F.round(
+                F.sqrt(F.aggregate("dm", F.lit(0.0), lambda acc, s: acc + s["m"] * s["m"])),
+                6,
+            ).alias("centroid_norm"),
+            F.transform("dm", lambda s: F.round(s["m"], 6)).alias("centroid"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1112,4 +1184,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_multimodal_features": ex_multimodal_features,
         "ex_multimodal_frames": ex_multimodal_frames,
         "ex_multimodal_resize": ex_multimodal_resize,
+        # --- round 2 additions ---
+        "ex_dedup_clusters": ex_dedup_clusters,
+        "ex_correlated_min": ex_correlated_min,
+        "ex_stratified_sample": ex_stratified_sample,
+        "ex_hash_split": ex_hash_split,
+        "ex_label_centroids": ex_label_centroids,
     }

@@ -85,3 +85,48 @@ def test_jaccard_df_cap_equivalence(spark, sf_dir):
     capped = sorted(map(tuple, dedup.neardup_jaccard_exact(docs, df_cap=5).collect()))
     assert capped == uncapped
     assert uncapped, "fixture has no near-dup pairs"
+
+
+def test_dedup_clusters_chain_and_disjoint(spark):
+    """A 5-node chain (worst diameter) must collapse to one cluster; a
+    disjoint pair stays its own cluster; singletons (docs in no pair)
+    are absent by contract."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_hash_split_partitions_every_row_exactly_once(spark, sf_dir):
+    from espkinesis_spark.functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(docs, "doc_id", {"train": 90, "val": 5, "test": 5})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"} and counts["train"] > counts["val"]
+    # determinism: same assignment on recompute
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_hash_split_rejects_bad_percentages(spark):
+    import pytest as _pytest
+
+    from espkinesis_spark.functions import sampling
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        sampling.hash_split(df, "id", {"train": 50, "val": 10})
+
+
+def test_stratified_sample_is_subset_and_respects_rates(spark, sf_dir):
+    from espkinesis_spark.functions import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(docs, "lang", {"en": 0}, default_pct=100, key_col="doc_id")
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs and langs  # en fully dropped, others fully kept
+    assert out.count() == docs.filter(F.col("lang") != "en").count()
