@@ -74,15 +74,22 @@ def minhash_signatures(doc_shingles: DataFrame, k: int = C.MINHASH_K) -> DataFra
     return doc_shingles.withColumn("__h", h).groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(signatures: DataFrame) -> DataFrame:
+def lsh_candidates(
+    signatures: DataFrame, bands: int = C.LSH_BANDS, rows: int = C.LSH_ROWS
+) -> DataFrame:
     """Band the signatures and bucket-join for candidate pairs (a < b).
 
-    bands = LSH_BANDS of LSH_ROWS consecutive sigs; bucket key =
+    ``bands`` x ``rows`` consecutive sigs (default from common.py; tune per
+    corpus: more bands/fewer rows raises recall and candidate volume,
+    P(candidate | jaccard j) = 1 - (1 - j^rows)^bands); bucket key =
     md5(band || sigs-in-band). The self-join is an equi-join on
     (band, bucket) — at scale this is the *only* pairwise step and touches
     only colliding docs.
     """
-    bands = F.array(
+    n_sigs = sum(c.startswith("sig") for c in signatures.columns)
+    if bands * rows > n_sigs:
+        raise ValueError(f"bands*rows = {bands * rows} exceeds {n_sigs} signatures")
+    band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -90,14 +97,14 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
                     F.concat_ws(
                         "|",
                         F.lit(str(b)),
-                        *[F.col(f"sig{b * C.LSH_ROWS + r:02d}") for r in range(C.LSH_ROWS)],
+                        *[F.col(f"sig{b * rows + r:02d}") for r in range(rows)],
                     )
                 ).alias("bucket"),
             )
-            for b in range(C.LSH_BANDS)
+            for b in range(bands)
         ]
     )
-    banded = signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+    banded = signatures.select("doc_id", F.explode(band_arr).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -352,20 +359,21 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nl"))
         )
+        # carry the changed flag through the same projection: the
+        # convergence check is then a filter-count on the checkpointed
+        # result, not a second join + recompute per round
         new = (
             labels.join(nbr, labels["node"] == nbr["u"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("nl2"),
+                (F.coalesce(F.col("nl"), F.col("label")) < F.col("label")).alias("__chg"),
             )
+            .withColumnRenamed("nl2", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("__chg")).count()
+        labels = new.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

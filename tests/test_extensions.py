@@ -130,3 +130,20 @@ def test_stratified_sample_is_subset_and_respects_rates(spark, sf_dir):
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert "en" not in langs and langs  # en fully dropped, others fully kept
     assert out.count() == docs.filter(F.col("lang") != "en").count()
+
+
+def test_lsh_band_tuning_recall_tradeoff(spark, sf_dir):
+    """Fewer bands x more rows per band = stricter buckets = candidates can
+    only shrink; invalid configs are rejected."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(dedup.shingles(docs))
+    default = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidates(sigs).collect()}
+    strict = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidates(sigs, bands=8, rows=4).collect()
+    }
+    assert strict <= default and default
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.lsh_candidates(sigs, bands=20, rows=4)
