@@ -611,6 +611,22 @@ FROM reach GROUP BY node""",
         SELECT CASE WHEN bk < 5 THEN 'test' WHEN bk < 95 THEN 'train'
                ELSE 'val' END AS split, lang, CAST(count(*) AS BIGINT) AS n
         FROM b GROUP BY 1, 2""",
+    "ex_pack_sequences": f"""
+        WITH t AS (SELECT doc_id, source,
+                   CAST(len({_TOKS.format(t='text')}) AS BIGINT) AS n_tok
+                   FROM documents)
+        SELECT doc_id, source, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                           - n_tok) / 4096.0) AS BIGINT) AS bin_id
+        FROM t""",
+    "ex_decontaminate": f"""
+WITH {_SHINGLES},
+b AS (SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)
+      WHERE source = 'src0'),
+t AS (SELECT sh.doc_id, sh.s FROM sh JOIN documents USING (doc_id)
+      WHERE source <> 'src0')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM t JOIN b USING (s) GROUP BY doc_id""",
     "ex_label_centroids": """WITH per AS (
             SELECT label, CAST(i AS INT) AS dim,
                    avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS m

@@ -1096,6 +1096,43 @@ def ex_label_centroids(spark, sf_dir):
     )
 
 
+def ex_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign docs to ~4096-token training bins by running
+    token count, packed independently per source shard. The per-shard
+    window (partitionBy source) keeps the cumulative sum parallel — the
+    global-order variant would serialize on one partition; real pipelines
+    pack within shards exactly so."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(text.tokens(F.col("text")))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("n_tok", n_tok.cast("long"))
+        .withColumn("__cum", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.floor((F.col("__cum") - F.col("n_tok")) / 4096).alias("bin_id"),
+        )
+    )
+
+
+def ex_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 3-gram
+    shingle with the held-out set (source='src0'), with the shared-shingle
+    count as evidence. The held-out shingle set is dimension-sized and
+    broadcast; the probe is a map-side hash join over the train shingles —
+    no all-pairs anything."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = dedup.shingles(docs.filter(F.col("source") == "src0")).select("s").distinct()
+    train = dedup.shingles(docs.filter(F.col("source") != "src0"))
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1190,4 +1227,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_stratified_sample": ex_stratified_sample,
         "ex_hash_split": ex_hash_split,
         "ex_label_centroids": ex_label_centroids,
+        "ex_pack_sequences": ex_pack_sequences,
+        "ex_decontaminate": ex_decontaminate,
     }
