@@ -156,10 +156,17 @@ def _topk_candidates_numpy(
 
 # Raw-bytes budget for collecting the whole corpus to the driver for a
 # single-broadcast matmul; larger corpora go through the blocked path
-# (one corpus block in memory at a time). 64 MiB of plan-estimated bytes
+# (block-pair groups scored executor-side). 64 MiB of plan-estimated bytes
 # keeps the broadcast well inside the executor/driver defaults while the
-# blocked path's per-task footprint stays ~budget / n_blocks.
+# blocked path's per-group footprint stays ~2 x budget.
 NEARDUP_BROADCAST_BYTES = 64 << 20
+
+# Block-count ceiling for the blocked path. Each vector is shuffled to
+# exactly n_blocks block-pair groups, so shuffle volume grows linearly in
+# n_blocks; past ~64 blocks (≈4 TB of embeddings at the 64 MiB block
+# budget) the right tool is an IVF/LSH pre-filter feeding exact_verify,
+# not a wider all-pairs sweep.
+NEARDUP_MAX_BLOCKS = 64
 
 
 def neardup_cosine(
@@ -169,10 +176,11 @@ def neardup_cosine(
 
     ``impl='auto'`` (default): pick the single-broadcast matmul kernel when
     Catalyst's size estimate fits ``NEARDUP_BROADCAST_BYTES``, otherwise the
-    blocked path (corpus processed ``n_blocks`` slices at a time) — same
-    output either way (equivalence-tested). A 100 TB embedding table can
-    never be collected to the driver, so auto-routing on the plan estimate
-    is what makes this the default-safe entry point.
+    blocked path (corpus scored block-pair by block-pair, entirely on
+    executors — no corpus data ever reaches the driver) — same output
+    either way (equivalence-tested). A 100 TB embedding table can never be
+    collected to the driver, so auto-routing on the plan estimate is what
+    makes this the default-safe entry point.
     ``impl='numpy'``: force the broadcast kernel — each Arrow batch computes
     a (batch x corpus) BLAS matmul, ~50x the expression-tree dot product.
     ``impl='sql'`` keeps the pure-Catalyst pairwise join (oracle's shape).
@@ -183,10 +191,8 @@ def neardup_cosine(
             return _neardup_cosine_numpy(vecs, threshold)
         import math
 
-        # cap: each block is one sequential collect+broadcast round; past
-        # ~64 rounds the right tool is IVF/LSH pre-filtering, not more blocks
         n_blocks = (
-            min(64, max(2, math.ceil(size / NEARDUP_BROADCAST_BYTES)))
+            min(NEARDUP_MAX_BLOCKS, max(2, math.ceil(size / NEARDUP_BROADCAST_BYTES)))
             if size is not None
             else 8
         )
@@ -207,18 +213,16 @@ def neardup_cosine(
     )
 
 
-def _neardup_cosine_numpy(
-    probe: DataFrame, threshold: float, build: DataFrame | None = None
-) -> DataFrame:
+def _neardup_cosine_numpy(probe: DataFrame, threshold: float) -> DataFrame:
     """Arrow-batched matmul kernel behind the same (vec_a, vec_b, cos)
-    contract. ``build`` (default: the whole corpus) is collected and
-    broadcast; every probe batch matmuls against it, emitting pairs with
-    probe_id < build_id."""
+    contract. The corpus is collected and broadcast (the auto-router only
+    sends broadcast-sized corpora here); every probe batch matmuls against
+    it, emitting pairs with probe_id < build_id."""
     import numpy as np
     import pandas as pd
 
-    rows = (build if build is not None else probe).select("vec_id", "embedding").collect()
-    if not rows:  # empty build block (sparse id range) → no pairs
+    rows = probe.select("vec_id", "embedding").collect()
+    if not rows:
         return probe.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, cos double"
         )
@@ -249,25 +253,76 @@ def _neardup_cosine_numpy(
 def neardup_cosine_blocked(
     vecs: DataFrame, threshold: float = C.NEARDUP_COSINE, n_blocks: int = 4
 ) -> DataFrame:
-    """The beyond-broadcast near-dup path: split the corpus into
-    ``n_blocks`` (vec_id % n_blocks), broadcast one block at a time, and
-    union the per-block pair outputs.
+    """The beyond-broadcast near-dup path: 2-D block decomposition, scored
+    entirely on executors.
 
-    Memory per task is corpus_size / n_blocks — pick n_blocks so a block
-    fits the broadcast budget; total work is unchanged (every pair is
-    scored against exactly one block: the one holding its higher id).
-    Equivalent output to ``neardup_cosine`` (tested).
+    Every vector gets a block id (vec_id % n_blocks); every unordered pair
+    of blocks (i <= j) becomes one group holding the vectors of both
+    blocks, built by joining the corpus to the (tiny, broadcast) combo
+    list and grouped with ``applyInPandas``. Each group BLAS-matmuls its
+    two blocks and emits the qualifying pairs — diagonal groups take the
+    strict upper triangle, off-diagonal groups the full cross product
+    (blocks are disjoint, so each pair lands in exactly one group).
+
+    No corpus data ever reaches the driver. Per-group memory is
+    2 x corpus/n_blocks — pick n_blocks so a block fits the broadcast
+    budget. Shuffle volume is n_blocks x corpus (each vector joins the
+    n_blocks combos naming its block), so past ``NEARDUP_MAX_BLOCKS`` the
+    right tool is an IVF/LSH pre-filter, not more blocks. Equivalent
+    output to ``neardup_cosine`` (tested).
     """
-    parts = [
-        _neardup_cosine_numpy(
-            vecs, threshold, build=vecs.filter(F.col("vec_id") % n_blocks == b)
+    import numpy as np
+    import pandas as pd
+
+    spark = vecs.sparkSession
+    tagged = vecs.select(
+        "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("__blk")
+    )
+    combos = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("__bi"))
+        .crossJoin(spark.range(n_blocks).select(F.col("id").cast("int").alias("__bj")))
+        .filter(F.col("__bi") <= F.col("__bj"))
+    )
+    replicated = tagged.join(
+        F.broadcast(combos),
+        (F.col("__blk") == F.col("__bi")) | (F.col("__blk") == F.col("__bj")),
+    )
+
+    def score(key, pdf):
+        i, j = int(key[0]), int(key[1])
+        a = pdf[pdf["__blk"] == i]
+        b = a if i == j else pdf[pdf["__blk"] == j]
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
         )
-        for b in range(n_blocks)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        if a.empty or b.empty:
+            return empty
+        a_ids = a["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        b_mat = a_mat if i == j else np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_n = a_n if i == j else np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = np.round((a_mat @ b_mat.T) / (a_n[:, None] * b_n[None, :]), C.COSINE_ROUND)
+        hit = cos >= threshold
+        if i == j:
+            hit &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(hit)
+        if not len(ai):
+            return empty
+        va, vb = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb), "cos": cos[ai, bi]}
+        )
+
+    return replicated.groupBy("__bi", "__bj").applyInPandas(
+        score, schema="vec_a long, vec_b long, cos double"
+    )
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:

@@ -20,6 +20,20 @@ def test_blocked_neardup_equals_broadcast(spark, sf_dir):
     assert blocked == full and len(full) > 0
 
 
+def test_blocked_neardup_scores_on_executors(spark, sf_dir):
+    """The blocked path must be a pure executor-side plan: block-pair groups
+    scored via FlatMapGroupsInPandas, with no corpus collect() anywhere in
+    its construction (building the plan must not run a job)."""
+    from espkinesis_spark.plans import audit
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = similarity.neardup_cosine_blocked(vecs, n_blocks=3)
+    assert tracker.getJobIdsForGroup(None) == before  # lazy: no driver round
+    assert "FlatMapGroupsInPandas" in audit.physical_plan(df)
+
+
 def test_neardup_auto_routes_by_size(spark, sf_dir, monkeypatch):
     """Default impl='auto' must pick the blocked path once the plan-size
     estimate exceeds the broadcast budget, with identical output."""
