@@ -329,30 +329,58 @@ def _simhash_numpy(docs: DataFrame, bits: int) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, simhash long")
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def _ckpt(df: DataFrame, mode: str) -> DataFrame:
+    """Truncate iterative lineage. ``local`` pins executor-local blocks
+    (fast; dies with an executor); ``reliable`` writes to the configured
+    checkpoint dir (sparkContext.setCheckpointDir) and survives executor
+    loss — the right mode for long multi-round jobs on real clusters."""
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 25,
+    impl: str = "star",
+    checkpoint: str = "local",
+) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id) with
     cluster_id = min doc_id in the component (keep iff doc_id == cluster_id).
 
     Near-dup PAIRS overcount the work a dedup pass must do — the keep/drop
     decision needs CLUSTERS (A~B, B~C must drop two docs, not settle two
-    independent pairs). Min-label propagation: each round every node takes
-    the min of its own and its neighbors' labels; converges in
-    graph-diameter rounds, and near-dup clusters are shallow in practice.
-    Each round is one shuffle on node id; ``localCheckpoint`` truncates the
-    iterative lineage so plans stay bounded. For adversarial (chain-shaped)
-    graphs swap the round body for the large-star/small-star alternation
-    (Kiveris et al., "Connected Components in MapReduce"), which is
-    O(log n) rounds over the same join primitive.
+    independent pairs).
+
+    ``impl='star'`` (default): the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds even on chain graphs, needs no per-round
+    driver action (the round budget is derived from one upfront node
+    count), and verifies convergence with a single fixpoint check at the
+    end. ``impl='minlabel'``: plain min-label propagation — one shuffle
+    per round, converges in graph-diameter rounds; fine when near-dup
+    clusters are shallow, raises if the diameter exceeds ``max_iters``.
+
+    Both implementations raise RuntimeError instead of returning
+    silently-wrong split clusters when the iteration budget is exhausted
+    before convergence. ``checkpoint='reliable'`` swaps the per-round
+    ``localCheckpoint`` for reliable checkpointing (requires
+    ``sparkContext.setCheckpointDir``) so a lost executor cannot kill a
+    long run.
     """
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    if impl == "star":
+        return _dedup_clusters_star(pairs, max_iters, checkpoint)
+    edges = _ckpt(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        ),
+        checkpoint,
     )
+    labels = _ckpt(
+        edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node")),
+        checkpoint,
+    )
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -362,18 +390,92 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         # carry the changed flag through the same projection: the
         # convergence check is then a filter-count on the checkpointed
         # result, not a second join + recompute per round
-        new = (
+        new = _ckpt(
             labels.join(nbr, labels["node"] == nbr["u"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("nl2"),
                 (F.coalesce(F.col("nl"), F.col("label")) < F.col("label")).alias("__chg"),
             )
-            .withColumnRenamed("nl2", "label")
-            .localCheckpoint(eager=True)
+            .withColumnRenamed("nl2", "label"),
+            checkpoint,
         )
         changed = new.filter(F.col("__chg")).count()
         labels = new.drop("__chg")
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"dedup_clusters(minlabel) did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — the component diameter exceeds "
+            "the budget; use impl='star' or raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: connect every strictly-larger neighbor of u to the
+    minimum of N(u) ∪ {u}. One groupBy + one join, both on node id."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("__m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges high→low, then connect every smaller
+    neighbor (and u itself) to the minimum of the oriented neighborhood."""
+    d = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("__m"))
+    nbr = (
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("__m"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+    )
+    own = mins.select("u", F.col("__m").alias("v"))
+    return nbr.union(own).distinct()
+
+
+def _dedup_clusters_star(pairs: DataFrame, max_iters: int, checkpoint: str) -> DataFrame:
+    """Large-star/small-star alternation. Round budget = ceil(log2(n)) + 2
+    from ONE upfront node count (the paper's O(log n) bound, plus slack);
+    no per-round driver action. Convergence is verified once at the end:
+    a converged edge set is a fixpoint of small∘large (every component a
+    star on its minimum), checked with a single isEmpty."""
+    import math
+
+    edges = _ckpt(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        checkpoint,
+    )
+    n = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    if n == 0:
+        return pairs.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
+    rounds = min(max_iters, max(2, math.ceil(math.log2(n)) + 2))
+    for _ in range(rounds):
+        edges = _ckpt(_small_star(_large_star(edges)), checkpoint)
+    after = _small_star(_large_star(edges))
+    if not after.exceptAll(edges).union(edges.exceptAll(after)).isEmpty():
+        raise RuntimeError(
+            f"dedup_clusters(star) not a fixpoint after {rounds} rounds — "
+            "raise max_iters (expected O(log n) convergence)"
+        )
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("cluster_id")
+    ).select(F.col("u").alias("doc_id"), "cluster_id")

@@ -98,6 +98,55 @@ def test_dedup_clusters_chain_and_disjoint(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
 
 
+def test_dedup_clusters_star_equals_minlabel(spark):
+    """Star alternation and min-label propagation must agree on a mixed
+    graph (chains + shared hubs + disjoint components)."""
+    edges = (
+        [(i, i + 1) for i in range(100, 120)]  # 21-node chain
+        + [(200, 200 + i) for i in range(1, 8)]  # star hub
+        + [(300, 301), (301, 302), (300, 302)]  # triangle
+        + [(7, 400), (400, 8)]  # bridge joining small ids
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters(pairs, impl="star").collect()}
+    minl = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters(pairs, impl="minlabel").collect()}
+    assert star == minl and len(star) > 0
+
+
+def test_dedup_clusters_star_handles_long_chain_in_log_rounds(spark):
+    """A 64-node chain has diameter 63; the star alternation must converge
+    inside its ceil(log2 n)+2 round budget (min-label would need 63)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters(pairs, impl="star").collect()}
+    assert got == {(i, 1) for i in range(1, 65)}
+
+
+def test_dedup_clusters_minlabel_raises_when_budget_exhausted(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pairs, impl="minlabel", max_iters=3)
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' must produce identical clusters (and requires a
+    checkpoint dir, which a production job sets on real storage)."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.dedup_clusters(pairs, checkpoint="reliable").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_hash_split_partitions_every_row_exactly_once(spark, sf_dir):
     from espkinesis_spark.functions import sampling
 
