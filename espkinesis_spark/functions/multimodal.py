@@ -2,31 +2,150 @@
 
 Design: media travels as a ``binary`` column plus a metadata struct
 (modality, n_bytes, content_md5). Decode / feature-extraction runs as
-Arrow-batched ``mapInPandas`` so each Python worker sees whole batches —
-the Spark-side plumbing (schema, partitioning, batch shape) is real and
-tested; the actual image/audio decoding is STUBBED (the container has no
-PIL/ffmpeg) behind ``decode_media``, with a deterministic fake used by the
-feature extractor so results are reproducible.
+Arrow-batched ``mapInPandas`` so each Python worker sees whole batches.
+
+The decode path is REAL: pure-Python (stdlib ``struct``) RIFF/WAVE and
+BMP container codecs — ``decode_media`` sniffs the magic bytes, walks the
+chunk/header structure, and returns typed samples/pixels. Rich formats
+(JPEG/MP3/MP4) need external codec libraries not present in this
+container; they would slot in behind the same ``decode_media`` dispatch
+without touching the Spark-side plumbing.
 
 At 100 TB: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` down (or store media in sidecar
 object storage and carry references) so a partition of decoded batches
-fits executor memory; feature extraction is embarrassingly parallel with
-zero shuffle.
+fits executor memory; decode + feature extraction is embarrassingly
+parallel with zero shuffle.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Integer-exact features only: derived ratios (mean amplitude etc.) belong
+# in engine SQL (F.round is HALF_UP, matching DuckDB's ties-away for
+# positive values) — Python round() is banker's and would drift on ties.
 FEATURE_SCHEMA = (
-    "doc_id long, modality string, n_bytes long, first_byte int, "
-    "byte_sum_mod int, fake_width int, fake_height int"
+    "doc_id long, modality string, n_units long, sample_rate int, "
+    "channels int, sum_val long, peak_val int"
 )
+
+WAV_RATE = 8000
+
+
+def encode_wav(samples: bytes, sample_rate: int = WAV_RATE, channels: int = 1) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE container around 8-bit PCM mono
+    samples. Pure stdlib; the inverse of ``decode_wav``."""
+    n = len(samples)
+    bits = 8
+    block_align = channels * bits // 8
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF",
+            36 + n,
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,  # PCM
+            channels,
+            sample_rate,
+            sample_rate * block_align,
+            block_align,
+            bits,
+            b"data",
+            n,
+        )
+        + samples
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE container: walk the chunk list (any order), read
+    the fmt chunk's rate/channels/bits and the data chunk's PCM samples.
+    Raises ValueError on malformed containers (the dead-letter contract)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 8:
+        raise ValueError(f"unsupported WAVE encoding (format={audio_format}, bits={bits})")
+    return {
+        "modality": "audio",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "samples": list(data),  # 8-bit PCM: unsigned bytes
+    }
+
+
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """24-bpp bottom-up BMP (BITMAPINFOHEADER) from a row-major RGB grid.
+    Pure stdlib; the inverse of ``decode_bmp``."""
+    height, width = len(pixels), len(pixels[0])
+    pad = (-(width * 3)) % 4
+    rows = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row) + b"\x00" * pad
+        for row in reversed(pixels)
+    )
+    header = struct.pack(
+        "<2sIHHI" + "IiiHHIIiiII",
+        b"BM",
+        54 + len(rows),
+        0,
+        0,
+        54,
+        40,
+        width,
+        height,
+        1,
+        24,
+        0,
+        len(rows),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return header + rows
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bpp uncompressed BMP: header offsets, row padding,
+    bottom-up row order. Returns pixels row-major as (r, g, b) tuples."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        base = offset + (height - 1 - y) * stride  # bottom-up
+        row = [
+            (payload[base + x * 3 + 2], payload[base + x * 3 + 1], payload[base + x * 3])
+            for x in range(width)
+        ]
+        rows.append(row)
+    return {"modality": "image", "width": width, "height": height, "pixels": rows}
 
 
 def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -45,55 +164,90 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
 
 
-def decode_media(payload: bytes, modality: str):  # pragma: no cover - stub
-    """Decode a media payload into a numpy array.
+def decode_media(payload: bytes, modality: str | None = None) -> dict:
+    """Decode a media payload by sniffing its container magic.
 
-    STUB: real decoders (PIL / soundfile / av) are not installed in this
-    environment. The plumbing around this function is real; swap this body
-    for the actual decoder in production.
+    Supported containers (pure-Python codecs above): RIFF/WAVE 8-bit PCM
+    audio and 24-bpp BMP images. ``modality`` is an optional cross-check
+    against the sniffed container. Raises ValueError for unknown or
+    malformed payloads — callers route those to dead-letter output.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "media decoding requires PIL/soundfile/av which are not available; "
-            "feature extraction uses the deterministic fake instead"
-        ) from exc
-    raise NotImplementedError("real decode path not implemented in this container")
+    if payload[:4] == b"RIFF":
+        out = decode_wav(payload)
+    elif payload[:2] == b"BM":
+        out = decode_bmp(payload)
+    else:
+        raise ValueError("unknown media container (expected RIFF/WAVE or BMP)")
+    if modality is not None and modality != out["modality"]:
+        raise ValueError(f"modality mismatch: declared {modality}, decoded {out['modality']}")
+    return out
 
 
-def _fake_features(payload: bytes) -> tuple[int, int, int, int, int]:
-    """Deterministic stand-in for decode+feature-extract (see decode_media)."""
-    n = len(payload)
-    first = payload[0] if n else -1
-    byte_sum = sum(payload[:16]) % 997
-    return n, first, byte_sum, n % 64 + 1, n % 48 + 1
+def synthesize_wav(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a (doc_id, payload, meta) media table of real WAV containers
+    whose 8-bit PCM samples are the document's utf-8 bytes — a
+    deterministic ingestion stand-in that exercises the full encode →
+    decode → feature path with verifiable content. Pure map, zero shuffle.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [encode_wav(t.encode("utf-8")) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "modality": "audio",
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    flat = docs.select("doc_id", text_col).mapInPandas(
+        run,
+        schema="doc_id long, payload binary, modality string, n_bytes long, content_md5 string",
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct("modality", "n_bytes", "content_md5").alias("meta"),
+    )
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.
+    """Arrow-batched decode + feature extraction over the binary column.
 
-    ``mapInPandas`` keeps whole Arrow batches in the Python worker —
-    the shape a real decoder needs (decode per element, vectorized
-    post-processing per batch). Zero shuffle; scales with input splits.
+    Each payload is decoded by the real container codecs (``decode_media``)
+    and summarized into one feature row: audio → (n_samples, sample_rate,
+    channels, sum/peak amplitude); image → (n_pixels, 0, 3 channels,
+    sum/peak channel value). ``mapInPandas`` keeps whole Arrow batches in
+    the Python worker; zero shuffle, scales with input splits.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "modality": [m["modality"] for m in pdf["meta"]],
-                    "n_bytes": [f[0] for f in feats],
-                    "first_byte": [f[1] for f in feats],
-                    "byte_sum_mod": [f[2] for f in feats],
-                    "fake_width": [f[3] for f in feats],
-                    "fake_height": [f[4] for f in feats],
-                }
-            )
+            rows = {k: [] for k in ("doc_id", "modality", "n_units", "sample_rate", "channels", "sum_val", "peak_val")}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_media(bytes(p))
+                if d["modality"] == "audio":
+                    vals = d["samples"]
+                    rate, channels = d["sample_rate"], d["channels"]
+                    n_units = len(vals)
+                else:
+                    vals = [c for row in d["pixels"] for px in row for c in px]
+                    rate, channels = 0, 3
+                    n_units = len(vals) // 3
+                rows["doc_id"].append(doc_id)
+                rows["modality"].append(d["modality"])
+                rows["n_units"].append(n_units)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(channels)
+                rows["sum_val"].append(sum(vals))
+                rows["peak_val"].append(max(vals) if vals else None)
+            yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return media.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:

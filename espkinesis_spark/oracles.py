@@ -574,8 +574,32 @@ ORACLES: dict[str, str] = {
             WHEN 6 THEN 'bad_channel_value' WHEN 7 THEN 'unknown_target'
             ELSE 'ok' END AS cls, COUNT(*) AS n
         FROM events GROUP BY cls""",
-    # ex_multimodal_features: rows-only (mapInPandas decode plumbing; the
-    # decode stage is non-SQL by design) — deliberately no oracle entry.
+    # ex_multimodal_features: the engine round-trips document bytes through
+    # a real RIFF/WAVE encode→decode; the oracle recomputes the decoded
+    # features straight from the (ASCII) text bytes.
+    "ex_multimodal_features": """
+        WITH b AS (SELECT doc_id,
+            list_transform(range(1, length(text) + 1),
+                           i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+            FROM documents)
+        SELECT doc_id, 'audio' AS modality,
+               CAST(len(bs) AS BIGINT) AS n_units,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(list_aggregate(bs, 'sum') AS BIGINT) AS sum_val,
+               CAST(list_aggregate(bs, 'max') AS INTEGER) AS peak_val,
+               round(CAST(list_aggregate(bs, 'sum') AS DOUBLE) / len(bs), 4) AS mean_val
+        FROM b""",
+    # ex_multimodal_resize: strided 8x8 thumbnail — the oracle rebuilds the
+    # identical byte selection in text space (ASCII payloads) and md5s it.
+    "ex_multimodal_resize": """
+        WITH d AS (SELECT doc_id, text, length(text) // 64 AS step
+                   FROM documents WHERE length(text) >= 64)
+        SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               md5(string_agg(substr(text, CAST(i * step AS INT) + 1, 1), ''
+                              ORDER BY i)) AS thumb_md5
+        FROM d, UNNEST(range(0, 64)) AS t(i)
+        GROUP BY doc_id""",
     # --- round 2 additions ---
     "ex_dedup_clusters": f"""
 WITH RECURSIVE {_SHINGLES},

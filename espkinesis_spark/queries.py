@@ -386,10 +386,16 @@ def ex_multimodal_meta(spark, sf_dir):
 
 
 def ex_multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction over binary payloads (rows-only check:
-    the decode stage is a deterministic fake standing in for real decoders)."""
-    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media)
+    """Real encode → decode → feature path: each document's bytes become an
+    actual RIFF/WAVE container (8-bit PCM), the pure-Python codec parses the
+    chunk structure back, and features (n_samples, rate, channels, mean/peak
+    amplitude) come from the decoded samples. The oracle recomputes the
+    same features from the text bytes, so the decode round-trip is
+    value-checked, not rows-only."""
+    media = multimodal.synthesize_wav(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).withColumn(
+        "mean_val", F.round(F.col("sum_val") / F.col("n_units"), 4)
+    )
 
 
 def ex_multimodal_frames(spark, sf_dir):
@@ -401,10 +407,17 @@ def ex_multimodal_frames(spark, sf_dir):
 
 
 def ex_multimodal_resize(spark, sf_dir):
-    """Resize plumbing: fixed 8x8 'thumbnail' per payload (rows-only: the
-    strided-byte fake stands in for a real decoder)."""
-    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    return multimodal.resize_media(media)
+    """Resize: fixed 8x8 'thumbnail' per payload via byte striding.
+    Restricted to payloads >= 64 bytes (the strided path — the pad-cycle
+    path for tiny payloads is unit-tested) and summarized as md5(thumb) so
+    the oracle can rebuild the identical strided selection in text space
+    (payloads are ASCII, asserted in tests)."""
+    media = multimodal.attach_binary(
+        _t(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    )
+    return multimodal.resize_media(media).select(
+        "doc_id", "width", "height", F.md5(F.col("thumb")).alias("thumb_md5")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -10,18 +10,59 @@ from espkinesis_spark.functions import dedup, multimodal, similarity
 from espkinesis_spark.tables import load_table
 
 
-def test_decode_media_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"abc", "image")
+def test_wav_codec_round_trip():
+    samples = bytes(range(256)) * 3
+    payload = multimodal.encode_wav(samples, sample_rate=16000, channels=1)
+    d = multimodal.decode_wav(payload)
+    assert d["modality"] == "audio" and d["sample_rate"] == 16000
+    assert bytes(d["samples"]) == samples
+    # dispatcher sniffs the container and cross-checks declared modality
+    assert multimodal.decode_media(payload)["sample_rate"] == 16000
+    with pytest.raises(ValueError, match="modality mismatch"):
+        multimodal.decode_media(payload, "image")
 
 
-def test_multimodal_features_deterministic(spark, sf_dir):
-    media = multimodal.attach_binary(load_table(spark, sf_dir, "documents").limit(20))
-    a = sorted(map(tuple, multimodal.extract_features(media).collect()))
-    b = sorted(map(tuple, multimodal.extract_features(media).collect()))
-    assert a == b
-    doc = a[0]
-    assert doc[1] == "text" and doc[2] > 0 and 1 <= doc[5] <= 64 and 1 <= doc[6] <= 48
+def test_bmp_codec_round_trip():
+    pixels = [[(x * 10, y * 20, x + y) for x in range(5)] for y in range(3)]
+    payload = multimodal.encode_bmp(pixels)
+    d = multimodal.decode_bmp(payload)
+    assert (d["width"], d["height"]) == (5, 3)
+    assert d["pixels"] == pixels  # row padding + bottom-up order round-trips
+    assert multimodal.decode_media(payload)["modality"] == "image"
+
+
+def test_decode_media_rejects_unknown_and_malformed():
+    with pytest.raises(ValueError, match="unknown media container"):
+        multimodal.decode_media(b"abc")
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        multimodal.decode_media(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"BM123")
+
+
+def test_multimodal_features_decode_real_wav(spark, sf_dir):
+    """The feature path must parse actual WAV containers — features equal
+    plain byte statistics of the text the payload encodes."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.synthesize_wav(docs)
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        bs = r["text"].encode("utf-8")
+        f = feats[r["doc_id"]]
+        assert (f["modality"], f["n_units"], f["sample_rate"], f["channels"]) == (
+            "audio", len(bs), multimodal.WAV_RATE, 1,
+        )
+        assert f["sum_val"] == sum(bs) and f["peak_val"] == max(bs)
+
+
+def test_multimodal_features_decode_bmp(spark):
+    pixels = [[(9, 8, 7), (1, 2, 3)], [(200, 100, 0), (0, 0, 255)]]
+    payload = multimodal.encode_bmp(pixels)
+    media = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    (row,) = multimodal.extract_features(media).collect()
+    flat = [c for prow in pixels for px in prow for c in px]
+    assert (row["modality"], row["n_units"], row["channels"]) == ("image", 4, 3)
+    assert row["sum_val"] == sum(flat) and row["peak_val"] == 255
 
 
 def test_lsh_candidates_superset_of_true_pairs(spark, sf_dir):

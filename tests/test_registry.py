@@ -33,15 +33,11 @@ def test_registry_prefix_window_holds_flagships():
         "ex_ann_topk",
     ):
         assert flagship in first50, flagship
-    # every queries() entry has an oracle or is a documented rows-only check
+    # every queries() entry has a DuckDB oracle — no rows-only checks left
+    # (the former multimodal decode stubs are real codecs with oracles now)
     oracles = entry.oracle_sql()
     rows_only = {n for n in names if n not in oracles}
-    assert rows_only <= {
-        "ex_multimodal_meta",
-        "ex_multimodal_features",
-        "ex_multimodal_frames",
-        "ex_multimodal_resize",
-    } | {n for n in names if n.startswith("st_")}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_sql_functions_register_and_inline(spark):
