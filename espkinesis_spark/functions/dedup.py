@@ -163,6 +163,36 @@ def neardup_minhash(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> 
     return exact_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
+def neardup_minhash_persisted(
+    docs: DataFrame,
+    threshold: float = C.JACCARD_THRESHOLD,
+    table: str = "espk_shingles_bucketed",
+    path: str = "/tmp/espk_bucketed/shingles",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """The SURVEY scale note made real: checkpoint the shingle table ONCE to
+    a parquet table bucketed by doc_id, then feed signatures and both
+    verification sides from the bucketed scan.
+
+    ``neardup_minhash`` recomputes the shingle map three times (cheap
+    codegen at test scale); at 100 TB recomputation triples the document
+    scan, and every doc_id-keyed stage (signature groupBy, size groupBy)
+    re-shuffles. The bucketed table pre-shuffles once at write time:
+    downstream doc_id aggregations consume the bucket partitioning with NO
+    Exchange (plan-audited in tests/test_plan_audits.py). Same output as
+    ``neardup_minhash`` (shared oracle).
+    """
+    from espkinesis_spark.io import save_bucketed
+
+    spark = docs.sparkSession
+    save_bucketed(
+        shingles(docs), table, ["doc_id"], n_buckets, sort_by=["doc_id"], path=path
+    )
+    sh = spark.table(table)
+    cands = lsh_candidates(minhash_signatures(sh))
+    return exact_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
 def neardup_jaccard_exact(
     docs: DataFrame,
     threshold: float = C.JACCARD_THRESHOLD,

@@ -78,14 +78,22 @@ def save_bucketed(
     n_buckets: int,
     sort_by: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: pre-shuffles once at write time so every later
+    """Bucketed table: pre-shuffles once at write time so every later
     equi-join/aggregation on the bucket key is exchange-free.
 
     This is the batch answer to "reuse a partitioning across stages": two
     tables bucketed the same way sort-merge-join with zero shuffles.
+    ``path`` makes it an external table (data at an explicit location
+    instead of the session warehouse); overwrite drops any prior catalog
+    entry first so the location can change between runs.
     """
+    if mode == "overwrite":
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)

@@ -212,6 +212,8 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY text""",
     "ex_minhash_sig": _minhash_sig_sql(8),
     "ex_neardup_minhash": _EXACT_JACCARD,
+    # same exact semantics through the persisted bucketed-shingle pipeline
+    "ex_dedup_pipeline": _EXACT_JACCARD,
     "ex_neardup_jaccard": _EXACT_JACCARD,
     "ex_simhash": _simhash_sql(),
     "ex_neardup_cosine": f"""
@@ -618,6 +620,14 @@ reach(node, r) AS (
 )
 SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node""",
+    "ex_skew_join": """
+        WITH p AS (SELECT CASE WHEN l_orderkey % 25 < 20 THEN 0
+                          ELSE l_orderkey % 25 END AS skew_key, l_quantity
+                   FROM lineitem)
+        SELECT skew_key, n_name, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM p JOIN nation ON skew_key = n_nationkey
+        GROUP BY skew_key, n_name""",
     "ex_correlated_min": """SELECT o_custkey, o_orderkey,
         ROUND(o_totalprice, 2) AS price
         FROM orders o

@@ -1130,6 +1130,42 @@ def ex_pack_sequences(spark, sf_dir):
     )
 
 
+def ex_dedup_pipeline(spark, sf_dir):
+    """MinHash near-dup over a PERSISTED bucketed shingle table: the shingle
+    map is checkpointed once (bucketed by doc_id), and signatures + both
+    verification sides read the bucketed scan — doc_id aggregations consume
+    the bucket partitioning with no Exchange (plan-audited). Output and
+    oracle identical to ex_neardup_minhash."""
+    return dedup.neardup_minhash_persisted(_t(spark, sf_dir, "documents"))
+
+
+def ex_skew_join(spark, sf_dir):
+    """Skewed-key join through the salting operator: ~80% of lineitem rows
+    are forced onto one key, then joined to nation via ``salted_join`` —
+    the build side replicated SALT ways, the probe scattered uniformly
+    across replicas, so the hot key's rows spread over SALT tasks instead
+    of serializing on one. Result is identical to a plain join (the salt
+    never escapes); the oracle is that plain join. Plan audit in
+    tests/test_skew_and_tws.py pins the salt spread."""
+    from espkinesis_spark.operators import skew
+
+    probe = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 25 < 20, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 25)
+        .cast("long")
+        .alias("skew_key"),
+        "l_quantity",
+    )
+    dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("skew_key"), "n_name"
+    )
+    return (
+        skew.salted_join(probe, dim, "skew_key", salt=8)
+        .groupBy("skew_key", "n_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
 def ex_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training docs sharing any 3-gram
     shingle with the held-out set (source='src0'), with the shared-shingle
@@ -1242,4 +1278,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_label_centroids": ex_label_centroids,
         "ex_pack_sequences": ex_pack_sequences,
         "ex_decontaminate": ex_decontaminate,
+        "ex_skew_join": ex_skew_join,
+        "ex_dedup_pipeline": ex_dedup_pipeline,
     }

@@ -64,3 +64,26 @@ def test_shipping_priority_pushes_all_three_filters(spark, sf_dir):
     df = _q(spark, sf_dir, "ex_shipping_priority")
     pf = " ".join(pushed_filters(df))
     assert "l_shipdate" in pf and "o_orderdate" in pf and "c_mktsegment" in pf
+
+
+def test_dedup_pipeline_reuses_bucketed_shingles(spark, sf_dir):
+    """The persisted pipeline must (a) read the shingle table back as a
+    bucketed scan and (b) run every doc_id-keyed aggregation off the bucket
+    partitioning with zero exchanges — the 'checkpoint it to a bucketed
+    table' scale promise, verified in the plan."""
+    from espkinesis_spark.functions.dedup import (
+        minhash_signatures,
+        neardup_minhash_persisted,
+    )
+    from espkinesis_spark.plans import physical_plan
+    from espkinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = neardup_minhash_persisted(docs)  # writes + reads the bucketed table
+    sh = spark.table("espk_shingles_bucketed")
+    sig_plan = physical_plan(minhash_signatures(sh))
+    assert "SelectedBucketsCount" in sig_plan or "Bucketed: true" in sig_plan
+    assert exchange_count(minhash_signatures(sh)) == 0, "bucketed groupBy reshuffled"
+    assert exchange_count(sh.groupBy("doc_id").count()) == 0
+    # the full pipeline plan still reads the persisted table, not a re-shingle
+    assert "espk_shingles_bucketed" in physical_plan(df)

@@ -34,6 +34,27 @@ def test_salted_left_join_keeps_unmatched(spark, sf_dir):
     assert salted_join(ev, cust, "k", salt=4, how="left").count() == plain_n
 
 
+def test_salted_join_plan_spreads_hot_key(spark, sf_dir):
+    """With auto-broadcast off (the regime salting exists for: a build side
+    too big to broadcast), the salted plan must shuffle on the COMPOSITE
+    (key, salt) — spreading a hot key over salt partitions — and replicate
+    the build side via explode (generate)."""
+    from espkinesis_spark.plans import audit
+    from espkinesis_spark.queries import ex_skew_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = audit.physical_plan(ex_skew_join(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "explode" in plan.lower() or "generate" in plan.lower()  # build replicas
+    # the join exchange hashes on (skew_key, __salt), not skew_key alone
+    import re
+
+    assert re.search(r"hashpartitioning\([^)]*skew_key[^)]*__salt", plan), plan[:2000]
+
+
 @pytest.fixture(scope="module")
 def fixture_paths(spark, tmp_path_factory):
     out = tmp_path_factory.mktemp("tws_fixtures")
