@@ -13,16 +13,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(key: Column, buckets: int = 100) -> Column:
+def hash_bucket(key: Column, buckets: int = 100, on_null: str = "error") -> Column:
     """Stable bucket in [0, buckets) from md5 of the key's string form.
 
     First 15 hex digits -> 60-bit int (fits a BIGINT exactly, same as the
     MinHash hashing) -> mod. DuckDB mirror:
     ``CAST(concat('0x', substring(md5(k), 1, 15)) AS BIGINT) % buckets``.
+
+    A null key hashes to null, which would silently drop the row from
+    every downstream split/sample filter. ``on_null='error'`` (default)
+    fails the job on the first null key instead (executor-side, zero extra
+    pass); ``on_null='null'`` keeps the propagating-null behavior for
+    callers that filter nulls deliberately.
     """
-    return (
+    bucket = (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
         % buckets
+    )
+    if on_null == "null":
+        return bucket
+    return F.coalesce(
+        bucket,
+        F.raise_error(
+            F.lit("hash_bucket: null key (pass on_null='null' to propagate nulls)")
+        ),
     )
 
 
@@ -40,6 +54,8 @@ def stratified_sample(
     The training-data use case is rebalancing: downsample the dominant
     language/source while keeping the tail whole. The filter is a pure
     row-local projection — no shuffle, no state, fully pushdown-friendly.
+    A null sampling key raises (see ``hash_bucket``) rather than silently
+    dropping the row from every stratum.
     """
     pct = F.lit(default_pct)
     for value, p in sorted(rates.items()):
@@ -58,7 +74,9 @@ def hash_split(
     ``splits`` maps name -> percentage (must sum to 100); buckets are
     assigned to splits in sorted-name order so the mapping is stable across
     runs and engines. A pure projection: the split decision never shuffles,
-    and downstream writes can ``partitionBy(split_col)``.
+    and downstream writes can ``partitionBy(split_col)``. A null routing
+    key raises (see ``hash_bucket``) instead of yielding a null split that
+    vanishes from every partition.
     """
     splits = splits or {"test": 1, "train": 98, "val": 1}
     if sum(splits.values()) != 100:

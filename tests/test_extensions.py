@@ -188,6 +188,19 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_hash_split_raises_on_null_key(spark):
+    from espkinesis_spark.functions import sampling
+
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "k long, v string")
+    with pytest.raises(Exception, match="null key"):
+        sampling.hash_split(df, "k").collect()
+    with pytest.raises(Exception, match="null key"):
+        sampling.stratified_sample(df, "v", {"a": 50}, 50, "k").collect()
+    # explicit opt-out keeps the propagating-null behavior
+    out = df.withColumn("b", sampling.hash_bucket(F.col("k"), on_null="null")).collect()
+    assert {r["k"]: r["b"] is None for r in out} == {1: False, None: True}
+
+
 def test_hash_split_partitions_every_row_exactly_once(spark, sf_dir):
     from espkinesis_spark.functions import sampling
 
