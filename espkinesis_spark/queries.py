@@ -1188,12 +1188,18 @@ def ex_decontaminate(spark, sf_dir):
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name -> (spark, sf_dir) -> DataFrame for every declared query.
 
-    Ordering is deliberate: correctness harnesses may sample a prefix window
-    of this dict, so the first 50 entries hold every category's flagship —
-    the 25 reference queries (dq*), ALL 10 Structured-Streaming entries
-    (st_*), and the 15 core LLM-pipeline extensions (dedup / similarity /
-    text / udf / tfidf / multimodal-meta). Long-tail SQL-surface entries
-    (equivalence-style checks of individual function families) follow.
+    Ordering is deliberate: correctness harnesses may sample a prefix
+    window (historically the first 50 entries), so the window ROTATES
+    between rounds to earn hard driver evidence for every entry. The 25
+    reference queries (dq*) stay pinned at positions 1-25 every round;
+    positions 26-50 hold only entries with no prior GREEN driver
+    CORRECTNESS row (round 3: the four former round-1 reds, the round-2/3
+    additions, and a cross-family slice of the SQL/LLM-pipeline tail — the
+    entries they displaced all have green rows in CORRECTNESS_r01/r02).
+    The remaining never-green entries come right after the window so any
+    widening reaches them first; the already-proven flagships close the
+    list. tests/test_registry.py enforces the invariant from the committed
+    CORRECTNESS_r*.json artifacts.
     """
     return {
         "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
@@ -1201,7 +1207,59 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq14": dq14, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq19": dq19, "dq20": dq20,
         "dq21": dq21, "dq22": dq22, "dq23": dq23, "dq24": dq24, "dq25": dq25,
-        # --- Structured Streaming flagship block (26-35) ---
+        # --- rotation window (26-50): no prior green driver row ---
+        "ex_sessionize": ex_sessionize,
+        "ex_pivot": ex_pivot,
+        "ex_percentiles": ex_percentiles,
+        "ex_except": ex_except,
+        "ex_semantic_search": ex_semantic_search,
+        "ex_multimodal_frames": ex_multimodal_frames,
+        "ex_fuzzy_match": ex_fuzzy_match,
+        "ex_approx_distinct": ex_approx_distinct,
+        "ex_approx_quantile": ex_approx_quantile,
+        "ex_range_window": ex_range_window,
+        "ex_scalar_subquery": ex_scalar_subquery,
+        "ex_histogram": ex_histogram,
+        "ex_scd2_history": ex_scd2_history,
+        "ex_gapfill": ex_gapfill,
+        "ex_dedup_clusters": ex_dedup_clusters,
+        "ex_correlated_min": ex_correlated_min,
+        "ex_stratified_sample": ex_stratified_sample,
+        "ex_hash_split": ex_hash_split,
+        "ex_label_centroids": ex_label_centroids,
+        "ex_pack_sequences": ex_pack_sequences,
+        "ex_decontaminate": ex_decontaminate,
+        "ex_skew_join": ex_skew_join,
+        "ex_dedup_pipeline": ex_dedup_pipeline,
+        "ex_multimodal_features": ex_multimodal_features,
+        "ex_multimodal_resize": ex_multimodal_resize,
+        # --- never-green remainder (51-66): next rotation's window ---
+        "ex_distinct_agg": ex_distinct_agg,
+        "ex_custdist": ex_custdist,
+        "ex_promo_share": ex_promo_share,
+        "ex_scalar_funcs": ex_scalar_funcs,
+        "ex_date_funcs": ex_date_funcs,
+        "ex_array_agg": ex_array_agg,
+        "ex_unpivot": ex_unpivot,
+        "ex_stat_agg": ex_stat_agg,
+        "ex_string_funcs2": ex_string_funcs2,
+        "ex_map_funcs": ex_map_funcs,
+        "ex_union_all": ex_union_all,
+        "ex_rank_funcs": ex_rank_funcs,
+        "ex_bitwise": ex_bitwise,
+        "ex_null_logic": ex_null_logic,
+        "ex_group_concat": ex_group_concat,
+        "ex_regex_funcs": ex_regex_funcs,
+        # --- green driver rows already (CORRECTNESS_r01/r02) ---
+        "ex_neardup_jaccard": ex_neardup_jaccard,
+        "ex_rollup": ex_rollup,
+        "ex_cube": ex_cube,
+        "ex_grouping_sets": ex_grouping_sets,
+        "ex_window_analytics": ex_window_analytics,
+        "ex_semijoin": ex_semijoin,
+        "ex_topk_per_group": ex_topk_per_group,
+        "ex_shipping_priority": ex_shipping_priority,
+        "ex_exists_shipped": ex_exists_shipped,
         "st_override_asof": st_override_asof,
         "st_stream_join": st_stream_join,
         "st_command_plane": st_command_plane,
@@ -1212,7 +1270,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- LLM-pipeline flagship block (36-50) ---
         "ex_udf_surface": ex_udf_surface,
         "ex_tfidf": ex_tfidf,
         "ex_multimodal_meta": ex_multimodal_meta,
@@ -1228,56 +1285,4 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_text_stats": ex_text_stats,
         "ex_token_count": ex_token_count,
         "ex_fingerprint": ex_fingerprint,
-        # --- long tail (51+) ---
-        "ex_neardup_jaccard": ex_neardup_jaccard,
-        "ex_sessionize": ex_sessionize,
-        "ex_rollup": ex_rollup,
-        "ex_pivot": ex_pivot,
-        "ex_percentiles": ex_percentiles,
-        "ex_window_analytics": ex_window_analytics,
-        "ex_semijoin": ex_semijoin,
-        "ex_topk_per_group": ex_topk_per_group,
-        "ex_shipping_priority": ex_shipping_priority,
-        "ex_cube": ex_cube,
-        "ex_grouping_sets": ex_grouping_sets,
-        "ex_exists_shipped": ex_exists_shipped,
-        "ex_except": ex_except,
-        "ex_distinct_agg": ex_distinct_agg,
-        "ex_custdist": ex_custdist,
-        "ex_promo_share": ex_promo_share,
-        "ex_scalar_funcs": ex_scalar_funcs,
-        "ex_date_funcs": ex_date_funcs,
-        "ex_range_window": ex_range_window,
-        "ex_array_agg": ex_array_agg,
-        "ex_approx_distinct": ex_approx_distinct,
-        "ex_unpivot": ex_unpivot,
-        "ex_scd2_history": ex_scd2_history,
-        "ex_stat_agg": ex_stat_agg,
-        "ex_gapfill": ex_gapfill,
-        "ex_string_funcs2": ex_string_funcs2,
-        "ex_map_funcs": ex_map_funcs,
-        "ex_union_all": ex_union_all,
-        "ex_rank_funcs": ex_rank_funcs,
-        "ex_fuzzy_match": ex_fuzzy_match,
-        "ex_bitwise": ex_bitwise,
-        "ex_scalar_subquery": ex_scalar_subquery,
-        "ex_null_logic": ex_null_logic,
-        "ex_group_concat": ex_group_concat,
-        "ex_regex_funcs": ex_regex_funcs,
-        "ex_histogram": ex_histogram,
-        "ex_approx_quantile": ex_approx_quantile,
-        "ex_semantic_search": ex_semantic_search,
-        "ex_multimodal_features": ex_multimodal_features,
-        "ex_multimodal_frames": ex_multimodal_frames,
-        "ex_multimodal_resize": ex_multimodal_resize,
-        # --- round 2 additions ---
-        "ex_dedup_clusters": ex_dedup_clusters,
-        "ex_correlated_min": ex_correlated_min,
-        "ex_stratified_sample": ex_stratified_sample,
-        "ex_hash_split": ex_hash_split,
-        "ex_label_centroids": ex_label_centroids,
-        "ex_pack_sequences": ex_pack_sequences,
-        "ex_decontaminate": ex_decontaminate,
-        "ex_skew_join": ex_skew_join,
-        "ex_dedup_pipeline": ex_dedup_pipeline,
     }
