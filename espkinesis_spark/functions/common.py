@@ -80,6 +80,23 @@ ROLLING_MAX_CHARS = 64
 # sessionization gap
 SESSION_GAP_MINUTES = 30
 
+# PII scrubbing patterns — kept to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB): character classes, +, bounded repetition only
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_NUMBER_RE = "[0-9]{6,}"
+
+# repetition-aware quality-gate thresholds (compared on 4-dp-rounded ratios)
+QF_MIN_TOKENS = 20
+QF_MAX_TOP_FRAC = 0.25  # max share of the single most frequent token
+QF_MIN_MEAN_LEN = 2.0
+QF_MAX_MEAN_LEN = 10.0
+
+# vocabulary build
+VOCAB_TOP_K = 100
+
+# symmetric int8 embedding quantization
+QUANT_LEVELS = 127
+
 
 def minhash_salt(j: int) -> str:
     """Salt for the j-th MinHash permutation; md5(salt || shingle)."""

@@ -509,3 +509,23 @@ def _dedup_clusters_star(pairs: DataFrame, max_iters: int, checkpoint: str) -> D
     return sym.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("cluster_id")
     ).select(F.col("u").alias("doc_id"), "cluster_id")
+
+
+def dedup_apply(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> DataFrame:
+    """Full near-dup dedup pass applied to the corpus: LSH near-dup pairs →
+    connected components → keep the min-doc_id canonical per cluster, drop
+    every other member. Returns the surviving documents (original schema).
+
+    The drop set is duplicate-sized (tiny relative to the corpus), so it is
+    broadcast into a left-anti join — the corpus scan itself is never
+    shuffled. At 100 TB the pairs/cluster stages run their own bucketed
+    shapes (see neardup_minhash_persisted / dedup_clusters); this final
+    subtraction stays a map-side probe either way.
+    """
+    pairs = neardup_minhash(docs, threshold)
+    drops = (
+        dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti")

@@ -513,3 +513,30 @@ def topk_ivf(
         .filter(F.col("rnk") <= k)
         .select("vec_id", "rnk", "neighbor_id")
     )
+
+
+def quantize_int8(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per embedding: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) — explicit half-up via floor so Spark
+    and any SQL oracle round identically (no HALF_UP vs banker's drift).
+    All-zero vectors quantize to all-zero with scale 0.
+
+    Pure projection over the vector column — whole-stage codegen, zero
+    shuffle, holds at any corpus size. Returns summary stats (sum/min/max
+    of the quantized ints) rather than the int8 array so the result is
+    compact and hash-comparable.
+    """
+    e = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = amax / F.lit(float(C.QUANT_LEVELS))
+    q = F.when(
+        amax > 0,
+        F.transform(e, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")),
+    ).otherwise(F.transform(e, lambda x: F.lit(0).cast("long")))
+    return vecs.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+        F.array_min(q).alias("min_q"),
+        F.array_max(q).alias("max_q"),
+    )

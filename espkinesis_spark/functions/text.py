@@ -173,3 +173,82 @@ def _fingerprints_numpy(df: DataFrame, text_col: str) -> DataFrame:
     return df.select("doc_id", text_col).mapInPandas(
         run, schema="doc_id long, fp_key string, fp_roll long"
     )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII redaction: emails first, then 6+-digit runs on the
+    email-scrubbed text (so digits inside an address are never
+    double-counted). Returns per-doc redaction counts plus the scrubbed
+    text's length and md5 (the full scrubbed string stays checkable
+    without hauling it into the result).
+
+    Pure projection — whole-stage codegen, zero shuffle at any corpus
+    size. Patterns live in common.PII_* and are restricted to the regex
+    subset Java and RE2 interpret identically.
+    """
+    src = F.col(text_col)
+    no_email = F.regexp_replace(src, C.PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, C.PII_NUMBER_RE, "<NUM>")
+    return df.select(
+        "doc_id",
+        F.regexp_count(src, F.lit(C.PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(C.PII_NUMBER_RE)).cast("long").alias("n_numbers"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-aware quality gate (Gopher-style rules): duplicate-token
+    fraction, top-token share, and mean token length, with a boolean
+    ``keep`` verdict from the common.QF_* thresholds.
+
+    Distributed shape: explode → count per (doc_id, token) → one groupBy
+    per doc. Both aggregations partial-aggregate map-side, so the only
+    full shuffle is keyed by doc_id — no per-doc collect, no window over
+    the exploded rows. Ratios are rounded to 4 dp BEFORE thresholding so
+    the verdict is bit-stable across engines.
+    """
+    tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_n"),
+        F.sum(F.length("tok") * F.col("c")).cast("long").alias("char_sum"),
+    )
+    n = F.col("n_tokens")
+    dup_frac = F.round(F.lit(1.0) - F.col("n_distinct") / n, 4)
+    top_frac = F.round(F.col("top_n") / n, 4)
+    mean_len = F.round(F.col("char_sum") / n, 4)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        dup_frac.alias("dup_frac"),
+        top_frac.alias("top_frac"),
+        mean_len.alias("mean_len"),
+        (
+            (n >= C.QF_MIN_TOKENS)
+            & (top_frac <= C.QF_MAX_TOP_FRAC)
+            & (mean_len >= C.QF_MIN_MEAN_LEN)
+            & (mean_len <= C.QF_MAX_MEAN_LEN)
+        ).alias("keep"),
+    )
+
+
+def vocab(df: DataFrame, text_col: str = "text", k: int = C.VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency, ties to the
+    lexicographically-smallest token (deterministic cut line).
+
+    explode → token groupBy (map-side combine shrinks the shuffle to the
+    distinct-vocab size) → ``orderBy().limit(k)``, which Spark plans as
+    TakeOrderedAndProject: per-partition top-k then a driver-side k-merge —
+    never a full sort or single-partition exchange of the token table.
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -669,4 +669,102 @@ FROM t JOIN b USING (s) GROUP BY doc_id""",
         SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
                array_agg(round(m, 6) ORDER BY dim) AS centroid
         FROM per GROUP BY label""",
+    # --- round 3 additions ---
+    "ex_pii_scrub": f"""
+        WITH a AS (SELECT doc_id,
+                   concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@testmail.org ref ',
+                          CAST(doc_id + 1000000 AS VARCHAR)) AS t
+                   FROM documents),
+        s AS (SELECT doc_id, t,
+              regexp_replace(t, '{C.PII_EMAIL_RE}', '<EMAIL>', 'g') AS ne
+              FROM a)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{C.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(ne, '{C.PII_NUMBER_RE}')) AS BIGINT) AS n_numbers,
+               CAST(length(regexp_replace(ne, '{C.PII_NUMBER_RE}', '<NUM>', 'g')) AS BIGINT) AS clean_len,
+               md5(regexp_replace(ne, '{C.PII_NUMBER_RE}', '<NUM>', 'g')) AS clean_md5
+        FROM s""",
+    "ex_quality_filter": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
+        pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS top_n,
+                     CAST(sum(length(tok) * c) AS BIGINT) AS char_sum
+              FROM pt GROUP BY 1)
+        SELECT doc_id, n_tokens,
+               round(1.0 - n_distinct * 1.0 / n_tokens, 4) AS dup_frac,
+               round(top_n * 1.0 / n_tokens, 4) AS top_frac,
+               round(char_sum * 1.0 / n_tokens, 4) AS mean_len,
+               (n_tokens >= {C.QF_MIN_TOKENS}
+                AND round(top_n * 1.0 / n_tokens, 4) <= {C.QF_MAX_TOP_FRAC}
+                AND round(char_sum * 1.0 / n_tokens, 4) >= {C.QF_MIN_MEAN_LEN}
+                AND round(char_sum * 1.0 / n_tokens, 4) <= {C.QF_MAX_MEAN_LEN}) AS keep
+        FROM s""",
+    "ex_vocab": f"""
+        WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token
+        ORDER BY n DESC, token LIMIT {C.VOCAB_TOP_K}""",
+    "ex_dedup_apply": f"""
+WITH RECURSIVE {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {C.JACCARD_THRESHOLD}),
+edges AS (SELECT da AS u, db AS v FROM j UNION ALL SELECT db, da FROM j),
+reach(node, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+),
+drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+GROUP BY source""",
+    "ex_ann_recall": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, {_cos('a.e', 'b.e')} AS cos
+              FROM v a JOIN v b ON b.vec_id <> a.vec_id WHERE a.vec_id < {C.ANN_QUERY_MAX_ID}),
+        bp AS (SELECT vec_id, neighbor_id FROM (
+               SELECT vec_id, neighbor_id,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM p) WHERE rnk <= {C.ANN_TOPK}),
+        b AS (SELECT vec_id, e,
+              CAST({' + '.join(f'(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)' for i in range(8))}
+                   AS BIGINT) AS bucket FROM v),
+        pr AS (SELECT vec_id, e,
+               unnest([bucket, {', '.join(f'xor(bucket, {2**i})' for i in range(8))}]) AS pb
+               FROM b WHERE vec_id < {C.ANN_QUERY_MAX_ID}),
+        lpp AS (SELECT a.vec_id, n.vec_id AS neighbor_id, {_cos('a.e', 'n.e')} AS cos
+                FROM pr a JOIN b n ON a.pb = n.bucket AND a.vec_id <> n.vec_id),
+        lp AS (SELECT vec_id, neighbor_id FROM (
+               SELECT vec_id, neighbor_id,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+               FROM lpp) WHERE rnk <= {C.ANN_TOPK}),
+        h AS (SELECT bp.vec_id, count(*) AS h
+              FROM bp JOIN lp ON bp.vec_id = lp.vec_id AND bp.neighbor_id = lp.neighbor_id
+              GROUP BY 1)
+        SELECT q.vec_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.h, 0) * 1.0 / {C.ANN_TOPK}, 4) AS recall
+        FROM (SELECT vec_id FROM v WHERE vec_id < {C.ANN_QUERY_MAX_ID}) q
+        LEFT JOIN h ON q.vec_id = h.vec_id""",
+    "ex_embed_quantize": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (SELECT vec_id, e,
+              list_max(list_transform(e, x -> abs(x))) / {C.QUANT_LEVELS}.0 AS scale
+              FROM v),
+        q AS (SELECT vec_id, scale,
+              CASE WHEN scale > 0
+                   THEN list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                   ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS ql
+              FROM s)
+        SELECT vec_id, round(scale, 6) AS scale,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), ql), (a, b) -> a + b) AS sum_q,
+               list_min(ql) AS min_q, list_max(ql) AS max_q
+        FROM q""",
 }

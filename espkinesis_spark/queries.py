@@ -1182,6 +1182,78 @@ def ex_decontaminate(spark, sf_dir):
     )
 
 
+def ex_pii_scrub(spark, sf_dir):
+    """PII redaction over a deterministically PII-augmented corpus: the
+    synthetic documents carry no addresses, so each doc gets an email and a
+    long id derived from doc_id appended (same expression in the oracle) —
+    the scrub path then has real matches to find. Zero-shuffle projection."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@testmail.org ref "),
+            (F.col("doc_id") + F.lit(1_000_000)).cast("string"),
+        ),
+    )
+    return text.pii_scrub(aug)
+
+
+def ex_quality_filter(spark, sf_dir):
+    """Repetition-aware quality gate (duplicate-token fraction, top-token
+    share, mean token length → keep verdict)."""
+    return text.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+def ex_vocab(spark, sf_dir):
+    """Corpus vocabulary build: top-100 tokens by frequency (tie → token
+    asc), planned as TakeOrderedAndProject — no full sort."""
+    return text.vocab(_t(spark, sf_dir, "documents"))
+
+
+def ex_dedup_apply(spark, sf_dir):
+    """End-to-end dedup retention: LSH pairs → connected components → drop
+    non-canonical members, then summarize the surviving corpus per source.
+    The oracle recomputes the same clusters with a recursive CTE."""
+    survivors = dedup.dedup_apply(_t(spark, sf_dir, "documents"))
+    return survivors.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def ex_ann_recall(spark, sf_dir):
+    """Recall@5 of the sign-LSH index against brute-force ground truth, per
+    query vector — the measurement an ANN rollout needs before trusting the
+    approximate path. Both sides use the 6-dp-rounded cosine with
+    lowest-id tie-break, so the top-5 sets are deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_QUERY_MAX_ID)
+    truth = similarity.topk_bruteforce(q, emb, k=C.ANN_TOPK).select(
+        "vec_id", "neighbor_id"
+    )
+    approx = similarity.topk_lsh(emb, k=C.ANN_TOPK).select("vec_id", "neighbor_id")
+    hits = (
+        truth.join(approx, ["vec_id", "neighbor_id"])
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("h"))
+    )
+    n_hits = F.coalesce(F.col("h"), F.lit(0)).cast("long")
+    return q.select("vec_id").join(hits, "vec_id", "left").select(
+        "vec_id",
+        n_hits.alias("n_hits"),
+        F.round(n_hits / C.ANN_TOPK, 4).alias("recall"),
+    )
+
+
+def ex_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding table (scale + quantized
+    summary stats per vector)."""
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1250,6 +1322,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_null_logic": ex_null_logic,
         "ex_group_concat": ex_group_concat,
         "ex_regex_funcs": ex_regex_funcs,
+        # --- round 3 additions (never-green by construction) ---
+        "ex_pii_scrub": ex_pii_scrub,
+        "ex_quality_filter": ex_quality_filter,
+        "ex_vocab": ex_vocab,
+        "ex_dedup_apply": ex_dedup_apply,
+        "ex_ann_recall": ex_ann_recall,
+        "ex_embed_quantize": ex_embed_quantize,
         # --- green driver rows already (CORRECTNESS_r01/r02) ---
         "ex_neardup_jaccard": ex_neardup_jaccard,
         "ex_rollup": ex_rollup,

@@ -87,3 +87,32 @@ def test_dedup_pipeline_reuses_bucketed_shingles(spark, sf_dir):
     assert exchange_count(sh.groupBy("doc_id").count()) == 0
     # the full pipeline plan still reads the persisted table, not a re-shingle
     assert "espk_shingles_bucketed" in physical_plan(df)
+
+
+def test_projection_ops_have_zero_shuffle(spark, sf_dir):
+    """pii_scrub and embed_quantize are pure projections — any Exchange in
+    their plan is a silent 100x regression at corpus scale."""
+    for name in ("ex_pii_scrub", "ex_embed_quantize"):
+        df = _q(spark, sf_dir, name)
+        assert exchange_count(df) == 0, f"{name} gained a shuffle"
+
+
+def test_vocab_is_take_ordered_not_full_sort(spark, sf_dir):
+    """Top-k vocab must plan as TakeOrderedAndProject (per-partition top-k
+    + k-merge), never a global Sort of the token table."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_vocab")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "\n(Sort" not in plan and ") Sort\n" not in plan
+
+
+def test_dedup_apply_broadcasts_drop_set(spark, sf_dir):
+    """The final corpus subtraction must probe a broadcast drop set — the
+    full document scan is never shuffled for the anti join."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_dedup_apply")
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
