@@ -97,6 +97,10 @@ VOCAB_TOP_K = 100
 # symmetric int8 embedding quantization
 QUANT_LEVELS = 127
 
+# k-means centroid training (deterministic init + fixed round budget)
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
 
 def minhash_salt(j: int) -> str:
     """Salt for the j-th MinHash permutation; md5(salt || shingle)."""

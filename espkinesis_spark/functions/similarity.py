@@ -540,3 +540,48 @@ def quantize_int8(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.array_min(q).alias("min_q"),
         F.array_max(q).alias("max_q"),
     )
+
+
+def kmeans_train(
+    vecs: DataFrame,
+    k: int = C.KMEANS_K,
+    iters: int = C.KMEANS_ITERS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding table with a deterministic,
+    engine-portable trajectory: init centroids are the vectors with
+    vec_id < k, assignment is the rounded-cosine argmin (``ivf_assign`` —
+    ties to the lowest centroid id), and updated centroids are per-dim
+    means rounded to 6 dp each round, so a SQL oracle replays the exact
+    same path. Returns (centroid_id, c: array<double>).
+
+    Scale shape per round: assignment broadcasts the k-row centroid matrix
+    and is a pure map over the corpus (one BLAS matmul per Arrow batch);
+    the update shuffles only scalar-narrow (centroid_id, dim, x) rows with
+    map-side partial aggregation. ``iters`` is a fixed budget — no
+    convergence collect, no driver-side data, so the loop costs exactly
+    iters × (map + narrow shuffle) at any corpus size.
+    """
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), _as_double(F.col(vec_col)).alias("c")
+    )
+    for _ in range(iters):
+        assign = ivf_assign(
+            vecs,
+            cents.select(F.col("centroid_id").alias("vec_id"), F.col("c").alias("embedding")),
+        )
+        per = (
+            vecs.join(assign, "vec_id")
+            .select("centroid_id", F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            per.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform("dm", lambda s: F.round(s["m"], 6)).alias("c"),
+            )
+        )
+    return cents

@@ -103,6 +103,48 @@ SELECT vec_id, rnk, neighbor_id FROM (
 """
 
 
+def _kmeans_sql() -> str:
+    """Replay kmeans_train's exact trajectory: same init (vec_id < k), same
+    rounded-cosine argmin assignment (ties to lowest centroid id), same
+    6-dp-rounded per-dim mean update, for KMEANS_ITERS rounds."""
+    k, iters = C.KMEANS_K, C.KMEANS_ITERS
+
+    def assign(cent: str, name: str) -> str:
+        return f"""{name} AS (SELECT vec_id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_cos('x.e', 'c.c')} DESC, c.centroid_id) AS rn
+    FROM v x CROSS JOIN {cent} c) WHERE rn = 1)"""
+
+    def update(a: str, name: str) -> str:
+        return f"""{name} AS (SELECT centroid_id, array_agg(round(m, 6) ORDER BY dim) AS c FROM (
+    SELECT {a}.centroid_id, CAST(i AS INT) AS dim,
+           avg(e[CAST(i AS INT) + 1]) AS m
+    FROM {a} JOIN v USING (vec_id), UNNEST(range(len(e))) AS t(i)
+    GROUP BY 1, 2) GROUP BY 1)"""
+
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS centroid_id, e AS c FROM v WHERE vec_id < {k})",
+    ]
+    cur = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign(cur, f"a{i}"))
+        parts.append(update(f"a{i}", f"c{i}"))
+        cur = f"c{i}"
+    parts.append(assign(cur, "af"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c.centroid_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+       round(sqrt(list_dot_product(c.c, c.c)), 6) AS centroid_norm,
+       c.c AS centroid
+FROM {cur} c LEFT JOIN (SELECT centroid_id, count(*) AS n FROM af GROUP BY 1) s
+     ON c.centroid_id = s.centroid_id"""
+    )
+
+
 def _simhash_sql() -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
@@ -767,4 +809,13 @@ GROUP BY source""",
                list_reduce(list_prepend(CAST(0 AS BIGINT), ql), (a, b) -> a + b) AS sum_q,
                list_min(ql) AS min_q, list_max(ql) AS max_q
         FROM q""",
+    "ex_kmeans": _kmeans_sql(),
+    "ex_key_skew": """
+        WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_n,
+               round(max(n) / avg(n), 4) AS skew_ratio,
+               round(max(n) * 1.0 / sum(n), 6) AS top_share
+        FROM per""",
 }

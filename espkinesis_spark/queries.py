@@ -1254,6 +1254,48 @@ def ex_embed_quantize(spark, sf_dir):
     return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
+def ex_kmeans(spark, sf_dir):
+    """Trained IVF centroids: 2 Lloyd rounds from deterministic init, then
+    one final assignment for cluster sizes. Output per centroid: member
+    count, norm, and the (6-dp-rounded) centroid itself — the oracle
+    replays the identical trajectory in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_train(emb)
+    assign = similarity.ivf_assign(
+        emb,
+        cents.select(F.col("centroid_id").alias("vec_id"), F.col("c").alias("embedding")),
+    )
+    sizes = assign.groupBy("centroid_id").agg(F.count("*").cast("long").alias("n"))
+    return cents.join(sizes, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.round(
+            F.sqrt(F.aggregate("c", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("centroid_norm"),
+        F.col("c").alias("centroid"),
+    )
+
+
+def ex_key_skew(spark, sf_dir):
+    """Key-skew diagnostic over events.user_id: per-key counts reduced to a
+    one-row skew summary (max/mean ratio, hottest-key share) — the cheap
+    measurement that decides whether a join needs salting BEFORE a 100 TB
+    run discovers it the hard way. Two partial-aggregating shuffles, the
+    second over already key-sized data."""
+    per = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1329,6 +1371,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_dedup_apply": ex_dedup_apply,
         "ex_ann_recall": ex_ann_recall,
         "ex_embed_quantize": ex_embed_quantize,
+        "ex_kmeans": ex_kmeans,
+        "ex_key_skew": ex_key_skew,
         # --- green driver rows already (CORRECTNESS_r01/r02) ---
         "ex_neardup_jaccard": ex_neardup_jaccard,
         "ex_rollup": ex_rollup,
