@@ -458,14 +458,18 @@ def topk_ivf(
     centroid_mod: int = C.IVF_CENTROID_MOD,
     nprobe: int = C.IVF_NPROBE,
     k: int = C.IVF_TOPK,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: deterministic centroids (vec_id % mod == 0),
-    probe the nprobe nearest centroid buckets, exact top-k inside them.
+    """IVF approximate top-k: probe the nprobe nearest centroid buckets,
+    exact top-k inside them.
 
-    Output (vec_id, rnk, neighbor_id). Deterministic — the oracle reproduces
-    it exactly in SQL.
+    Centroids default to the deterministic subsample (vec_id % mod == 0);
+    pass ``centroids`` (vec_id, embedding) — e.g. ``kmeans_train`` output —
+    for a trained index. Output (vec_id, rnk, neighbor_id). Deterministic —
+    the oracle reproduces it exactly in SQL.
     """
-    centroids = vecs.filter(F.col("vec_id") % centroid_mod == 0)
+    if centroids is None:
+        centroids = vecs.filter(F.col("vec_id") % centroid_mod == 0)
     assignment = ivf_assign(vecs, centroids)
     queries = vecs.filter(F.col("vec_id") < query_max_id)
 

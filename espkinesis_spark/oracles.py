@@ -103,18 +103,20 @@ SELECT vec_id, rnk, neighbor_id FROM (
 """
 
 
-def _kmeans_sql() -> str:
-    """Replay kmeans_train's exact trajectory: same init (vec_id < k), same
-    rounded-cosine argmin assignment (ties to lowest centroid id), same
-    6-dp-rounded per-dim mean update, for KMEANS_ITERS rounds."""
-    k, iters = C.KMEANS_K, C.KMEANS_ITERS
-
-    def assign(cent: str, name: str) -> str:
-        return f"""{name} AS (SELECT vec_id, centroid_id FROM (
+def _kmeans_assign_cte(cent: str, name: str) -> str:
+    return f"""{name} AS (SELECT vec_id, centroid_id FROM (
     SELECT x.vec_id, c.centroid_id,
            row_number() OVER (PARTITION BY x.vec_id
                               ORDER BY {_cos('x.e', 'c.c')} DESC, c.centroid_id) AS rn
     FROM v x CROSS JOIN {cent} c) WHERE rn = 1)"""
+
+
+def _kmeans_ctes() -> tuple[list[str], str]:
+    """CTE chain replaying kmeans_train's exact trajectory: same init
+    (vec_id < k), same rounded-cosine argmin assignment (ties to lowest
+    centroid id), same 6-dp-rounded per-dim mean update, for KMEANS_ITERS
+    rounds. Returns (parts, name-of-final-centroid-CTE)."""
+    k, iters = C.KMEANS_K, C.KMEANS_ITERS
 
     def update(a: str, name: str) -> str:
         return f"""{name} AS (SELECT centroid_id, array_agg(round(m, 6) ORDER BY dim) AS c FROM (
@@ -129,10 +131,15 @@ def _kmeans_sql() -> str:
     ]
     cur = "c0"
     for i in range(1, iters + 1):
-        parts.append(assign(cur, f"a{i}"))
+        parts.append(_kmeans_assign_cte(cur, f"a{i}"))
         parts.append(update(f"a{i}", f"c{i}"))
         cur = f"c{i}"
-    parts.append(assign(cur, "af"))
+    return parts, cur
+
+
+def _kmeans_sql() -> str:
+    parts, cur = _kmeans_ctes()
+    parts.append(_kmeans_assign_cte(cur, "af"))
     return (
         "WITH "
         + ",\n".join(parts)
@@ -142,6 +149,41 @@ SELECT c.centroid_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n,
        c.c AS centroid
 FROM {cur} c LEFT JOIN (SELECT centroid_id, count(*) AS n FROM af GROUP BY 1) s
      ON c.centroid_id = s.centroid_id"""
+    )
+
+
+def _ann_ivf_trained_sql() -> str:
+    """IVF probe (identical shape to _ann_ivf_sql) over the k-means-trained
+    centroid table instead of the vec_id % mod subsample."""
+    parts, cur = _kmeans_ctes()
+    cos_qc = _cos("q.e", "c.c")
+    cos_qn = _cos("q.e", "n.e")
+    parts.append(_kmeans_assign_cte(cur, "assign"))
+    parts.append(
+        f"""probes AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT q.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+    FROM v q CROSS JOIN {cur} c WHERE q.vec_id < {C.ANN_QUERY_MAX_ID}) WHERE rn <= {C.IVF_NPROBE})"""
+    )
+    parts.append(
+        """cand AS (SELECT p.vec_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+         WHERE p.vec_id <> a.vec_id)"""
+    )
+    parts.append(
+        f"""scored AS (SELECT cand.vec_id, cand.neighbor_id, {cos_qn} AS cos
+           FROM cand JOIN v q ON q.vec_id = cand.vec_id
+                     JOIN v n ON n.vec_id = cand.neighbor_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, rnk, neighbor_id FROM (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= {C.IVF_TOPK}"""
     )
 
 
@@ -810,6 +852,7 @@ GROUP BY source""",
                list_min(ql) AS min_q, list_max(ql) AS max_q
         FROM q""",
     "ex_kmeans": _kmeans_sql(),
+    "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_key_skew": """
         WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
         SELECT CAST(count(*) AS BIGINT) AS n_keys,

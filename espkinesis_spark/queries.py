@@ -1276,6 +1276,18 @@ def ex_kmeans(spark, sf_dir):
     )
 
 
+def ex_ann_ivf_trained(spark, sf_dir):
+    """The full ANN lifecycle on one plan: k-means-trained centroids feed
+    the IVF probe (train → index → query). Same probe shape as ex_ann_ivf;
+    only the centroid table changes — which is the point: a trained index
+    is a drop-in DataFrame swap, not a new engine path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_train(emb).select(
+        F.col("centroid_id").alias("vec_id"), F.col("c").alias("embedding")
+    )
+    return similarity.topk_ivf(emb, centroids=cents)
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1373,6 +1385,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_embed_quantize": ex_embed_quantize,
         "ex_kmeans": ex_kmeans,
         "ex_key_skew": ex_key_skew,
+        "ex_ann_ivf_trained": ex_ann_ivf_trained,
         # --- green driver rows already (CORRECTNESS_r01/r02) ---
         "ex_neardup_jaccard": ex_neardup_jaccard,
         "ex_rollup": ex_rollup,
