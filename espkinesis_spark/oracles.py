@@ -853,6 +853,9 @@ GROUP BY source""",
         FROM q""",
     "ex_kmeans": _kmeans_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
+    "st_vocab": f"""
+        WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token""",
     "ex_key_skew": """
         WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
         SELECT CAST(count(*) AS BIGINT) AS n_keys,

@@ -986,6 +986,14 @@ def st_override_asof(spark, sf_dir):
     return jobs.override_asof_stream(spark, sf_dir)
 
 
+def st_vocab(spark, sf_dir):
+    """Streaming corpus vocabulary: incrementally-maintained token counts
+    over the documents stream (vocab-sized state)."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.vocab_stream(spark, sf_dir)
+
+
 def st_session_window(spark, sf_dir):
     """Event-time session windows (30-min gap) per user."""
     from espkinesis_spark.streaming import jobs
@@ -1386,6 +1394,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_kmeans": ex_kmeans,
         "ex_key_skew": ex_key_skew,
         "ex_ann_ivf_trained": ex_ann_ivf_trained,
+        "st_vocab": st_vocab,
         # --- green driver rows already (CORRECTNESS_r01/r02) ---
         "ex_neardup_jaccard": ex_neardup_jaccard,
         "ex_rollup": ex_rollup,

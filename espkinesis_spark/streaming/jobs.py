@@ -169,6 +169,22 @@ def content_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_content_dedup_sink", "append")
 
 
+def vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus vocabulary: running token counts maintained
+    incrementally as documents arrive (complete-mode aggregation — state is
+    one row per distinct token, vocab-sized, not corpus-sized). Final table
+    equals the batch token count, so the DuckDB oracle is exact."""
+    from espkinesis_spark.functions.text import tokens
+
+    src = _documents_stream(spark, sf_dir)
+    out = (
+        src.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return _drain_to_memory(out, "st_vocab_sink", "complete")
+
+
 def ack_tracker_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A2 as a driver query: a deterministic ack stream derived from the
     events table (mac keyed by user_id % 8, ok unless event_id % 3 == 0)
