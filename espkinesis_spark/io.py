@@ -97,3 +97,43 @@ def save_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    target_files: int,
+    fmt: str = "parquet",
+) -> int:
+    """Compact a small-file-fragmented table to ``target_files`` files.
+
+    Long-running ingest (streaming sinks, per-batch appends) fragments a
+    table into thousands of tiny files; at scale the NameNode/listing cost
+    and per-file open overhead dominate reads. Compaction is a single
+    repartition-rewrite: read (schema-enforced), ``repartition(n)`` —
+    a round-robin shuffle that yields uniformly-sized files, deliberately
+    NOT ``coalesce`` which can skew file sizes and starve write
+    parallelism — then an atomic overwrite via a staging directory plus
+    rename, so concurrent readers never observe a half-written table.
+    Returns the file count after compaction.
+    """
+    import os
+    import shutil
+
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    staging = path.rstrip("/") + "__compact_staging"
+    read_table(spark, path, schema, fmt).repartition(target_files).write.mode(
+        "overwrite"
+    ).format(fmt).save(staging)
+    backup = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+    )

@@ -62,3 +62,22 @@ def test_bucketed_join_no_exchange(spark, events):
 def test_bad_format_rejected(spark, events):
     with pytest.raises(ValueError):
         eio.write_table(events, "/tmp/nope", fmt="xml")
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, events, tmp_path_factory):
+    import os
+
+    from espkinesis_spark.io import compact_table, read_table, write_table
+
+    path = str(tmp_path_factory.mktemp("compact") / "events")
+    # fragment: one file per partition, many partitions
+    write_table(events.repartition(24), path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 24
+    rows = events.count()
+    checksum = events.agg({"event_id": "sum"}).first()[0]
+    n_after = compact_table(spark, path, events.schema, target_files=4)
+    assert n_after == 4
+    compacted = read_table(spark, path, events.schema)
+    assert compacted.count() == rows
+    assert compacted.agg({"event_id": "sum"}).first()[0] == checksum
