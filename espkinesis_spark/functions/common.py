@@ -101,6 +101,10 @@ QUANT_LEVELS = 127
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
+# document chunking (characters)
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 50
+
 
 def minhash_salt(j: int) -> str:
     """Salt for the j-th MinHash permutation; md5(salt || shingle)."""

@@ -252,3 +252,59 @@ def vocab(df: DataFrame, text_col: str = "text", k: int = C.VOCAB_TOP_K) -> Data
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk: int = C.CHUNK_SIZE,
+    overlap: int = C.CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into overlapping character chunks (the standard
+    RAG/context-window prep): starts at 0, chunk-overlap, 2*(chunk-overlap)…
+    while inside the text. Output keeps (doc_id, chunk_id, chunk_start,
+    chunk_len, chunk_md5) — offsets + hash, so the chunk text itself never
+    inflates the result.
+
+    posexplode over a generated start sequence — a pure per-row fan-out
+    (no shuffle); output rows ≈ corpus_chars / (chunk - overlap).
+    """
+    step = chunk - overlap
+    if step <= 0:
+        raise ValueError("chunk must exceed overlap")
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    piece = F.substring(F.col(text_col), F.col("chunk_start") + 1, chunk)
+    return (
+        df.select("doc_id", text_col, F.posexplode(starts).alias("chunk_id", "chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.length(piece).cast("long").alias("chunk_len"),
+            F.md5(piece).alias("chunk_md5"),
+        )
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Score each document under a unigram LM trained on the corpus itself:
+    score = round(-avg(ln p(token)), 4) with p = corpus_count / total.
+
+    Scale shape: the LM is vocab-sized — built with one token groupBy, then
+    broadcast; scoring probes it map-side and reduces per doc_id. The only
+    corpus-sized shuffle is the per-doc average (scalar-narrow rows). This
+    is the classic model-based quality signal (high score = improbable
+    text) without any external model dependency.
+    """
+    tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    lm = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    total = lm.agg(F.sum("c").alias("t"))
+    probs = lm.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("c") / F.col("t")).alias("p")
+    )
+    return (
+        tok.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(F.round(-F.avg(F.log("p")), 4).alias("logprob_score"))
+    )

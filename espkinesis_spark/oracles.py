@@ -856,6 +856,23 @@ GROUP BY source""",
     "st_vocab": f"""
         WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents)
         SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token""",
+    "ex_chunk_docs": f"""
+        WITH s AS (SELECT doc_id, text,
+                   unnest(range(0, length(text), {C.CHUNK_SIZE - C.CHUNK_OVERLAP})) AS st,
+                   generate_subscripts(range(0, length(text), {C.CHUNK_SIZE - C.CHUNK_OVERLAP}), 1) - 1 AS cid
+                   FROM documents)
+        SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+               CAST(st AS BIGINT) AS chunk_start,
+               CAST(length(substr(text, CAST(st AS INT) + 1, {C.CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(st AS INT) + 1, {C.CHUNK_SIZE})) AS chunk_md5
+        FROM s""",
+    "ex_unigram_logprob": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
+        lm AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY tok),
+        tot AS (SELECT sum(c) AS tt FROM lm),
+        p AS (SELECT tok, c / tt AS p FROM lm CROSS JOIN tot)
+        SELECT doc_id, round(-avg(ln(p)), 4) AS logprob_score
+        FROM t JOIN p USING (tok) GROUP BY doc_id""",
     "ex_key_skew": """
         WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
         SELECT CAST(count(*) AS BIGINT) AS n_keys,

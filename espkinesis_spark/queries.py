@@ -1296,6 +1296,18 @@ def ex_ann_ivf_trained(spark, sf_dir):
     return similarity.topk_ivf(emb, centroids=cents)
 
 
+def ex_chunk_docs(spark, sf_dir):
+    """Overlapping character chunking with offsets + per-chunk md5 (RAG /
+    context-window prep). Pure per-row fan-out, no shuffle."""
+    return text.chunk_docs(_t(spark, sf_dir, "documents"))
+
+
+def ex_unigram_logprob(spark, sf_dir):
+    """Model-based quality scoring: each doc scored under a unigram LM
+    trained on the corpus (vocab-sized broadcast model)."""
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1395,6 +1407,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_key_skew": ex_key_skew,
         "ex_ann_ivf_trained": ex_ann_ivf_trained,
         "st_vocab": st_vocab,
+        "ex_chunk_docs": ex_chunk_docs,
+        "ex_unigram_logprob": ex_unigram_logprob,
         # --- green driver rows already (CORRECTNESS_r01/r02) ---
         "ex_neardup_jaccard": ex_neardup_jaccard,
         "ex_rollup": ex_rollup,
