@@ -74,18 +74,8 @@ def minhash_signatures(doc_shingles: DataFrame, k: int = C.MINHASH_K) -> DataFra
     return doc_shingles.withColumn("__h", h).groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(
-    signatures: DataFrame, bands: int = C.LSH_BANDS, rows: int = C.LSH_ROWS
-) -> DataFrame:
-    """Band the signatures and bucket-join for candidate pairs (a < b).
-
-    ``bands`` x ``rows`` consecutive sigs (default from common.py; tune per
-    corpus: more bands/fewer rows raises recall and candidate volume,
-    P(candidate | jaccard j) = 1 - (1 - j^rows)^bands); bucket key =
-    md5(band || sigs-in-band). The self-join is an equi-join on
-    (band, bucket) — at scale this is the *only* pairwise step and touches
-    only colliding docs.
-    """
+def _banded(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: bucket = md5(band || its sig slice)."""
     n_sigs = sum(c.startswith("sig") for c in signatures.columns)
     if bands * rows > n_sigs:
         raise ValueError(f"bands*rows = {bands * rows} exceeds {n_sigs} signatures")
@@ -104,9 +94,24 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = signatures.select("doc_id", F.explode(band_arr).alias("bb")).select(
+    return signatures.select("doc_id", F.explode(band_arr).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
+
+
+def lsh_candidates(
+    signatures: DataFrame, bands: int = C.LSH_BANDS, rows: int = C.LSH_ROWS
+) -> DataFrame:
+    """Band the signatures and bucket-join for candidate pairs (a < b).
+
+    ``bands`` x ``rows`` consecutive sigs (default from common.py; tune per
+    corpus: more bands/fewer rows raises recall and candidate volume,
+    P(candidate | jaccard j) = 1 - (1 - j^rows)^bands); bucket key =
+    md5(band || sigs-in-band). The self-join is an equi-join on
+    (band, bucket) — at scale this is the *only* pairwise step and touches
+    only colliding docs.
+    """
+    banded = _banded(signatures, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -529,3 +534,38 @@ def dedup_apply(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> Data
         .select("doc_id")
     )
     return docs.join(F.broadcast(drops), "doc_id", "left_anti")
+
+
+def neardup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = C.JACCARD_THRESHOLD,
+    bands: int = C.LSH_BANDS,
+    rows: int = C.LSH_ROWS,
+) -> DataFrame:
+    """Incremental near-dup: check an INCOMING batch against the EXISTING
+    corpus without re-pairing the corpus with itself — the production
+    ingest shape. The banded-signature join is new-batch × corpus on
+    (band, bucket), so candidate volume scales with the batch, never the
+    corpus squared; the corpus side is exactly the signature table a
+    pipeline keeps persisted (neardup_minhash_persisted). Intra-batch
+    duplicates are deliberately out of scope (run neardup_minhash on the
+    batch for those). Output (doc_new, doc_old, jaccard) above threshold.
+    """
+    sh_new, sh_old = shingles(new_docs), shingles(corpus_docs)
+    bn = _banded(minhash_signatures(sh_new), bands, rows)
+    bo = _banded(minhash_signatures(sh_old), bands, rows)
+    cands = (
+        bn.alias("a")
+        .join(bo.alias("b"), ["band", "bucket"])
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = exact_jaccard(cands, sh_new.union(sh_old))
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_old"),
+        "jaccard",
+    )

@@ -873,6 +873,21 @@ GROUP BY source""",
         p AS (SELECT tok, c / tt AS p FROM lm CROSS JOIN tot)
         SELECT doc_id, round(-avg(ln(p)), 4) AS logprob_score
         FROM t JOIN p USING (tok) GROUP BY doc_id""",
+    # exact cross-set Jaccard: every (new=src0, old=rest) pair over the
+    # threshold — the LSH path's miss probability at the corpus's >=0.8 dup
+    # gap is ~8e-8 (common.py band config), same evidence as ex_neardup_minhash
+    "ex_dedup_incremental": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN documents na ON na.doc_id = a.doc_id AND na.source = 'src0'
+               JOIN sh b ON a.s = b.s
+               JOIN documents nb ON nb.doc_id = b.doc_id AND nb.source <> 'src0'
+          GROUP BY 1, 2),
+j AS (SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db)
+SELECT da AS doc_new, db AS doc_old, jac AS jaccard
+FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
     "ex_key_skew": """
         WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
         SELECT CAST(count(*) AS BIGINT) AS n_keys,

@@ -1296,6 +1296,18 @@ def ex_ann_ivf_trained(spark, sf_dir):
     return similarity.topk_ivf(emb, centroids=cents)
 
 
+def ex_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: the src0 batch checked against the rest of
+    the corpus via a new×corpus banded-signature join — candidate volume
+    scales with the batch, never corpus². Intra-batch dups are out of
+    scope by design (that's ex_neardup_minhash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.neardup_incremental(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+    )
+
+
 def ex_chunk_docs(spark, sf_dir):
     """Overlapping character chunking with offsets + per-chunk md5 (RAG /
     context-window prep). Pure per-row fan-out, no shuffle."""
@@ -1409,6 +1421,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_vocab": st_vocab,
         "ex_chunk_docs": ex_chunk_docs,
         "ex_unigram_logprob": ex_unigram_logprob,
+        "ex_dedup_incremental": ex_dedup_incremental,
         # --- green driver rows already (CORRECTNESS_r01/r02) ---
         "ex_neardup_jaccard": ex_neardup_jaccard,
         "ex_rollup": ex_rollup,

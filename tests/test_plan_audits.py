@@ -116,3 +116,19 @@ def test_dedup_apply_broadcasts_drop_set(spark, sf_dir):
     df = _q(spark, sf_dir, "ex_dedup_apply")
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_chunk_docs_has_zero_shuffle(spark, sf_dir):
+    """Chunking is a pure per-row fan-out — no Exchange allowed."""
+    df = _q(spark, sf_dir, "ex_chunk_docs")
+    assert exchange_count(df) == 0
+
+
+def test_unigram_logprob_broadcasts_model(spark, sf_dir):
+    """The unigram LM must reach the scoring join as a broadcast (the model
+    is vocab-sized); the corpus-sized token stream is never shuffled for
+    the probe itself."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_unigram_logprob")
+    assert "BroadcastHashJoin" in physical_plan(df)
