@@ -78,3 +78,17 @@ def test_ensure_session_confs_idempotent(spark):
     ensure_session_confs(spark)
     for key, want in _RUNTIME_REQUIRED_CONFS.items():
         assert spark.conf.get(key) == want
+
+
+def test_round3_entries_on_vanilla_session(spark, sf_dir):
+    """Round-3 additions stay green on a driver-shaped session: one
+    events-touching entry (conf re-pin path) and one documents-touching
+    entry per wave."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    with _vanilla_confs(spark):
+        assert len(qs["ex_key_skew"](spark, sf_dir).collect()) == 1
+        assert len(qs["ex_quality_filter"](spark, sf_dir).collect()) > 0
+        assert len(qs["ex_dedup_incremental"](spark, sf_dir).collect()) >= 0
+        assert len(qs["ex_kmeans"](spark, sf_dir).collect()) > 0
