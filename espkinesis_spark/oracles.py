@@ -888,6 +888,22 @@ j AS (SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac
       FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db)
 SELECT da AS doc_new, db AS doc_old, jac AS jaccard
 FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
+    "ex_dq_checks": """
+        SELECT 'orders_pk_dups' AS chk,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_fk_orphans', CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders_custkey_orphans', CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'orders_nonpositive_price', CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_totalprice <= 0
+        UNION ALL
+        SELECT 'customer_null_name', CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_name IS NULL""",
     "ex_key_skew": """
         WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
         SELECT CAST(count(*) AS BIGINT) AS n_keys,

@@ -1296,6 +1296,29 @@ def ex_ann_ivf_trained(spark, sf_dir):
     return similarity.topk_ivf(emb, centroids=cents)
 
 
+def ex_dq_checks(spark, sf_dir):
+    """Data-quality constraint report (one row per check): primary-key
+    duplicates, foreign-key orphans (big-big left-anti joins — the honest
+    scale shape; no side is collectable), domain violations, null rates.
+    The expectation-suite primitive every ingest pipeline runs before
+    promoting a batch."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def one(name, df):
+        return df.select(F.lit(name).alias("chk"), F.col("violations"))
+
+    v = F.count("*").cast("long").alias("violations")
+    return (
+        one("orders_pk_dups", o.agg((F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("violations")))
+        .unionAll(one("lineitem_fk_orphans", li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti").agg(v)))
+        .unionAll(one("orders_custkey_orphans", o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti").agg(v)))
+        .unionAll(one("orders_nonpositive_price", o.filter(F.col("o_totalprice") <= 0).agg(v)))
+        .unionAll(one("customer_null_name", c.filter(F.col("c_name").isNull()).agg(v)))
+    )
+
+
 def ex_dedup_incremental(spark, sf_dir):
     """Incremental ingest dedup: the src0 batch checked against the rest of
     the corpus via a new×corpus banded-signature join — candidate volume
@@ -1422,6 +1445,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_chunk_docs": ex_chunk_docs,
         "ex_unigram_logprob": ex_unigram_logprob,
         "ex_dedup_incremental": ex_dedup_incremental,
+        "ex_dq_checks": ex_dq_checks,
         # --- green driver rows already (CORRECTNESS_r01/r02) ---
         "ex_neardup_jaccard": ex_neardup_jaccard,
         "ex_rollup": ex_rollup,
