@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from espkinesis_spark import queries
@@ -20,52 +21,67 @@ def main() -> None:
     spark = get_spark(app_name="espkinesis_bench")
 
     registry = queries.registry()
-    # warm up the JVM / parquet footers once
-    registry["dq13"](spark, sf_dir).collect()
-    # ... and the Python worker pool (first pandas/Arrow query otherwise pays
-    # the ~2s daemon spawn inside its measured time)
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, schema="id long"
-    ).write.mode("overwrite").format("noop").save()
-    # ... and the command-stream replay fixture (one-time materialization is
-    # fixture prep, not the command plane under measurement)
-    from espkinesis_spark.streaming.jobs import _command_lines_dir
+    # Warm-ups are best-effort: a broken warm-up should degrade timings, not
+    # kill the bench (the JSON line must always be emitted).
+    try:
+        # warm up the JVM / parquet footers once
+        registry["dq13"](spark, sf_dir).collect()
+        # ... and the Python worker pool (first pandas/Arrow query otherwise
+        # pays the ~2s daemon spawn inside its measured time)
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.mode("overwrite").format("noop").save()
+        # ... and the command-stream replay fixture (one-time materialization
+        # is fixture prep, not the command plane under measurement)
+        from espkinesis_spark.streaming.jobs import _command_lines_dir
 
-    cmd_dir = _command_lines_dir(spark, sf_dir)
-    # ... and the streaming machinery (FileStreamSource, state store, memory
-    # sink) so the alphabetically-first st_* query isn't charged session setup
-    warm = (
-        spark.readStream.schema("cmd_id long, ts timestamp, raw string")
-        .parquet(cmd_dir)
-        .groupBy()
-        .count()
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("__bench_warm")
-        .trigger(availableNow=True)
-        .start()
-    )
-    warm.awaitTermination()
+        cmd_dir = _command_lines_dir(spark, sf_dir)
+        # ... and the streaming machinery (FileStreamSource, state store,
+        # memory sink) so the alphabetically-first st_* query isn't charged
+        # session setup
+        warm = (
+            spark.readStream.schema("cmd_id long, ts timestamp, raw string")
+            .parquet(cmd_dir)
+            .groupBy()
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("__bench_warm")
+            .trigger(availableNow=True)
+            .start()
+        )
+        warm.awaitTermination()
+    except Exception as exc:  # noqa: BLE001
+        # stderr — stdout must carry exactly the one JSON line
+        print(f"warm-up failed (continuing unwarmed): {exc}", file=sys.stderr)
 
+    # Per-query error isolation: one broken query must not destroy the whole
+    # bench artifact (round 4's bench died mid-loop on a single
+    # AnalysisException and produced no numbers at all). Failures are
+    # recorded in "errors" and the JSON line is ALWAYS printed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry):
         start = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
+        try:
+            df = registry[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -516,16 +516,30 @@ def _dedup_clusters_star(pairs: DataFrame, max_iters: int, checkpoint: str) -> D
     ).select(F.col("u").alias("doc_id"), "cluster_id")
 
 
-def dedup_apply(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> DataFrame:
+# Corpus-scan size below which dedup_apply's drop set is safely broadcast-
+# sized (drop set ≤ corpus keys; a ≤256 MB corpus cannot yield a drop set
+# that troubles a 10 MB-order broadcast of bare int64 keys).
+DEDUP_APPLY_BROADCAST_BYTES = 256 << 20
+
+
+def dedup_apply(
+    docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD, impl: str = "auto"
+) -> DataFrame:
     """Full near-dup dedup pass applied to the corpus: LSH near-dup pairs →
     connected components → keep the min-doc_id canonical per cluster, drop
     every other member. Returns the surviving documents (original schema).
 
-    The drop set is duplicate-sized (tiny relative to the corpus), so it is
-    broadcast into a left-anti join — the corpus scan itself is never
-    shuffled. At 100 TB the pairs/cluster stages run their own bucketed
-    shapes (see neardup_minhash_persisted / dedup_clusters); this final
-    subtraction stays a map-side probe either way.
+    ``impl='broadcast'``: map-side probe — the drop set broadcasts into a
+    left-anti join and the corpus scan is never shuffled. Right shape only
+    while the drop set is executor-memory-sized.
+    ``impl='shuffle'``: plain shuffled left-anti — the 100 TB shape. At
+    web-scale dup rates (30-50%) the drop set is corpus-scale; forcing a
+    broadcast there OOMs every executor, while the shuffle costs one
+    exchange of bare (doc_id) keys.
+    ``impl='auto'`` (default): route on Catalyst's size estimate of the
+    corpus scan (a reliable parquet stat, unlike the multi-stage drop-set
+    plan whose estimate degrades to a sentinel): small corpus → broadcast,
+    else shuffle. Mirrors assign_ids' plan-size routing.
     """
     pairs = neardup_minhash(docs, threshold)
     drops = (
@@ -533,7 +547,20 @@ def dedup_apply(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> Data
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
-    return docs.join(F.broadcast(drops), "doc_id", "left_anti")
+    if impl == "auto":
+        from espkinesis_spark.plans.audit import plan_size_bytes
+
+        size = plan_size_bytes(docs)
+        impl = (
+            "broadcast"
+            if size is not None and size <= DEDUP_APPLY_BROADCAST_BYTES
+            else "shuffle"
+        )
+    if impl == "broadcast":
+        return docs.join(F.broadcast(drops), "doc_id", "left_anti")
+    # hint AGAINST broadcast so AQE keeps the exchange even if the drop
+    # set's runtime stats look small mid-query
+    return docs.join(drops.hint("shuffle_hash"), "doc_id", "left_anti")
 
 
 def neardup_incremental(

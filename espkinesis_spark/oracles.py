@@ -578,9 +578,10 @@ ORACLES: dict[str, str] = {
         FROM (SELECT *, epoch_us(ts) // 1000000 AS tsec FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY tsec
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
-    "ex_array_agg": """SELECT l_orderkey, lines,
+    "ex_array_agg": """SELECT l_orderkey,
+        array_to_string(lines, ',') AS lines_csv,
         CAST(len(lines) AS BIGINT) AS n,
-        list_slice(lines, 1, 2) AS first2,
+        array_to_string(list_slice(lines, 1, 2), ',') AS first2_csv,
         list_contains(lines, 1) AS has1,
         list_max(lines) AS mx
         FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
@@ -747,12 +748,13 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM t JOIN b USING (s) GROUP BY doc_id""",
     "ex_label_centroids": """WITH per AS (
             SELECT label, CAST(i AS INT) AS dim,
-                   avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS m
+                   avg(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)) AS m_raw
             FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
             GROUP BY 1, 2)
-        SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
-               array_agg(round(m, 6) ORDER BY dim) AS centroid
-        FROM per GROUP BY label""",
+        SELECT label, dim, round(m_raw, 6) AS m,
+               round(sqrt(sum(m_raw * m_raw) OVER (PARTITION BY label)), 6)
+                   AS centroid_norm
+        FROM per""",
     # --- round 3 additions ---
     "ex_pii_scrub": f"""
         WITH a AS (SELECT doc_id,

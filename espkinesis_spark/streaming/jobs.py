@@ -25,13 +25,32 @@ from espkinesis_spark.session import ensure_session_confs
 from espkinesis_spark.streaming import state as st
 from espkinesis_spark.tables import SCHEMAS, table_path
 
-# on-disk schema: ts is TIMESTAMP(NANOS) -> long (see tables.load_table)
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        f if f.name != "ts" else T.StructField("ts", T.LongType())
-        for f in SCHEMAS["events"].fields
-    ]
-)
+def _events_raw_schema(ts_dtype: str) -> T.StructType:
+    """Stream-reader schema matching the on-disk ``ts`` encoding.
+
+    FileStreamSource needs an explicit schema, so unlike the batch edge
+    (tables._normalize_timestamps, which adapts to the footer) we must
+    probe the encoding first and declare the matching raw type: nanos →
+    long, µs-NTZ → timestamp_ntz, µs/ms-UTC → timestamp.
+    """
+    raw = {
+        "bigint": T.LongType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }.get(ts_dtype, T.TimestampType())
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", raw)
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+
+
+def _normalize_ts(df: DataFrame, ts_dtype: str) -> DataFrame:
+    if ts_dtype == "bigint":  # nanos-as-long; testdata is µs-aligned
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dtype == "timestamp_ntz":  # pure reinterpretation under UTC zone
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _ensure_symlink(src_file: str, link: str) -> None:
@@ -58,8 +77,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stream_dir, exist_ok=True)
     _ensure_symlink(src_file, os.path.join(stream_dir, "events.parquet"))
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # probe the on-disk ts encoding via a footer-only batch read, then
+    # declare the matching stream schema and normalize at the edge
+    ts_dtype = dict(spark.read.parquet(src_file).dtypes)["ts"]
+    raw = spark.readStream.schema(_events_raw_schema(ts_dtype)).parquet(stream_dir)
+    return _normalize_ts(raw, ts_dtype)
 
 
 def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:

@@ -130,26 +130,97 @@ def split_decoded_frames(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     return frames, dead
 
 
+# The two public Spark Kinesis connectors and their (differing) option
+# vocabularies. "kinesis" = the spark-sql-kinesis (Qubole-lineage) connector;
+# "aws-kinesis" = AWS Labs' spark-streaming-sql-kinesis-connector. Both emit
+# the same record shape (data binary + approximateArrivalTimestamp), so the
+# decode stage downstream is connector-agnostic.
+KINESIS_CONNECTOR_FORMATS = ("kinesis", "aws-kinesis")
+
+# Session conf that selects the frame-source binding; "file" (default) is the
+# in-sandbox replay path — no network, no connector jar.
+SOURCE_CONF_KEY = "spark.espkinesis.frames.source"
+
+
+def kinesis_reader_options(
+    stream_name: str,
+    region: str = "us-east-1",
+    endpoint: str | None = None,
+    connector: str = "kinesis",
+    position: str = "latest",
+) -> tuple[str, dict[str, str]]:
+    """(format, options) for a Kinesis structured-streaming reader.
+
+    Pure — no SparkSession — so the binding is unit-testable without the
+    connector jar or network. Each connector names its options differently:
+
+      * ``kinesis``:     streamName / region / endpointUrl / initialPosition
+      * ``aws-kinesis``: kinesis.streamName / kinesis.region /
+                         kinesis.endpointUrl / kinesis.startingPosition
+                         (+ kinesis.consumerType=GetRecords)
+    """
+    if connector not in KINESIS_CONNECTOR_FORMATS:
+        raise ValueError(
+            f"unknown kinesis connector {connector!r}; known: {KINESIS_CONNECTOR_FORMATS}"
+        )
+    if connector == "kinesis":
+        opts = {
+            "streamName": stream_name,
+            "region": region,
+            "initialPosition": position,
+        }
+        if endpoint:
+            opts["endpointUrl"] = endpoint
+    else:
+        opts = {
+            "kinesis.streamName": stream_name,
+            "kinesis.region": region,
+            "kinesis.consumerType": "GetRecords",
+            "kinesis.startingPosition": position.upper(),
+        }
+        if endpoint:
+            opts["kinesis.endpointUrl"] = endpoint
+    return connector, opts
+
+
 def kinesis_frames(
     spark: SparkSession,
     stream_name: str,
     region: str = "us-east-1",
     endpoint: str | None = None,
+    connector: str = "kinesis",
 ) -> DataFrame:
     """Kinesis ingestion (S1/S3 production path).
 
-    Uses the spark-sql-kinesis connector (`format("kinesis")`); the
-    connector jar is NOT in this container, so constructing the reader
-    raises at stream start — the decode stage (``decode_kinesis_payload``)
-    and everything downstream are identical to the file-replay path the
-    tests exercise.
+    The connector jar is NOT in this container, so the stream raises at
+    start — but the reader construction, option vocabulary, and the decode
+    stage (``decode_kinesis_payload``) are exactly what runs with the jar on
+    the classpath, and everything downstream is identical to the
+    file-replay path the tests exercise.
     """
-    reader = (
-        spark.readStream.format("kinesis")
-        .option("streamName", stream_name)
-        .option("region", region)
-        .option("initialPosition", "latest")
-    )
-    if endpoint:
-        reader = reader.option("endpointUrl", endpoint)
+    fmt, opts = kinesis_reader_options(stream_name, region, endpoint, connector)
+    reader = spark.readStream.format(fmt)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     return decode_kinesis_payload(reader.load())
+
+
+def frames_source(
+    spark: SparkSession,
+    replay_path: str | None = None,
+    stream_name: str | None = None,
+    **kinesis_kwargs,
+) -> DataFrame:
+    """S1 frame source behind one switch: ``spark.espkinesis.frames.source``
+    selects ``file`` (replay dir, the in-sandbox default) or a Kinesis
+    connector format; production flips the conf, the downstream plan is
+    unchanged (BASELINE.md north star: Structured Streaming + Kinesis).
+    """
+    binding = spark.conf.get(SOURCE_CONF_KEY, "file")
+    if binding == "file":
+        if replay_path is None:
+            raise ValueError(f"{SOURCE_CONF_KEY}=file needs replay_path")
+        return file_stream(spark, replay_path, FRAME_SCHEMA)
+    if stream_name is None:
+        raise ValueError(f"{SOURCE_CONF_KEY}={binding} needs stream_name")
+    return kinesis_frames(spark, stream_name, connector=binding, **kinesis_kwargs)

@@ -136,23 +136,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Normalize every timestamp column to plain ``TimestampType`` (µs, UTC
+    session semantics) regardless of how the parquet writer encoded it.
+
+    Real parquet arrives in any of: TIMESTAMP(NANOS) (Spark has no ns type —
+    read as long via ``spark.sql.legacy.parquet.nanosAsLong``),
+    TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=true) (reads as ``timestamp``),
+    or isAdjustedToUTC=false (reads as ``timestamp_ntz``). Downstream code
+    must see exactly one type, so all conversion happens at this edge —
+    round 4 proved that skipping this breaks every ``ts`` consumer when the
+    writer's encoding changes. Under the pinned UTC session zone the
+    NTZ→timestamp cast is a pure reinterpretation (same wall clock, same
+    instant), matching DuckDB's naive-timestamp semantics in the oracle.
+    """
+    declared = {f.name for f in SCHEMAS[name].fields if isinstance(f.dataType, T.TimestampType)}
+    for col, dtype in df.dtypes:
+        if col not in declared:
+            continue
+        if dtype == "bigint":
+            # nanos-as-long; testdata is µs-aligned so `div 1000` is exact
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        # "timestamp" (µs- or ms-UTC) passes through untouched
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table. Column pruning + predicate pushdown are
-    preserved by reading the footer schema directly (no cast barrier).
-
-    ``events.ts`` is TIMESTAMP(NANOS) on disk; Spark (µs precision) reads it
-    as long via ``spark.sql.legacy.parquet.nanosAsLong`` and we convert at
-    this ingestion edge. The testdata is µs-aligned, so `div 1000` is exact.
-    """
+    preserved by reading the footer schema directly (no cast barrier for
+    already-normal columns; only non-standard timestamp encodings get a
+    conversion projection)."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     # The caller may hand us an externally-built session (the driver harness
     # does); pin the confs results depend on before the first scan.
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_timestamps(df, name)
 
 
 def load_tables(

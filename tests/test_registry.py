@@ -12,13 +12,15 @@ from espkinesis_spark.functions.registry import (
 from espkinesis_spark.tables import load_table
 
 
-def test_registry_prefix_window_rotates_unchecked_entries():
+def test_registry_prefix_window_covers_unproven_entries():
     """Correctness harnesses may sample a 50-entry prefix of queries();
-    dq01-25 stay pinned, and the remaining 25 window slots must hold ONLY
-    entries without a prior GREEN driver CORRECTNESS row (VERDICT r2
-    task 1) — otherwise the long tail never earns hard driver evidence.
-    A red/errored row (e.g. the four round-1 nanos casualties) is not
-    evidence, so those entries stay eligible for the window."""
+    the round-5 invariant is coverage-priority ordering: every entry
+    WITHOUT a green driver row in any committed CORRECTNESS_r*.json must
+    sit inside the 50-entry prefix window — otherwise the long tail never
+    earns hard driver evidence. (A red/errored row is not evidence.)
+    Already-proven entries may also appear in the window (pinned flagship
+    canaries + oldest-evidence re-verification), but never at the expense
+    of an unproven entry."""
     import json
     import pathlib
 
@@ -26,8 +28,7 @@ def test_registry_prefix_window_rotates_unchecked_entries():
 
     names = list(entry.queries())
     assert len(names) == len(set(names))
-    first50 = names[:50]
-    assert all(n in set(first50) for n in names if n.startswith("dq"))
+    first50 = set(names[:50])
     proven = set()
     for artifact in pathlib.Path(__file__).resolve().parent.parent.glob(
         "CORRECTNESS_r*.json"
@@ -40,10 +41,9 @@ def test_registry_prefix_window_rotates_unchecked_entries():
                 and not row.get("err")
             ):
                 proven.add(name)
-    rotated = [n for n in first50 if not n.startswith("dq")]
-    assert len(rotated) == 25
-    stale = [n for n in rotated if n in proven]
-    assert stale == [], f"window wastes slots on already-proven entries: {stale}"
+    unproven = [n for n in names if n not in proven]
+    missed = [n for n in unproven if n not in first50]
+    assert missed == [], f"unproven entries outside the prefix window: {missed}"
     # every queries() entry has a DuckDB oracle — no rows-only checks left
     # (the former multimodal decode stubs are real codecs with oracles now)
     oracles = entry.oracle_sql()

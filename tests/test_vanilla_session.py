@@ -37,16 +37,27 @@ def _vanilla_confs(spark):
                 spark.conf.set(key, val)
 
 
-def test_events_scan_fails_without_pin(spark, sf_dir):
-    """Precondition: the stripped session really reproduces the driver bug
-    (otherwise the main test below proves nothing)."""
+def test_nanos_scan_fails_without_pin(spark, sf_dir, tmp_path):
+    """Precondition: a vanilla session really does choke on a NANOS-encoded
+    file (otherwise the conf-pinning tests below prove nothing). The live
+    testdata's encoding changes between rounds (r4: nanos → µs-NTZ), so the
+    nanos fixture is written here rather than assumed on disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from espkinesis_spark.tables import table_path
 
+    src = pq.read_table(table_path(sf_dir, "events"))
+    idx = src.schema.get_field_index("ts")
+    nanos = src.set_column(
+        idx, "ts", src.column("ts").cast(pa.timestamp("ns"))
+    )
+    path = str(tmp_path / "events_nanos.parquet")
+    pq.write_table(nanos, path, version="2.6")
     with _vanilla_confs(spark):
         with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):
-            spark.read.parquet(table_path(sf_dir, "events")).collect()
+            spark.read.parquet(path).collect()
 
 
 def test_entry_queries_on_vanilla_session(spark, sf_dir):
