@@ -146,9 +146,9 @@ def _kmeans_sql() -> str:
         + f"""
 SELECT c.centroid_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n,
        round(sqrt(list_dot_product(c.c, c.c)), 6) AS centroid_norm,
-       c.c AS centroid
+       CAST(i AS INT) AS dim, round(c.c[CAST(i AS INT) + 1], 6) AS x
 FROM {cur} c LEFT JOIN (SELECT centroid_id, count(*) AS n FROM af GROUP BY 1) s
-     ON c.centroid_id = s.centroid_id"""
+     ON c.centroid_id = s.centroid_id, UNNEST(range(len(c.c))) AS t(i)"""
     )
 
 

@@ -1269,9 +1269,12 @@ def ex_embed_quantize(spark, sf_dir):
 
 def ex_kmeans(spark, sf_dir):
     """Trained IVF centroids: 2 Lloyd rounds from deterministic init, then
-    one final assignment for cluster sizes. Output per centroid: member
-    count, norm, and the (6-dp-rounded) centroid itself — the oracle
-    replays the identical trajectory in SQL."""
+    one final assignment for cluster sizes. Output is one row per
+    (centroid_id, dim) with member count, norm, and the 6-dp-rounded
+    component — scalar columns only, so the driver's canonicalizer can
+    sort/hash it (raw array<double> columns cannot be factorized by
+    pandas; same landmine as ex_label_centroids). The oracle replays the
+    identical trajectory in SQL."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_train(emb)
     assign = similarity.ivf_assign(
@@ -1279,13 +1282,19 @@ def ex_kmeans(spark, sf_dir):
         cents.select(F.col("centroid_id").alias("vec_id"), F.col("c").alias("embedding")),
     )
     sizes = assign.groupBy("centroid_id").agg(F.count("*").cast("long").alias("n"))
-    return cents.join(sizes, "centroid_id", "left").select(
-        "centroid_id",
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
-        F.round(
-            F.sqrt(F.aggregate("c", F.lit(0.0), lambda a, x: a + x * x)), 6
-        ).alias("centroid_norm"),
-        F.col("c").alias("centroid"),
+    return (
+        cents.join(sizes, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.round(
+                F.sqrt(F.aggregate("c", F.lit(0.0), lambda a, x: a + x * x)), 6
+            ).alias("centroid_norm"),
+            F.posexplode("c").alias("dim", "x_raw"),
+        )
+        .select(
+            "centroid_id", "n", "centroid_norm", "dim", F.round("x_raw", 6).alias("x")
+        )
     )
 
 

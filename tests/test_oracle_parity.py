@@ -18,6 +18,21 @@ def duck(sf_dir):
     con.close()
 
 
+def _assert_driver_hashable(df, name):
+    """The driver gate canonicalizes results with pandas sort_values over
+    every column — array/map/struct cells are unhashable there (the
+    ex_label_centroids r3/r4 failure shape), so declared outputs must be
+    scalar-only even though our own comparator could normalize them."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name} emits driver-unhashable columns: {bad}"
+
+
 def test_inventory_covered():
     reg = set(queries.registry())
     missing = set(oracles.ORACLES) - reg
@@ -28,6 +43,7 @@ def test_inventory_covered():
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     sdf = queries.registry()[name](spark, sf_dir)
+    _assert_driver_hashable(sdf, name)
     ddf = duck.execute(oracles.ORACLES[name]).df()
     compare(sdf, ddf)
 
@@ -35,5 +51,6 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = queries.registry()[name](spark, sf_dir)
+    _assert_driver_hashable(df, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
