@@ -105,6 +105,13 @@ KMEANS_ITERS = 2
 CHUNK_SIZE = 200
 CHUNK_OVERLAP = 50
 
+# exact-substring span dedup (Lee et al. 2022 shape): window length in
+# tokens, and the base encoding a total first-occurrence order as
+# ord = doc_id * SPAN_ORD_BASE + pos (pos is bounded by tokens-per-doc,
+# far below the base; doc_id * base stays inside int64 for doc_id < ~9e12)
+SPAN_TOKENS = 10
+SPAN_ORD_BASE = 1_000_000
+
 
 def minhash_salt(j: int) -> str:
     """Salt for the j-th MinHash permutation; md5(salt || shingle)."""

@@ -596,3 +596,50 @@ def neardup_incremental(
         F.col("doc_b").alias("doc_old"),
         "jaccard",
     )
+
+
+def dup_spans(
+    docs: DataFrame, span: int = C.SPAN_TOKENS, text_col: str = "text"
+) -> DataFrame:
+    """Per-document exact-substring duplication report.
+
+    Emits, for every document with >= ``span`` tokens: ``n_spans`` (token
+    windows), ``n_dup`` (windows whose text recurs anywhere else in the
+    corpus — other doc or other position), ``n_cut`` (occurrences that are
+    not the corpus-wide FIRST occurrence; exactly what an exact-substring
+    dedup pass removes), and ``dup_ratio``.
+
+    Scale shape: explode to (doc_id, pos, md5(span)) — a pure narrow map —
+    then ONE shuffle on the span hash (window count + min-ord share the
+    same partitioning) and one groupBy(doc_id) for the report. No joins,
+    no driver data. At 100 TB the span hash is uniformly distributed, so
+    no salting is needed; hot spans (boilerplate) skew only the count
+    window, which AQE's skew handling splits.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    spans_expr = F.expr(
+        f"transform(sequence(1, size(__toks) - {span} + 1),"
+        f" i -> md5(concat_ws(' ', slice(__toks, i, {span}))))"
+    )
+    occ = (
+        docs.withColumn("__toks", toks)
+        .filter(F.size("__toks") >= span)
+        .select("doc_id", F.posexplode(spans_expr).alias("__p0", "__h"))
+        # posexplode is 0-based; the oracle's range() is 1-based
+        .select("doc_id", (F.col("__p0") + 1).alias("pos"), "__h")
+    )
+    w = Window.partitionBy("__h")
+    ordv = F.col("doc_id") * C.SPAN_ORD_BASE + F.col("pos")
+    marked = occ.select(
+        "doc_id",
+        (F.count("*").over(w) > 1).cast("int").alias("__is_dup"),
+        (ordv != F.min(ordv).over(w)).cast("int").alias("__is_cut"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("__is_dup").cast("long").alias("n_dup"),
+        F.sum("__is_cut").cast("long").alias("n_cut"),
+        F.round(F.sum("__is_dup") / F.count("*"), 4).alias("dup_ratio"),
+    )

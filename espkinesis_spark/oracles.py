@@ -853,6 +853,27 @@ GROUP BY source""",
                list_reduce(list_prepend(CAST(0 AS BIGINT), ql), (a, b) -> a + b) AS sum_q,
                list_min(ql) AS min_q, list_max(ql) AS max_q
         FROM q""",
+    # mirror of dedup.dup_spans: same tokenizer, md5(span text) hash, and
+    # doc_id*BASE+pos first-occurrence order
+    "ex_dup_spans": f"""
+        WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+        sp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                      md5(array_to_string(
+                          list_slice(toks, CAST(i AS INT), CAST(i AS INT) + {C.SPAN_TOKENS - 1}),
+                          ' ')) AS h
+               FROM t, UNNEST(range(1, len(toks) - {C.SPAN_TOKENS} + 2)) AS u(i)
+               WHERE len(toks) >= {C.SPAN_TOKENS}),
+        g AS (SELECT doc_id, pos, h,
+                     count(*) OVER (PARTITION BY h) AS cnt,
+                     min(doc_id * {C.SPAN_ORD_BASE} + pos) OVER (PARTITION BY h) AS mn
+              FROM sp)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               CAST(sum(CASE WHEN doc_id * {C.SPAN_ORD_BASE} + pos <> mn THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cut,
+               round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
+        FROM g GROUP BY doc_id""",
     "ex_kmeans": _kmeans_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "st_vocab": f"""

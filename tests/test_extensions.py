@@ -250,3 +250,44 @@ def test_lsh_band_tuning_recall_tradeoff(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         dedup.lsh_candidates(sigs, bands=20, rows=4)
+
+
+def test_dup_spans_constructed_corpus(spark):
+    """Hand-built corpus with known span overlaps: doc 1 and doc 2 share
+    their full 10-token text (doc 2's occurrence is the cut one); doc 3 is
+    unique; doc 4 repeats doc 1's window at a different position inside a
+    12-token text. Short docs (<10 tokens) emit no report row."""
+    from espkinesis_spark.functions import dedup
+
+    base = "a b c d e f g h i j"  # exactly 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate -> its 1 span is dup + cut
+            (3, "k l m n o p q r s t"),  # unique 10 tokens
+            (4, "x y " + base),  # 12 tokens: spans at pos 1..3; pos 3 == base
+            (5, "too short"),  # 2 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.dup_spans(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_spans"], out[1]["n_dup"], out[1]["n_cut"]) == (1, 1, 0)
+    assert (out[2]["n_spans"], out[2]["n_dup"], out[2]["n_cut"]) == (1, 1, 1)
+    assert (out[3]["n_spans"], out[3]["n_dup"], out[3]["n_cut"]) == (1, 0, 0)
+    # doc 4: 3 spans, only the one equal to `base` (pos 3) is dup+cut
+    assert (out[4]["n_spans"], out[4]["n_dup"], out[4]["n_cut"]) == (3, 1, 1)
+    assert out[2]["dup_ratio"] == 1.0 and out[4]["dup_ratio"] == 0.3333
+
+
+def test_dup_spans_single_shuffle_plan(spark, sf_dir):
+    """Scale audit: the span-window stage must reuse ONE exchange on the
+    span hash (count + min-ord windows share the partitioning); no joins."""
+    from espkinesis_spark.functions import dedup
+    from espkinesis_spark.plans import audit
+    from espkinesis_spark.tables import load_table
+
+    plan = audit.physical_plan(dedup.dup_spans(load_table(spark, sf_dir, "documents")))
+    assert "Join" not in plan
+    # exactly two exchanges: one on the span hash, one for groupBy(doc_id)
+    assert plan.count("Arguments: hashpartitioning") == 2
