@@ -596,6 +596,12 @@ ORACLES: dict[str, str] = {
         CAST(3000 AS BIGINT) AS ttl
         FROM events""",
     # -- streaming entries: checked against their batch analogs -------------
+    # delivery round-trip: if the keyed foreachBatch sink delivered every
+    # source row exactly once, the read-back aggregate equals the direct one
+    "st_sink_roundtrip": """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        round(sum(value), 4) AS sum_v,
+        CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type""",
     "st_latest_user": """SELECT user_id, event_type, value FROM (
         SELECT user_id, event_type, value,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

@@ -1000,6 +1000,15 @@ def st_vocab(spark, sf_dir):
     return jobs.vocab_stream(spark, sf_dir)
 
 
+def st_sink_roundtrip(spark, sf_dir):
+    """K1/K2 delivery round-trip: events through the keyed foreachBatch
+    sink into parquet, read back and aggregated — the value hash vs the
+    source-table oracle asserts exactly-once-complete delivery."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.sink_roundtrip_stream(spark, sf_dir)
+
+
 def st_session_window(spark, sf_dir):
     """Event-time session windows (30-min gap) per user."""
     from espkinesis_spark.streaming import jobs
@@ -1455,12 +1464,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_shipping_priority": ex_shipping_priority,
         "ex_exists_shipped": ex_exists_shipped,
         "ex_dedup_exact": ex_dedup_exact,
-        "ex_minhash_sig": ex_minhash_sig,
-        # round-5 addition: new (unproven) entries must sit in the window
-        # (tests/test_registry.py), so it takes the last oldest-evidence
-        # slot; ex_neardup_minhash (r2 green) moves to the tail.
+        # round-5 additions: new (unproven) entries must sit in the window
+        # (tests/test_registry.py), so they take the last oldest-evidence
+        # slots; ex_minhash_sig / ex_neardup_minhash (r2 green) move to
+        # the tail.
         "ex_dup_spans": ex_dup_spans,
+        "st_sink_roundtrip": st_sink_roundtrip,
         # --- tail: the remaining reference queries (4 green rows each) ---
+        "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
         "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
         "dq06": dq06, "dq07": dq07, "dq08": dq08, "dq10": dq10, "dq11": dq11,

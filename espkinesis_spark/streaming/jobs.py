@@ -361,3 +361,46 @@ def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return _drain_to_memory(out, "st_command_plane_sink", "complete")
+
+
+def sink_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 driver-checkable delivery round-trip: the events stream goes
+    through the keyed ``foreachBatch`` sink (per-key repartitioned delivery,
+    the per-MAC radio-send shape) whose callback lands each batch in
+    parquet, then the DELIVERED files are read back and aggregated. The
+    oracle computes the same aggregate over the source table directly, so
+    the value-hash asserts exactly-once-complete delivery — every source
+    row shipped, none duplicated — not just that a sink ran.
+    """
+    import shutil
+
+    from espkinesis_spark.streaming.sinks import keyed_foreach_batch_sink
+
+    src = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="espk_sink_rt_")
+    data_dir = os.path.join(out_dir, "delivered")
+
+    def deliver(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(data_dir)
+
+    query = keyed_foreach_batch_sink(
+        src.select("event_id", "user_id", "event_type", "value"),
+        deliver,
+        key_col="user_id",
+        available_now=True,
+        checkpoint=os.path.join(out_dir, "ckpt"),
+        query_name="st_sink_roundtrip",
+    )
+    query.awaitTermination()
+    delivered = (
+        spark.read.parquet(data_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.countDistinct("event_id").cast("long").alias("n_distinct"),
+        )
+    )
+    out = delivered.localCheckpoint(eager=True)  # detach from the tmp files
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
