@@ -596,6 +596,21 @@ ORACLES: dict[str, str] = {
         CAST(3000 AS BIGINT) AS ttl
         FROM events""",
     # -- streaming entries: checked against their batch analogs -------------
+    # S3/F1 wire round-trip: recompute the deterministic channel arithmetic
+    # directly — the Spark side must recover exactly these values from the
+    # 16-byte binary frames, and route exactly the %97 truncations to dead
+    "ex_frame_decode": f"""
+        WITH base AS (
+            SELECT event_type, (event_id % 97 = 0) AS malformed,
+                   ({' + '.join(f'(1000 + (event_id * 7 + {i * 131}) % 1001)' for i in range(8))})
+                       AS row_sum
+            FROM events)
+        SELECT event_type,
+               CAST(sum(CASE WHEN NOT malformed THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               CAST(sum(CASE WHEN malformed THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+               CAST(sum(CASE WHEN NOT malformed THEN row_sum ELSE 0 END) AS BIGINT)
+                   AS checksum
+        FROM base GROUP BY event_type""",
     # delivery round-trip: if the keyed foreachBatch sink delivered every
     # source row exactly once, the read-back aggregate equals the direct one
     "st_sink_roundtrip": """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -1000,6 +1000,43 @@ def st_vocab(spark, sf_dir):
     return jobs.vocab_stream(spark, sf_dir)
 
 
+def ex_frame_decode(spark, sf_dir):
+    """S3/F1 wire round-trip, driver-checkable: deterministic channel values
+    derived from event_id are packed into the 16-byte ESP-NOW binary frame
+    (8 x uint16 LE), every 97th payload truncated to 12 bytes, then decoded
+    through sources.decode_espnow_frames (exact-length gate + per-byte
+    re-base). The oracle recomputes the channel arithmetic directly, so the
+    value hash proves the encode -> binary -> decode loop is lossless and
+    the length filter routes exactly the malformed rows."""
+    from espkinesis_spark.streaming.sources import FRAME_CHANNELS, decode_espnow_frames
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    hex_parts = []
+    for i in range(FRAME_CHANNELS):
+        c = f"(1000 + pmod(event_id * 7 + {i * 131}, 1001))"
+        hex_parts.append(f"lpad(hex({c} % 256), 2, '0')")  # low byte (LE first)
+        hex_parts.append(f"lpad(hex({c} div 256), 2, '0')")
+    raw = ev.withColumn("data", F.expr(f"unhex(concat({', '.join(hex_parts)}))"))
+    raw = raw.withColumn(
+        "data",
+        F.when(
+            F.col("event_id") % 97 == 0, F.expr("substring(data, 1, 12)")
+        ).otherwise(F.col("data")),
+    )
+    frames, dead = decode_espnow_frames(raw)
+    row_sum = F.aggregate("channels", F.lit(0).cast("long"), lambda a, x: a + x)
+    tagged = frames.select(
+        "event_type", F.lit(1).alias("ok"), row_sum.alias("rs")
+    ).unionByName(
+        dead.select("event_type", F.lit(0).alias("ok"), F.lit(0).cast("long").alias("rs"))
+    )
+    return tagged.groupBy("event_type").agg(
+        F.sum("ok").cast("long").alias("n_valid"),
+        F.sum(1 - F.col("ok")).cast("long").alias("n_dead"),
+        F.sum("rs").cast("long").alias("checksum"),
+    )
+
+
 def st_sink_roundtrip(spark, sf_dir):
     """K1/K2 delivery round-trip: events through the keyed foreachBatch
     sink into parquet, read back and aggregated — the value hash vs the
@@ -1463,14 +1500,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_topk_per_group": ex_topk_per_group,
         "ex_shipping_priority": ex_shipping_priority,
         "ex_exists_shipped": ex_exists_shipped,
-        "ex_dedup_exact": ex_dedup_exact,
         # round-5 additions: new (unproven) entries must sit in the window
         # (tests/test_registry.py), so they take the last oldest-evidence
-        # slots; ex_minhash_sig / ex_neardup_minhash (r2 green) move to
-        # the tail.
+        # slots; ex_dedup_exact / ex_minhash_sig / ex_neardup_minhash
+        # (r2 green) move to the tail.
         "ex_dup_spans": ex_dup_spans,
         "st_sink_roundtrip": st_sink_roundtrip,
+        "ex_frame_decode": ex_frame_decode,
         # --- tail: the remaining reference queries (4 green rows each) ---
+        "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
         "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,

@@ -224,3 +224,42 @@ def frames_source(
     if stream_name is None:
         raise ValueError(f"{SOURCE_CONF_KEY}={binding} needs stream_name")
     return kinesis_frames(spark, stream_name, connector=binding, **kinesis_kwargs)
+
+
+# ESP-NOW wire frame: 8 x uint16 little-endian = 16 bytes exactly
+# (ref: lib/TargetManager/TargetManager.h:13-17 struct layout;
+#  src/receiver/main.cpp:30-35 length validation).
+FRAME_BYTES = 16
+FRAME_CHANNELS = 8
+
+
+def decode_espnow_frames(raw: DataFrame, data_col: str = "data") -> tuple[DataFrame, DataFrame]:
+    """S3 + F1 — fixed-width binary wire decode with the exact-length gate.
+
+    ``raw`` carries a binary ``data`` column (the 16-byte ChannelData
+    struct). Returns ``(frames, dead)``: rows whose payload is exactly 16
+    bytes decoded to ``channels`` (8 ints, little-endian uint16), everything
+    else routed to the dead branch with its byte length (the receiver's
+    reject path, ref: src/receiver/main.cpp:30-35). Pure codegen column
+    expressions — per channel, two 1-byte slices hex'd and re-based — so
+    the decode is a zero-shuffle map that vectorizes at 100 TB.
+    """
+    ok = F.length(F.col(data_col)) == FRAME_BYTES
+    chans = F.array(
+        *[
+            F.conv(
+                F.concat(
+                    F.hex(F.expr(f"substring({data_col}, {2 * i + 2}, 1)")),
+                    F.hex(F.expr(f"substring({data_col}, {2 * i + 1}, 1)")),
+                ),
+                16,
+                10,
+            ).cast("int")
+            for i in range(FRAME_CHANNELS)
+        ]
+    )
+    frames = raw.filter(ok).withColumn("channels", chans)
+    dead = raw.filter(~ok).withColumn(
+        "payload_len", F.length(F.col(data_col)).cast("long")
+    )
+    return frames, dead

@@ -127,3 +127,23 @@ def test_frames_source_conf_binding(spark, tmp_path):
             pass
     finally:
         spark.conf.unset(sources.SOURCE_CONF_KEY)
+
+
+def test_espnow_binary_decode_known_bytes(spark):
+    """Byte-exact wire decode: hand-packed little-endian uint16 frames,
+    plus short/long payloads routed to dead with their lengths."""
+    import struct
+
+    good = struct.pack("<8H", 1000, 1500, 2000, 1001, 1999, 1234, 1764, 1111)
+    rows = [
+        (1, good),
+        (2, good[:12]),          # truncated -> dead (F1)
+        (3, good + b"\x00\x00"),  # overlong -> dead (F1 is exact-length)
+    ]
+    raw = spark.createDataFrame(rows, "row_id long, data binary")
+    frames, dead = sources.decode_espnow_frames(raw)
+    (frame,) = frames.collect()
+    assert frame["row_id"] == 1
+    assert frame["channels"] == [1000, 1500, 2000, 1001, 1999, 1234, 1764, 1111]
+    dead_rows = {r["row_id"]: r["payload_len"] for r in dead.collect()}
+    assert dead_rows == {2: 12, 3: 18}
