@@ -137,3 +137,42 @@ def compact_table(
         for f in os.listdir(path)
         if not f.startswith(("_", "."))
     )
+
+
+def table_stats(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Writer/layout stats per partition directory: file count, bytes, and
+    (for parquet) exact row counts from footer metadata — no data scan.
+
+    The operational companion to ``compact_table``: a partition whose
+    bytes-per-file sits far below the FS block size is a compaction
+    candidate, and skewed partition byte totals flag a bad partition key
+    before anyone pays for the full read. Listing walks the driver-local
+    filesystem here; on a real deployment the same loop runs over the
+    object-store listing API or the table format's manifest — the output
+    contract (one row per partition) is what the engine standardizes.
+    """
+    import os
+
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    rows = []
+    for dirpath, _dirnames, filenames in os.walk(path):
+        data_files = [f for f in filenames if not f.startswith(("_", "."))]
+        if not data_files:
+            continue
+        rel = os.path.relpath(dirpath, path)
+        n_bytes = sum(os.path.getsize(os.path.join(dirpath, f)) for f in data_files)
+        n_rows = None
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            n_rows = sum(
+                pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+                for f in data_files
+            )
+        rows.append(
+            ("" if rel == "." else rel, len(data_files), n_bytes, n_rows)
+        )
+    return spark.createDataFrame(
+        rows, "partition string, n_files long, n_bytes long, n_rows long"
+    )

@@ -81,3 +81,15 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, events, tmp_path_
     compacted = read_table(spark, path, events.schema)
     assert compacted.count() == rows
     assert compacted.agg({"event_id": "sum"}).first()[0] == checksum
+
+
+def test_table_stats_counts_partitions_files_rows(spark, events, tmp_path_factory):
+    from espkinesis_spark import io as eio
+
+    path = str(tmp_path_factory.mktemp("stats") / "ev")
+    eio.write_table(events, path, partition_by=["event_type"])
+    stats = {r["partition"]: r for r in eio.table_stats(spark, path).collect()}
+    types = {r["event_type"] for r in events.select("event_type").distinct().collect()}
+    assert set(stats) == {f"event_type={t}" for t in types}
+    assert sum(r["n_rows"] for r in stats.values()) == events.count()
+    assert all(r["n_files"] >= 1 and r["n_bytes"] > 0 for r in stats.values())
