@@ -132,3 +132,27 @@ def test_unigram_logprob_broadcasts_model(spark, sf_dir):
 
     df = _q(spark, sf_dir, "ex_unigram_logprob")
     assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_frame_decode_is_zero_shuffle_map(spark, sf_dir):
+    """The binary wire decode (S3/F1) must stay a pure map: no exchange
+    between the scan and the valid/dead split — at 100 TB the decode cost
+    is the scan cost, nothing more."""
+    from pyspark.sql import functions as F
+
+    from espkinesis_spark.plans import audit
+    from espkinesis_spark.streaming.sources import decode_espnow_frames
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        # data-dependent payload length so neither branch constant-folds away
+        F.expr(
+            "CAST(unhex(repeat('AB', CAST(16 - (event_id % 2) * 4 AS INT))) AS BINARY)"
+        ).alias("data"),
+    )
+    frames, dead = decode_espnow_frames(ev)
+    for df in (frames, dead):
+        plan = audit.physical_plan(df)
+        assert "Exchange" not in plan
+        assert "codegen id" in plan  # decode stays inside whole-stage codegen

@@ -341,3 +341,48 @@ def test_processing_time_trigger_paces_batches(spark):
     floor = statistics.median(_batch_gaps(spark, "33 milliseconds", 6))
     assert 2.0 <= paced <= 6.0, f"3s trigger: median gap {paced:.2f}s"
     assert floor < paced - 0.8, f"33ms trigger floor {floor:.2f}s vs paced {paced:.2f}s"
+
+
+def test_keyed_sink_trigger_cadence_modes(spark, tmp_path):
+    """T1/T2 cadence surface: the keyed sink honors availableNow (replay),
+    an explicit processingTime trigger string, and trigger=None (default
+    continuous micro-batching) without error — the 500 ms default is the
+    reference's 2 Hz radio pacing (src/transmitter/main.cpp:23-25)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from espkinesis_spark.streaming.sinks import keyed_foreach_batch_sink
+
+    src_dir = str(tmp_path / "frames")
+    spark.createDataFrame(
+        [(i, i % 3, 100.0 + i) for i in range(30)],
+        "event_id long, user_id long, value double",
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema("event_id long, user_id long, value double").parquet(src_dir)
+
+    delivered = []
+
+    def deliver(batch, batch_id):
+        delivered.append((batch_id, batch.count()))
+
+    q = keyed_foreach_batch_sink(
+        stream, deliver, key_col="user_id", available_now=True,
+        checkpoint=str(tmp_path / "ck1"), query_name="cadence_avail",
+    )
+    q.awaitTermination()
+    assert sum(n for _, n in delivered) == 30
+
+    # processingTime trigger: query starts, fires at the given cadence
+    q2 = keyed_foreach_batch_sink(
+        stream, deliver, key_col="user_id", trigger="100 milliseconds",
+        checkpoint=str(tmp_path / "ck2"), query_name="cadence_pt",
+    )
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and not q2.recentProgress:
+            time.sleep(0.2)
+        assert q2.isActive
+        assert any(p for p in q2.recentProgress)
+    finally:
+        q2.stop()
