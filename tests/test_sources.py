@@ -147,3 +147,43 @@ def test_espnow_binary_decode_known_bytes(spark):
     assert frame["channels"] == [1000, 1500, 2000, 1001, 1999, 1234, 1764, 1111]
     dead_rows = {r["row_id"]: r["payload_len"] for r in dead.collect()}
     assert dead_rows == {2: 12, 3: 18}
+
+
+class TestFrameCodecProperty:
+    """Property: any 8 uint16 values survive pack -> binary -> decode."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True)
+    def _stash(self, spark):
+        TestFrameCodecProperty._spark = spark
+
+    def test_roundtrip_random_frames(self):
+        import struct
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        spark = TestFrameCodecProperty._spark
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            st.lists(
+                st.lists(st.integers(0, 65535), min_size=8, max_size=8),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        def run(frames_vals):
+            rows = [
+                (i, struct.pack("<8H", *vals)) for i, vals in enumerate(frames_vals)
+            ]
+            raw = spark.createDataFrame(rows, "row_id long, data binary")
+            frames, dead = sources.decode_espnow_frames(raw)
+            got = {
+                r["row_id"]: list(r["channels"]) for r in frames.collect()
+            }
+            assert dead.count() == 0
+            assert got == {i: list(v) for i, v in enumerate(frames_vals)}
+
+        run()
