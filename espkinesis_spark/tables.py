@@ -159,6 +159,11 @@ def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
         elif dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dtype == "date":
+            # a midnight-aligned column re-encoded as parquet DATE: under
+            # the pinned UTC zone the cast restores the exact instants
+            # (oracles CAST date-like outputs to TIMESTAMP per discipline)
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
         # "timestamp" (µs- or ms-UTC) passes through untouched
     return df
 

@@ -91,3 +91,40 @@ def test_streaming_source_adapts_to_encoding(spark, sf_dir, encoded_dirs):
             map(tuple, latest_per_user_stream(spark, encoded_dirs[enc]).collect())
         )
         assert got == canonical, f"streaming drifted under encoding {enc}"
+
+
+def test_date_reencoded_orders_normalizes(spark, sf_dir, tmp_path):
+    """The date-like columns are midnight-aligned, so a future testdata
+    round could re-encode them as parquet DATE (the r4 failure class).
+    load_table must restore identical TimestampType instants, and the
+    date-touching queries must return identical results."""
+    src = pq.read_table(table_path(sf_dir, "orders"))
+    idx = src.schema.get_field_index("o_orderdate")
+    dated = src.set_column(
+        idx, "o_orderdate", src.column("o_orderdate").cast(pa.date32())
+    )
+    d = tmp_path / "dated"
+    d.mkdir()
+    pq.write_table(dated, str(d / "orders.parquet"), version="2.6")
+    for name in TABLE_NAMES:
+        if name != "orders":
+            os.symlink(table_path(sf_dir, name), str(d / f"{name}.parquet"))
+
+    df = load_table(spark, str(d), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    canonical = sorted(
+        (r.o_orderkey, r.o_orderdate)
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    )
+    got = sorted(
+        (r.o_orderkey, r.o_orderdate)
+        for r in df.select("o_orderkey", "o_orderdate").collect()
+    )
+    assert got == canonical
+    for qname in ("ex_shipping_priority", "ex_exists_shipped"):
+        fn = queries.registry()[qname]
+        want = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        have = sorted(map(tuple, fn(spark, str(d)).collect()))
+        assert have == want, f"{qname} drifted under DATE encoding"
