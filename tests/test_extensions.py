@@ -291,3 +291,58 @@ def test_dup_spans_single_shuffle_plan(spark, sf_dir):
     assert "Join" not in plan
     # exactly two exchanges: one on the span hash, one for groupBy(doc_id)
     assert plan.count("Arguments: hashpartitioning") == 2
+
+
+class TestDupSpansProperty:
+    """Property: dup_spans equals a direct python model on random corpora."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True)
+    def _stash(self, spark):
+        TestDupSpansProperty._spark = spark
+
+    def test_matches_python_model(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from espkinesis_spark.functions import dedup
+
+        spark = TestDupSpansProperty._spark
+        # tiny vocabulary forces genuine span collisions across docs
+        word = st.sampled_from(["a", "b", "c"])
+        doc = st.lists(word, min_size=0, max_size=16).map(" ".join)
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=6))
+        def run(texts):
+            span = 4  # smaller than production so 16-token docs collide
+            rows = [(i, t) for i, t in enumerate(texts)]
+            # python model
+            occ = []  # (doc_id, pos, span_text)
+            for did, t in rows:
+                toks = t.split() if t.strip() else []
+                for p in range(len(toks) - span + 1):
+                    occ.append((did, p + 1, " ".join(toks[p : p + span])))
+            from collections import Counter, defaultdict
+
+            counts = Counter(s for _, _, s in occ)
+            first = {}
+            for did, pos, s in occ:
+                o = did * 1_000_000 + pos
+                if s not in first or o < first[s]:
+                    first[s] = o
+            want = defaultdict(lambda: [0, 0, 0])  # n_spans, n_dup, n_cut
+            for did, pos, s in occ:
+                w = want[did]
+                w[0] += 1
+                w[1] += counts[s] > 1
+                w[2] += (did * 1_000_000 + pos) != first[s]
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            got = {
+                r["doc_id"]: (r["n_spans"], r["n_dup"], r["n_cut"])
+                for r in dedup.dup_spans(docs, span=span).collect()
+            }
+            assert got == {k: tuple(v) for k, v in want.items()}
+
+        run()
