@@ -106,9 +106,11 @@ CHUNK_SIZE = 200
 CHUNK_OVERLAP = 50
 
 # exact-substring span dedup (Lee et al. 2022 shape): window length in
-# tokens, and the base encoding a total first-occurrence order as
-# ord = doc_id * SPAN_ORD_BASE + pos (pos is bounded by tokens-per-doc,
-# far below the base; doc_id * base stays inside int64 for doc_id < ~9e12)
+# tokens. The Spark implementation orders first occurrences by the
+# lexicographic struct (doc_id, pos) — no collision bound. SPAN_ORD_BASE
+# survives only for the DuckDB oracle's ordinal encoding
+# (doc_id * base + pos), valid while every document has < 1M tokens —
+# always true for the test corpora the oracle runs on.
 SPAN_TOKENS = 10
 SPAN_ORD_BASE = 1_000_000
 

@@ -631,7 +631,12 @@ def dup_spans(
         .select("doc_id", (F.col("__p0") + 1).alias("pos"), "__h")
     )
     w = Window.partitionBy("__h")
-    ordv = F.col("doc_id") * C.SPAN_ORD_BASE + F.col("pos")
+    # first-occurrence order is the lexicographic MIN of (doc_id, pos) —
+    # struct ordering, not a doc_id*BASE+pos int64 composite, so there is
+    # no collision bound for huge documents or doc_id ranges (the SQL
+    # oracle keeps the ordinal form, valid while pos < SPAN_ORD_BASE,
+    # which always holds at test scale)
+    ordv = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
     marked = occ.select(
         "doc_id",
         (F.count("*").over(w) > 1).cast("int").alias("__is_dup"),

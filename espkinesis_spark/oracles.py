@@ -598,10 +598,12 @@ ORACLES: dict[str, str] = {
     # -- streaming entries: checked against their batch analogs -------------
     # S3/F1 wire round-trip: recompute the deterministic channel arithmetic
     # directly — the Spark side must recover exactly these values from the
-    # 16-byte binary frames, and route exactly the %97 truncations to dead
+    # 16-byte binary frames, and route exactly the %97 truncations AND the
+    # %193 NULL payloads to dead (null is malformed, never silently dropped)
     "ex_frame_decode": f"""
         WITH base AS (
-            SELECT event_type, (event_id % 97 = 0) AS malformed,
+            SELECT event_type,
+                   (event_id % 97 = 0 OR event_id % 193 = 0) AS malformed,
                    ({' + '.join(f'(1000 + (event_id * 7 + {i * 131}) % 1001)' for i in range(8))})
                        AS row_sum
             FROM events)

@@ -1003,11 +1003,13 @@ def st_vocab(spark, sf_dir):
 def ex_frame_decode(spark, sf_dir):
     """S3/F1 wire round-trip, driver-checkable: deterministic channel values
     derived from event_id are packed into the 16-byte ESP-NOW binary frame
-    (8 x uint16 LE), every 97th payload truncated to 12 bytes, then decoded
-    through sources.decode_espnow_frames (exact-length gate + per-byte
-    re-base). The oracle recomputes the channel arithmetic directly, so the
-    value hash proves the encode -> binary -> decode loop is lossless and
-    the length filter routes exactly the malformed rows."""
+    (8 x uint16 LE), every 97th payload truncated to 12 bytes and every
+    193rd NULLed outright, then decoded through
+    sources.decode_espnow_frames (exact-length gate + per-byte re-base).
+    The oracle recomputes the channel arithmetic directly, so the value
+    hash proves the encode -> binary -> decode loop is lossless and the
+    length filter routes exactly the malformed rows — including NULL
+    payloads, which the dead-letter contract must not silently drop."""
     from espkinesis_spark.streaming.sources import FRAME_CHANNELS, decode_espnow_frames
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
@@ -1023,6 +1025,8 @@ def ex_frame_decode(spark, sf_dir):
     raw = raw.withColumn(
         "data",
         F.when(
+            F.col("event_id") % 193 == 0, F.lit(None).cast("binary")
+        ).when(
             F.col("event_id") % 97 == 0, F.expr("substring(data, 1, 12)")
         ).otherwise(F.col("data")),
     )

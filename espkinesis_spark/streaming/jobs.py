@@ -381,7 +381,12 @@ def sink_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = os.path.join(out_dir, "delivered")
 
     def deliver(batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("append").parquet(data_dir)
+        # foreachBatch is at-least-once: a retried micro-batch must not
+        # append twice, so each batch overwrites its OWN batch_id-keyed
+        # subdirectory — the retry lands on top of the partial attempt
+        batch.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"batch_id={batch_id}")
+        )
 
     query = keyed_foreach_batch_sink(
         src.select("event_id", "user_id", "event_type", "value"),
@@ -392,8 +397,21 @@ def sink_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="st_sink_roundtrip",
     )
     query.awaitTermination()
+    # a zero-batch stream never creates data_dir; deliver an empty result
+    # rather than a read error
+    os.makedirs(data_dir, exist_ok=True)
+    batch_dirs = [
+        os.path.join(data_dir, d)
+        for d in os.listdir(data_dir)
+        if d.startswith("batch_id=")
+    ]
+    if not batch_dirs:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return spark.createDataFrame(
+            [], "event_type string, n long, sum_v double, n_distinct long"
+        )
     delivered = (
-        spark.read.parquet(data_dir)
+        spark.read.parquet(*batch_dirs)
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),

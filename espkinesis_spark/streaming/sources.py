@@ -244,7 +244,10 @@ def decode_espnow_frames(raw: DataFrame, data_col: str = "data") -> tuple[DataFr
     expressions — per channel, two 1-byte slices hex'd and re-based — so
     the decode is a zero-shuffle map that vectorizes at 100 TB.
     """
-    ok = F.length(F.col(data_col)) == FRAME_BYTES
+    # NULL payloads are malformed, not missing: length(NULL)==16 is NULL
+    # and would drop the row from BOTH branches, so coalesce the gate to
+    # False so null rows land in the dead branch with payload_len 0.
+    ok = F.coalesce(F.length(F.col(data_col)) == FRAME_BYTES, F.lit(False))
     # hex the whole payload ONCE (32 chars) and slice per channel: one
     # string allocation per row instead of 16 (measured 16 hex() calls per
     # row at 28 µs/row on 3M rows in the 30x scale ladder — this form cuts
@@ -265,6 +268,6 @@ def decode_espnow_frames(raw: DataFrame, data_col: str = "data") -> tuple[DataFr
     )
     frames = raw.filter(ok).withColumn("channels", chans)
     dead = raw.filter(~ok).withColumn(
-        "payload_len", F.length(F.col(data_col)).cast("long")
+        "payload_len", F.coalesce(F.length(F.col(data_col)), F.lit(0)).cast("long")
     )
     return frames, dead

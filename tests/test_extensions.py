@@ -280,6 +280,23 @@ def test_dup_spans_constructed_corpus(spark):
     assert out[2]["dup_ratio"] == 1.0 and out[4]["dup_ratio"] == 0.3333
 
 
+def test_dup_spans_huge_doc_ids_no_ordinal_overflow(spark):
+    """First-occurrence order is struct (doc_id, pos), not doc_id*1M+pos:
+    doc_ids near int64's top would overflow the old composite ordinal and
+    corrupt n_cut; struct ordering has no bound (ADVICE r5)."""
+    from espkinesis_spark.functions import dedup
+
+    base = "a b c d e f g h i j"
+    lo, hi = 2**62, 2**62 + 1  # lo*1_000_000 overflows int64
+    docs = spark.createDataFrame(
+        [(lo, base), (hi, base)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.dup_spans(docs).collect()}
+    # lo is the first occurrence; hi's span is the cut one
+    assert (out[lo]["n_dup"], out[lo]["n_cut"]) == (1, 0)
+    assert (out[hi]["n_dup"], out[hi]["n_cut"]) == (1, 1)
+
+
 def test_dup_spans_single_shuffle_plan(spark, sf_dir):
     """Scale audit: the span-window stage must reuse ONE exchange on the
     span hash (count + min-ord windows share the partitioning); no joins."""

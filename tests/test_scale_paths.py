@@ -117,8 +117,15 @@ def test_dedup_apply_shuffle_equals_broadcast(spark, sf_dir):
     got = {r["doc_id"] for r in sh.select("doc_id").collect()}
     assert got == want and len(want) > 0
     plan = audit.physical_plan(sh)
-    anti = plan[plan.find("LeftAnti") - 2000 : plan.find("LeftAnti") + 200]
-    assert "BroadcastHashJoin" not in anti
+    assert "BroadcastHashJoin" not in _anti_join_window(plan)
+
+
+def _anti_join_window(plan: str) -> str:
+    """Slice around the LeftAnti node; assert it exists first so a renamed
+    node can never make the containing check pass vacuously (ADVICE r5)."""
+    idx = plan.find("LeftAnti")
+    assert idx >= 0, "expected a LeftAnti join in the plan"
+    return plan[max(0, idx - 2000) : idx + 200]
 
 
 def test_dedup_apply_auto_routes_by_size(spark, sf_dir, monkeypatch):
@@ -129,8 +136,7 @@ def test_dedup_apply_auto_routes_by_size(spark, sf_dir, monkeypatch):
     # tiny budget → auto must shuffle
     monkeypatch.setattr(dedup, "DEDUP_APPLY_BROADCAST_BYTES", 1)
     plan = audit.physical_plan(dedup.dedup_apply(docs))
-    anti = plan[plan.find("LeftAnti") - 2000 : plan.find("LeftAnti") + 200]
-    assert "BroadcastHashJoin" not in anti
+    assert "BroadcastHashJoin" not in _anti_join_window(plan)
     # huge budget → auto broadcasts the drop set
     monkeypatch.setattr(dedup, "DEDUP_APPLY_BROADCAST_BYTES", 1 << 60)
     plan = audit.physical_plan(dedup.dedup_apply(docs))

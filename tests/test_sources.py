@@ -139,6 +139,7 @@ def test_espnow_binary_decode_known_bytes(spark):
         (1, good),
         (2, good[:12]),          # truncated -> dead (F1)
         (3, good + b"\x00\x00"),  # overlong -> dead (F1 is exact-length)
+        (4, None),                # NULL payload -> dead, never dropped
     ]
     raw = spark.createDataFrame(rows, "row_id long, data binary")
     frames, dead = sources.decode_espnow_frames(raw)
@@ -146,7 +147,9 @@ def test_espnow_binary_decode_known_bytes(spark):
     assert frame["row_id"] == 1
     assert frame["channels"] == [1000, 1500, 2000, 1001, 1999, 1234, 1764, 1111]
     dead_rows = {r["row_id"]: r["payload_len"] for r in dead.collect()}
-    assert dead_rows == {2: 12, 3: 18}
+    assert dead_rows == {2: 12, 3: 18, 4: 0}
+    # conservation: every input row lands in exactly one branch
+    assert frames.count() + dead.count() == raw.count()
 
 
 class TestFrameCodecProperty:
