@@ -94,6 +94,10 @@ QF_MAX_MEAN_LEN = 10.0
 # vocabulary build
 VOCAB_TOP_K = 100
 
+# BPE-merge tokenizer training: fixed merge budget (production would use
+# ~30k; the trajectory shape is budget-independent)
+BPE_MERGES = 6
+
 # symmetric int8 embedding quantization
 QUANT_LEVELS = 127
 

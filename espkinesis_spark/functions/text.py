@@ -308,3 +308,78 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.avg(F.log("p")), 4).alias("logprob_score"))
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    merges: int = C.BPE_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE-merge tokenizer training (Sennrich et al. 2016).
+
+    Classic byte-pair-encoding over the whitespace-word frequency table:
+    words start as character sequences; each round counts adjacent symbol
+    pairs weighted by word frequency, picks the most frequent pair (ties
+    to the lexicographically smallest (left, right)), and merges its
+    occurrences greedily left-to-right in every word. Returns the merge
+    TRAJECTORY — the trained tokenizer artifact — as
+    (merge_rank, lhs, rhs, pair_count), one row per merge.
+
+    Scale shape: ONE corpus-wide shuffle builds the word-frequency table
+    (map-side combined token groupBy); every round after that runs on the
+    vocab-sized table only — pair counting is a narrow-scalar shuffle with
+    map-side partials, the argmax is TakeOrderedAndProject (no global
+    sort), and the merge application is a pure codegen array fold. Driver
+    data is exactly one (pair, count) row per round; the trajectory is
+    merges-bounded, the same bounded-build-side contract as
+    ``similarity.kmeans_train``. ``localCheckpoint`` truncates the
+    per-round lineage so round r never replays rounds 1..r-1.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.split("w", "").alias("s"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    pairs_expr = F.expr(
+        "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS a, s[i] AS b))"
+    )
+    trajectory: list[tuple[int, str, str, int]] = []
+    for rank in range(1, merges + 1):
+        best = (
+            words.filter(F.size("s") >= 2)
+            .select("freq", F.explode(pairs_expr).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["p"]["a"], best[0]["p"]["b"], best[0]["cnt"]
+        trajectory.append((rank, a, b, int(cnt)))
+        merged = a + b
+        # greedy left-to-right merge: fold each word's symbol array,
+        # joining the accumulator's last element with the current symbol
+        # when they equal (a, b); a just-merged tail never re-merges in
+        # the same round because merged != a (b is non-empty)
+        apply_merge = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(apply_merge.alias("s"), "freq").localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        trajectory, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

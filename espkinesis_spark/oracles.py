@@ -137,6 +137,47 @@ def _kmeans_ctes() -> tuple[list[str], str]:
     return parts, cur
 
 
+def _bpe_sql() -> str:
+    """CTE chain replaying text.bpe_train's exact greedy trajectory.
+
+    Symbol sequences live in a delimited string — every symbol wrapped in
+    single spaces, so adjacent symbols abut as '  ': word 'abc' becomes
+    ' a  b  c '. Merging pair (a, b) is then a literal
+    replace(' a  b ', ' ab '), which DuckDB applies leftmost-first and
+    non-overlapping while the wrapping keeps a just-merged token from
+    re-matching — byte-identical semantics to the Spark array fold."""
+    rounds = C.BPE_MERGES
+    parts = [
+        f"tok AS (SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)",
+        "words AS (SELECT w, count(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY w)",
+        r"s1 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS sym, freq FROM words)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT u.a, u.b, sum(u.freq) AS cnt FROM (
+    SELECT x.freq, x.toks[CAST(i AS INT)] AS a, x.toks[CAST(i AS INT) + 1] AS b
+    FROM (SELECT freq, string_split(trim(sym), '  ') AS toks FROM s{r}) x,
+         UNNEST(range(1, len(x.toks))) AS t(i)) u
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""s{r + 1} AS (SELECT
+  replace(sym, ' ' || bb.a || '  ' || bb.b || ' ', ' ' || bb.a || bb.b || ' ')
+      AS sym, freq
+  FROM s{r}, b{r} bb)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, a AS lhs, b AS rhs,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
 def _kmeans_sql() -> str:
     parts, cur = _kmeans_ctes()
     parts.append(_kmeans_assign_cte(cur, "af"))
@@ -619,6 +660,13 @@ ORACLES: dict[str, str] = {
         round(sum(value), 4) AS sum_v,
         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
         FROM events GROUP BY event_type""",
+    # K3: if the console sink's serialized JSON docs parse back to exactly
+    # the source rows, this aggregate over the parsed docs equals the
+    # direct one (serialization lossless + exactly-once-complete delivery)
+    "st_console_roundtrip": """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        round(sum(value), 4) AS sum_v,
+        CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type""",
     "st_latest_user": """SELECT user_id, event_type, value FROM (
         SELECT user_id, event_type, value,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -898,6 +946,7 @@ GROUP BY source""",
                round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
         FROM g GROUP BY doc_id""",
     "ex_kmeans": _kmeans_sql(),
+    "ex_bpe_train": _bpe_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "st_vocab": f"""
         WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents)

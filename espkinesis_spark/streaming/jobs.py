@@ -422,3 +422,58 @@ def sink_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = delivered.localCheckpoint(eager=True)  # detach from the tmp files
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+def console_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 driver-checkable round-trip: the events stream goes through
+    ``console_json_sink`` in capture mode — the exact serialized JSON-line
+    documents the console surface prints, landed per-batch — then the
+    delivered docs are read back, PARSED, and aggregated. The oracle
+    computes the same aggregate over the source table directly, so the
+    value hash proves the K3 serialization is lossless and delivery is
+    exactly-once-complete (every row serialized once, parse round-trips
+    every field)."""
+    import shutil
+
+    from espkinesis_spark.streaming.sinks import console_json_sink
+
+    src = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="espk_console_rt_")
+    cap = os.path.join(out_dir, "docs")
+    query = console_json_sink(
+        src.select("event_id", "event_type", "value"),
+        available_now=True,
+        query_name="st_console_roundtrip",
+        capture_dir=cap,
+        checkpoint=os.path.join(out_dir, "ckpt"),
+    )
+    query.awaitTermination()
+    os.makedirs(cap, exist_ok=True)
+    batch_dirs = [
+        os.path.join(cap, d) for d in os.listdir(cap) if d.startswith("batch_id=")
+    ]
+    if not batch_dirs:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return spark.createDataFrame(
+            [], "event_type string, n long, sum_v double, n_distinct long"
+        )
+    parsed = (
+        spark.read.json(*batch_dirs)
+        .select(
+            F.from_json(
+                "doc", "event_id bigint, event_type string, value double"
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    out = (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.countDistinct("event_id").cast("long").alias("n_distinct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out

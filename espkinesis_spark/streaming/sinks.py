@@ -97,11 +97,40 @@ def dead_letter_sink(
 
 
 def console_json_sink(
-    df: DataFrame, available_now: bool = False, query_name: str = "espk_console"
+    df: DataFrame,
+    available_now: bool = False,
+    query_name: str = "espk_console",
+    capture_dir: str | None = None,
+    checkpoint: str | None = None,
 ) -> StreamingQuery:
-    """K3 — JSON documents to stdout (dev/debug surface)."""
+    """K3 — JSON documents to stdout (dev/debug surface).
+
+    ``capture_dir`` switches the console format for a capturable
+    ``foreachBatch`` leg that lands the SAME serialized JSON-line docs in
+    batch_id-keyed subdirectories (idempotent under micro-batch retries),
+    so tests and the driver can read the delivered documents back and
+    value-hash the serialization — the console format itself is
+    unobservable. The serialized column (``to_json`` over all input
+    columns) is identical on both paths."""
+    import os
+
     docs = df.select(F.to_json(F.struct(*df.columns)).alias("doc"))
-    writer = docs.writeStream.format("console").option("truncate", "false").queryName(query_name)
+    if capture_dir is not None:
+
+        def emit(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("overwrite").json(
+                os.path.join(capture_dir, f"batch_id={batch_id}")
+            )
+
+        writer = docs.writeStream.foreachBatch(emit).queryName(query_name)
+    else:
+        writer = (
+            docs.writeStream.format("console")
+            .option("truncate", "false")
+            .queryName(query_name)
+        )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

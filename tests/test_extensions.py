@@ -363,3 +363,83 @@ class TestDupSpansProperty:
             assert got == {k: tuple(v) for k, v in want.items()}
 
         run()
+
+
+def test_bpe_train_known_corpus(spark):
+    """Hand-checkable BPE: corpus 'low low low lower newest newest'.
+    Word freqs: low:3, lower:1, newest:2. Round 1 pair counts include
+    (l,o):4, (o,w):4, (e,s):2 ... tie (l,o)/(o,w) breaks to ('l','o')."""
+    from espkinesis_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower newest newest")], "doc_id long, text string"
+    )
+    rows = text.bpe_train(docs, merges=3).collect()
+    got = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    # r1: (l,o)=4 wins tie vs (o,w)=4; r2: (lo,w)=4; r3: ties at 2:
+    # (e,s) vs (e,w) vs (n,e) vs (s,t) vs (w,e)... lexicographic -> (e,s)
+    assert got == [(1, "l", "o", 4), (2, "lo", "w", 4), (3, "e", "s", 2)]
+
+
+class TestBpeTrainProperty:
+    """Property: bpe_train equals a direct python BPE model."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True)
+    def _stash(self, spark):
+        TestBpeTrainProperty._spark = spark
+
+    def test_matches_python_model(self):
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from espkinesis_spark.functions import text
+
+        spark = TestBpeTrainProperty._spark
+        word = st.text(alphabet="abc", min_size=1, max_size=5)
+        doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+        def python_bpe(texts, merges):
+            freqs = Counter(w for t in texts for w in t.split() if w)
+            words = {tuple(w): f for w, f in freqs.items()}  # symbols tuple
+            traj = []
+            for rank in range(1, merges + 1):
+                pc = Counter()
+                for syms, f in words.items():
+                    for i in range(len(syms) - 1):
+                        pc[(syms[i], syms[i + 1])] += f
+                if not pc:
+                    break
+                best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+                (a, b), cnt = best
+                traj.append((rank, a, b, cnt))
+                new_words = {}
+                for syms, f in words.items():
+                    out = []
+                    for s in syms:
+                        if out and out[-1] == a and s == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(s)
+                    new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+                words = new_words
+            return traj
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=5))
+        def run(texts):
+            merges = 4
+            want = python_bpe(texts, merges)
+            docs = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+            )
+            got = [
+                (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+                for r in text.bpe_train(docs, merges=merges).collect()
+            ]
+            assert got == want
+
+        run()
