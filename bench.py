@@ -72,12 +72,34 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
+    # Same-artifact noise control (VERDICT r5 #4): the box this bench runs
+    # on sometimes carries co-located load that inflates the headline total
+    # ~30-40%. Rerun the 10 heaviest queries immediately and record both
+    # numbers — a large first/rerun gap marks the FIRST pass as hot, not a
+    # code regression.
+    rerun: dict[str, float] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:10]:
+        start = time.perf_counter()
+        try:
+            registry[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            print(f"rerun of {name} failed: {exc}", file=sys.stderr)
+            continue
+        rerun[name] = round(time.perf_counter() - start, 4)
     out = {
         "metric": "declared_query_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rerun_top10": rerun,
+        "rerun_top10_first_pass_sec": round(
+            sum(timings[n] for n in rerun), 4
+        ),
+        "rerun_top10_sec": round(sum(rerun.values()), 4),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     if errors:
         out["errors"] = errors
