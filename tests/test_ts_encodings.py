@@ -21,12 +21,18 @@ import pytest
 from espkinesis_spark import queries
 from espkinesis_spark.tables import TABLE_NAMES, load_table, table_path
 
-# encoding name -> arrow timestamp type for the rewritten ts column
+# encoding name -> (arrow timestamp type, extra pq.write_table kwargs)
 ENCODINGS = {
-    "nanos": pa.timestamp("ns"),  # TIMESTAMP(NANOS) -> Spark long (nanosAsLong)
-    "us_utc": pa.timestamp("us", tz="UTC"),  # isAdjustedToUTC=true -> timestamp
-    "us_ntz": pa.timestamp("us"),  # isAdjustedToUTC=false -> timestamp_ntz
-    "ms_utc": pa.timestamp("ms", tz="UTC"),  # millis -> timestamp
+    "nanos": (pa.timestamp("ns"), {}),  # TIMESTAMP(NANOS) -> Spark long (nanosAsLong)
+    "us_utc": (pa.timestamp("us", tz="UTC"), {}),  # isAdjustedToUTC=true -> timestamp
+    "us_ntz": (pa.timestamp("us"), {}),  # isAdjustedToUTC=false -> timestamp_ntz
+    "ms_utc": (pa.timestamp("ms", tz="UTC"), {}),  # millis -> timestamp
+    # the pre-2.6 legacy physical encoding (Impala/old Hive lineage):
+    # 12-byte INT96 nanos — the one form not covered until round 6
+    "int96": (
+        pa.timestamp("ns"),
+        {"use_deprecated_int96_timestamps": True, "version": "1.0"},
+    ),
 }
 
 
@@ -36,7 +42,7 @@ def encoded_dirs(sf_dir, tmp_path_factory):
     src = pq.read_table(table_path(sf_dir, "events"))
     base = tmp_path_factory.mktemp("ts_encodings")
     dirs: dict[str, str] = {}
-    for enc, ts_type in ENCODINGS.items():
+    for enc, (ts_type, write_kwargs) in ENCODINGS.items():
         d = base / enc
         d.mkdir()
         # Rebuild with ts cast to the target arrow type. pyarrow refuses a
@@ -48,7 +54,8 @@ def encoded_dirs(sf_dir, tmp_path_factory):
         except pa.lib.ArrowInvalid:
             continue
         tbl = src.set_column(src.schema.get_field_index("ts"), "ts", cast)
-        pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+        kwargs = {"version": "2.6", **write_kwargs}
+        pq.write_table(tbl, str(d / "events.parquet"), **kwargs)
         for name in TABLE_NAMES:
             if name != "events":
                 os.symlink(table_path(sf_dir, name), str(d / f"{name}.parquet"))
@@ -86,7 +93,7 @@ def test_streaming_source_adapts_to_encoding(spark, sf_dir, encoded_dirs):
     canonical = sorted(
         map(tuple, latest_per_user_stream(spark, sf_dir).collect())
     )
-    for enc in ("nanos", "us_ntz"):
+    for enc in ("nanos", "us_ntz", "int96"):
         got = sorted(
             map(tuple, latest_per_user_stream(spark, encoded_dirs[enc]).collect())
         )
