@@ -383,3 +383,51 @@ def bpe_train(
     return spark.createDataFrame(
         trajectory, "merge_rank int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: int = C.BPE_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus under a BPE model trained on it: per document,
+    the word count, total subword count after applying the learned merges,
+    and chars-per-subword (the compression the tokenizer achieves).
+
+    Scale shape: the merge trajectory is trained by ``bpe_train`` (merges
+    rows — bounded driver data), then applied to the DISTINCT-words table
+    only — vocab-sized, one map-side-combined shuffle — as a chain of
+    literal ``replace`` calls over the delimited symbol string (identical
+    greedy leftmost-non-overlapping semantics to the train-side fold, in
+    pure codegen). The corpus-sized side only explodes tokens and joins
+    the per-word subword counts back (AQE broadcasts the vocab side when
+    it fits; at 100 TB vocab scale it falls back to a shuffled join).
+    """
+    trajectory = bpe_train(docs, merges=merges, text_col=text_col).collect()
+    word_toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.length("w") > 0)
+    # each symbol wrapped in single spaces -> adjacent symbols abut as '  ';
+    # the replace chain is built from column functions (the literals are
+    # data-derived, so no F.expr string splicing)
+    sym = F.regexp_replace(F.col("w"), "(.)", " $1 ")
+    for r in trajectory:
+        a, b = r["lhs"], r["rhs"]
+        sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    per_word = (
+        word_toks.select("w").distinct().select(
+            "w",
+            F.size(F.split(F.trim(sym), "  ")).cast("long").alias("n_sub"),
+        )
+    )
+    return (
+        word_toks.join(per_word, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum(F.length("w")) / F.sum("n_sub"), 4
+            ).alias("chars_per_subword"),
+        )
+    )

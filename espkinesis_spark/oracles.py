@@ -137,7 +137,7 @@ def _kmeans_ctes() -> tuple[list[str], str]:
     return parts, cur
 
 
-def _bpe_sql() -> str:
+def _bpe_ctes() -> tuple[list[str], int]:
     """CTE chain replaying text.bpe_train's exact greedy trajectory.
 
     Symbol sequences live in a delimited string — every symbol wrapped in
@@ -145,12 +145,15 @@ def _bpe_sql() -> str:
     ' a  b  c '. Merging pair (a, b) is then a literal
     replace(' a  b ', ' ab '), which DuckDB applies leftmost-first and
     non-overlapping while the wrapping keeps a just-merged token from
-    re-matching — byte-identical semantics to the Spark array fold."""
+    re-matching — byte-identical semantics to the Spark array fold. The
+    s{r} CTEs carry (w, sym, freq) so _bpe_encode_sql can join the final
+    segmentation back to words; b{r} holds round r's winning pair.
+    Returns (parts, rounds)."""
     rounds = C.BPE_MERGES
     parts = [
         f"tok AS (SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)",
         "words AS (SELECT w, count(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY w)",
-        r"s1 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS sym, freq FROM words)",
+        r"s1 AS (SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS sym, freq FROM words)",
     ]
     for r in range(1, rounds + 1):
         parts.append(
@@ -165,17 +168,47 @@ def _bpe_sql() -> str:
             f"b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"
         )
         parts.append(
-            f"""s{r + 1} AS (SELECT
+            f"""s{r + 1} AS (SELECT w,
   replace(sym, ' ' || bb.a || '  ' || bb.b || ' ', ' ' || bb.a || bb.b || ' ')
       AS sym, freq
   FROM s{r}, b{r} bb)"""
         )
+    return parts, rounds
+
+
+def _bpe_sql() -> str:
+    parts, rounds = _bpe_ctes()
     finals = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, a AS lhs, b AS rhs,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+def _bpe_encode_sql() -> str:
+    """Per-doc tokenization under the trained merges: join the final
+    per-word segmentation (s{rounds+1}) back to the exploded corpus."""
+    parts, rounds = _bpe_ctes()
+    parts.append(
+        f"""final AS (SELECT w,
+  CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sub
+  FROM s{rounds + 1})"""
+    )
+    parts.append(
+        f"""docw AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS w
+  FROM documents)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(f.n_sub) AS BIGINT) AS n_subwords,
+       round(sum(len(d.w)) * 1.0 / sum(f.n_sub), 4) AS chars_per_subword
+FROM docw d JOIN final f USING (w)
+WHERE len(d.w) > 0 GROUP BY d.doc_id"""
+    )
 
 
 def _kmeans_sql() -> str:
@@ -947,6 +980,7 @@ GROUP BY source""",
         FROM g GROUP BY doc_id""",
     "ex_kmeans": _kmeans_sql(),
     "ex_bpe_train": _bpe_sql(),
+    "ex_bpe_encode": _bpe_encode_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "st_vocab": f"""
         WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents)

@@ -1437,6 +1437,14 @@ def ex_bpe_train(spark, sf_dir):
     return text.bpe_train(_t(spark, sf_dir, "documents"))
 
 
+def ex_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus under the trained BPE merges: per-doc word /
+    subword counts + chars-per-subword. The merge application runs on the
+    vocab-sized distinct-words table only; the corpus side just explodes
+    and joins the per-word counts back."""
+    return text.bpe_encode(_t(spark, sf_dir, "documents"))
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1467,21 +1475,22 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-2 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 3-5
+    EVIDENCE FRESHNESS: positions 1-3 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 4-6
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 6-30
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 7-31
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 31-35 pin the five flagship canaries; 36-50
+    streaming family); 32-36 pin the five flagship canaries; 37-50
     re-verify the oldest of the round-4 evidence (dq core). The remaining
     r4/r5-green entries follow in the tail and rotate in next round.
     """
     return {
-        # --- window 1-2: round-6 additions (unproven must sit here) ---
+        # --- window 1-3: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
+        "ex_bpe_encode": ex_bpe_encode,
         "st_console_roundtrip": st_console_roundtrip,
         # --- window 3-5: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
@@ -1513,14 +1522,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 31-35: pinned flagship canaries ---
+        # --- window 32-36: pinned flagship canaries ---
         "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14,
-        # --- window 36-50: oldest r4 evidence (dq core) ---
+        # --- window 37-50: oldest r4 evidence (dq core) ---
         "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
         "dq06": dq06, "dq07": dq07, "dq08": dq08, "dq10": dq10, "dq11": dq11,
-        "dq12": dq12, "dq13": dq13, "dq15": dq15, "dq16": dq16, "dq17": dq17,
+        "dq12": dq12, "dq13": dq13, "dq15": dq15, "dq16": dq16,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq18": dq18, "dq20": dq20, "dq23": dq23, "dq24": dq24, "dq25": dq25,
+        "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23, "dq24": dq24,
+        "dq25": dq25,
         "ex_pivot": ex_pivot,
         "ex_percentiles": ex_percentiles,
         "ex_except": ex_except,

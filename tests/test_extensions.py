@@ -443,3 +443,18 @@ class TestBpeTrainProperty:
             assert got == want
 
         run()
+
+
+def test_bpe_encode_known_corpus(spark):
+    """After 3 merges on 'low low low lower newest newest' the merges are
+    (l,o), (lo,w), (e,s): 'low' -> [low] (1 subword), 'lower' ->
+    [low,e,r] (3), 'newest' -> [n,e,w,es,t] (5)."""
+    from espkinesis_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower newest newest")], "doc_id long, text string"
+    )
+    (row,) = text.bpe_encode(docs, merges=3).collect()
+    # 6 words; subwords: 3*1 + 3 + 2*5 = 16; chars: 3*3+5+2*6 = 26
+    assert (row["n_words"], row["n_subwords"]) == (6, 16)
+    assert row["chars_per_subword"] == round(26 / 16, 4)
