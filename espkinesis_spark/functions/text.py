@@ -310,10 +310,35 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq) over the corpus — the ONE corpus-wide shuffle the BPE ops
+    share (map-side combined token groupBy)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _vocab_layout(words: DataFrame, rows_per_partition: int = 50_000) -> DataFrame:
+    """Right-size the checkpointed vocab table's partitioning to its actual
+    cardinality: a synthetic corpus has a 30-word vocab where 32-partition
+    rounds are pure task-scheduling overhead, while a 100 TB corpus has a
+    ~100M-word vocab that keeps its parallel layout. count() on the
+    checkpointed table is a vocab-scale single-stage job."""
+    n = words.count()
+    current = words.rdd.getNumPartitions()
+    target = max(1, min(current, n // rows_per_partition + 1))
+    return words.coalesce(target) if target < current else words
+
+
 def bpe_train(
     docs: DataFrame,
     merges: int = C.BPE_MERGES,
     text_col: str = "text",
+    checkpoint_interval: int = 3,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed BPE-merge tokenizer training (Sennrich et al. 2016).
 
@@ -332,17 +357,17 @@ def bpe_train(
     sort), and the merge application is a pure codegen array fold. Driver
     data is exactly one (pair, count) row per round; the trajectory is
     merges-bounded, the same bounded-build-side contract as
-    ``similarity.kmeans_train``. ``localCheckpoint`` truncates the
-    per-round lineage so round r never replays rounds 1..r-1.
+    ``similarity.kmeans_train``. Lineage is truncated every
+    ``checkpoint_interval`` rounds — between checkpoints the merge folds
+    stack lazily (depth ≤ interval, safely under the >30-step codegen
+    hazard), so a round costs one argmax job, not argmax + materialize;
+    the final round's merge is never materialized at all (the trajectory,
+    not the segmented vocab, is the output).
     """
     spark = docs.sparkSession
-    words = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .select(F.split("w", "").alias("s"), "freq")
-        .localCheckpoint(eager=True)
+    wf = word_freqs if word_freqs is not None else _word_freqs(docs, text_col)
+    words = _vocab_layout(
+        wf.select(F.split("w", "").alias("s"), "freq").localCheckpoint(eager=True)
     )
     pairs_expr = F.expr(
         "transform(sequence(1, size(s) - 1), i -> struct(s[i-1] AS a, s[i] AS b))"
@@ -377,9 +402,10 @@ def bpe_train(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        words = words.select(apply_merge.alias("s"), "freq").localCheckpoint(
-            eager=True
-        )
+        if rank < merges:
+            words = words.select(apply_merge.alias("s"), "freq")
+            if rank % checkpoint_interval == 0:
+                words = words.localCheckpoint(eager=True)
     return spark.createDataFrame(
         trajectory, "merge_rank int, lhs string, rhs string, pair_count long"
     )
@@ -403,7 +429,10 @@ def bpe_encode(
     the per-word subword counts back (AQE broadcasts the vocab side when
     it fits; at 100 TB vocab scale it falls back to a shuffled join).
     """
-    trajectory = bpe_train(docs, merges=merges, text_col=text_col).collect()
+    wf = _word_freqs(docs, text_col).localCheckpoint(eager=True)
+    trajectory = bpe_train(
+        docs, merges=merges, text_col=text_col, word_freqs=wf
+    ).collect()
     word_toks = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("w")
     ).filter(F.length("w") > 0)
@@ -414,11 +443,10 @@ def bpe_encode(
     for r in trajectory:
         a, b = r["lhs"], r["rhs"]
         sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    per_word = (
-        word_toks.select("w").distinct().select(
-            "w",
-            F.size(F.split(F.trim(sym), "  ")).cast("long").alias("n_sub"),
-        )
+    # segmentation on the SAME checkpointed vocab table the trainer used —
+    # no second corpus-wide distinct
+    per_word = _vocab_layout(wf).select(
+        "w", F.size(F.split(F.trim(sym), "  ")).cast("long").alias("n_sub")
     )
     return (
         word_toks.join(per_word, "w")
