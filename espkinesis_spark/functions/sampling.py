@@ -90,3 +90,78 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn(split_col, expr)
+
+
+def domain_mix(
+    docs: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.5,
+    sample_frac: float = 0.5,
+    key_col: str = "doc_id",
+    bucket_res: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled domain-mixture sampling report (the Pile /
+    LLaMA-style data mixing): domain weight w_d ∝ n_d^alpha (alpha < 1
+    upweights tail domains), per-domain quota = w_d · N · sample_frac,
+    realized as a DETERMINISTIC md5-bucket acceptance with rate
+    min(1, quota / n_d). Returns one row per domain: n_docs, mix_weight,
+    accept_buckets (of ``bucket_res``), n_sampled.
+
+    Scale shape: one map-side-combined groupBy for the domain counts
+    (domain-cardinality rows), a broadcast of the tiny rate table back
+    onto the corpus scan (pure map acceptance — no shuffle of the
+    corpus), and one groupBy for the realized counts. Weights and rates
+    are rounded to 9 dp before use so the float path is engine-portable
+    (same discipline as kmeans' rounded trajectory); alpha=0.5 uses
+    sqrt(), which is correctly rounded in IEEE754 on every engine.
+    """
+    n_pow = (
+        F.sqrt(F.col("n_docs").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    )
+    per = docs.groupBy(domain_col).agg(F.count("*").cast("long").alias("n_docs"))
+    tot = per.agg(
+        F.sum(n_pow).alias("z"), F.sum("n_docs").cast("long").alias("n_total")
+    )
+    rates = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            "n_docs",
+            F.round(n_pow / F.col("z"), 9).alias("p"),
+            "n_total",
+        )
+        .select(
+            domain_col,
+            "n_docs",
+            "p",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("p") * F.col("n_total") * F.lit(sample_frac))
+                    / F.col("n_docs"),
+                ),
+                9,
+            ).alias("rate"),
+        )
+    )
+    accepted = docs.join(
+        F.broadcast(rates.select(domain_col, "rate")), domain_col
+    ).filter(
+        hash_bucket(F.col(key_col), bucket_res)
+        < F.floor(F.col("rate") * bucket_res)
+    )
+    sampled = accepted.groupBy(domain_col).agg(
+        F.count("*").cast("long").alias("n_sampled")
+    )
+    return (
+        rates.join(sampled, domain_col, "left")
+        .select(
+            domain_col,
+            "n_docs",
+            F.round("p", 6).alias("mix_weight"),
+            F.floor(F.col("rate") * bucket_res).cast("long").alias("accept_buckets"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )

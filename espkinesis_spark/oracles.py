@@ -822,6 +822,29 @@ FROM reach GROUP BY node""",
         FROM orders o
         WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM orders o2
                               WHERE o2.o_custkey = o.o_custkey)""",
+    # temperature-scaled mixture: replay the sqrt-weight / rounded-rate /
+    # md5-bucket acceptance pipeline exactly (9-dp rounding keeps the float
+    # path engine-portable, same discipline as the kmeans trajectory)
+    "ex_domain_mix": """
+        WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                     FROM documents GROUP BY source),
+        tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z,
+                       CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+        rates AS (SELECT source, n_docs, p,
+                         round(least(1.0, (p * n_total * 0.5) / n_docs), 9) AS rate
+                  FROM (SELECT source, n_docs,
+                               round(sqrt(CAST(n_docs AS DOUBLE)) / z, 9) AS p,
+                               n_total
+                        FROM per, tot)),
+        acc AS (SELECT d.source FROM documents d JOIN rates r USING (source)
+                WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 10000 < floor(r.rate * 10000)),
+        s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled
+              FROM acc GROUP BY source)
+        SELECT r.source, r.n_docs, round(r.p, 6) AS mix_weight,
+               CAST(floor(r.rate * 10000) AS BIGINT) AS accept_buckets,
+               CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM rates r LEFT JOIN s USING (source)""",
     "ex_stratified_sample": """SELECT doc_id, lang, source FROM documents
         WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                    AS BIGINT) % 100

@@ -1445,6 +1445,15 @@ def ex_bpe_encode(spark, sf_dir):
     return text.bpe_encode(_t(spark, sf_dir, "documents"))
 
 
+def ex_domain_mix(spark, sf_dir):
+    """Temperature-scaled domain-mixture sampling (weights ∝ sqrt(n),
+    deterministic md5-bucket quotas): per-source docs, mix weight,
+    acceptance buckets and realized sample size."""
+    from espkinesis_spark.functions import sampling
+
+    return sampling.domain_mix(_t(spark, sf_dir, "documents"))
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1475,22 +1484,23 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-3 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 4-6
+    EVIDENCE FRESHNESS: positions 1-4 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 5-7
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 7-31
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 8-32
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 32-36 pin the five flagship canaries; 37-50
+    streaming family); 33-37 pin the five flagship canaries; 38-50
     re-verify the oldest of the round-4 evidence (dq core). The remaining
     r4/r5-green entries follow in the tail and rotate in next round.
     """
     return {
-        # --- window 1-3: round-6 additions (unproven must sit here) ---
+        # --- window 1-4: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
+        "ex_domain_mix": ex_domain_mix,
         "st_console_roundtrip": st_console_roundtrip,
         # --- window 3-5: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
@@ -1524,13 +1534,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_content_dedup": st_content_dedup,
         # --- window 32-36: pinned flagship canaries ---
         "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14,
-        # --- window 37-50: oldest r4 evidence (dq core) ---
+        # --- window 38-50: oldest r4 evidence (dq core) ---
         "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
         "dq06": dq06, "dq07": dq07, "dq08": dq08, "dq10": dq10, "dq11": dq11,
-        "dq12": dq12, "dq13": dq13, "dq15": dq15, "dq16": dq16,
+        "dq12": dq12, "dq13": dq13, "dq15": dq15,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23, "dq24": dq24,
-        "dq25": dq25,
+        "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,
+        "dq24": dq24, "dq25": dq25,
         "ex_pivot": ex_pivot,
         "ex_percentiles": ex_percentiles,
         "ex_except": ex_except,

@@ -458,3 +458,28 @@ def test_bpe_encode_known_corpus(spark):
     # 6 words; subwords: 3*1 + 3 + 2*5 = 16; chars: 3*3+5+2*6 = 26
     assert (row["n_words"], row["n_subwords"]) == (6, 16)
     assert row["chars_per_subword"] == round(26 / 16, 4)
+
+
+def test_domain_mix_upweights_tail_and_is_deterministic(spark):
+    """sqrt-temperature mixing must upweight rare domains relative to
+    proportional sampling, weights sum to ~1, acceptance is deterministic
+    (two runs identical), and no domain oversamples its population."""
+    from espkinesis_spark.functions import sampling
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in sampling.domain_mix(docs).collect()}
+    assert set(out) == {"big", "small"}
+    w_big, w_small = out["big"]["mix_weight"], out["small"]["mix_weight"]
+    assert abs(w_big + w_small - 1.0) < 1e-6
+    # proportional would give small 10%; sqrt temperature gives it more
+    assert w_small > 0.1
+    assert out["small"]["n_sampled"] <= out["small"]["n_docs"]
+    # rare domain keeps a HIGHER fraction of its docs than the big one
+    frac_small = out["small"]["n_sampled"] / out["small"]["n_docs"]
+    frac_big = out["big"]["n_sampled"] / out["big"]["n_docs"]
+    assert frac_small > frac_big
+    again = {r["source"]: r for r in sampling.domain_mix(docs).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
