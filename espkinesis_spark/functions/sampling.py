@@ -145,6 +145,10 @@ def domain_mix(
                 9,
             ).alias("rate"),
         )
+        # domain-cardinality rows; materializing once means the corpus is
+        # scanned exactly twice (count pass + acceptance pass), not once
+        # per downstream reference to the rate table
+        .localCheckpoint(eager=True)
     )
     accepted = docs.join(
         F.broadcast(rates.select(domain_col, "rate")), domain_col
@@ -156,7 +160,7 @@ def domain_mix(
         F.count("*").cast("long").alias("n_sampled")
     )
     return (
-        rates.join(sampled, domain_col, "left")
+        rates.join(F.broadcast(sampled), domain_col, "left")
         .select(
             domain_col,
             "n_docs",
