@@ -483,3 +483,71 @@ def test_domain_mix_upweights_tail_and_is_deterministic(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+class TestDomainMixProperty:
+    """Property: domain_mix equals a direct python model (md5 acceptance
+    and 9-dp rounded sqrt-temperature rates replicated exactly)."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True)
+    def _stash(self, spark):
+        TestDomainMixProperty._spark = spark
+
+    def test_matches_python_model(self):
+        import hashlib
+        import math
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from espkinesis_spark.functions import sampling
+
+        spark = TestDomainMixProperty._spark
+
+        def python_model(rows, frac=0.5, res=10_000):
+            n = Counter(s for _, s in rows)
+            z = sum(math.sqrt(c) for _, c in sorted(n.items()))
+            n_total = sum(n.values())
+            out = {}
+            for s, c in n.items():
+                p = round(math.sqrt(c) / z, 9)
+                rate = round(min(1.0, (p * n_total * frac) / c), 9)
+                cutoff = math.floor(rate * res)
+                kept = sum(
+                    1
+                    for did, src in rows
+                    if src == s
+                    and int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)
+                    % res
+                    < cutoff
+                )
+                out[s] = (c, round(p, 6), cutoff, kept)
+            return out
+
+        @settings(max_examples=6, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+                min_size=1,
+                max_size=60,
+                unique_by=lambda t: t[0],
+            )
+        )
+        def run(rows):
+            want = python_model(rows)
+            docs = spark.createDataFrame(rows, "doc_id long, source string")
+            got = {
+                r["source"]: (
+                    r["n_docs"],
+                    r["mix_weight"],
+                    r["accept_buckets"],
+                    r["n_sampled"],
+                )
+                for r in sampling.domain_mix(docs).collect()
+            }
+            assert got == want
+
+        run()
