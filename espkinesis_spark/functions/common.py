@@ -105,6 +105,12 @@ QUANT_LEVELS = 127
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
+# windowed token co-occurrence (word-embedding prep): pair each token with
+# its next COOCCUR_WINDOW neighbors; report the COOCCUR_TOP_K most frequent
+# unordered pairs with their PMI
+COOCCUR_WINDOW = 2
+COOCCUR_TOP_K = 100
+
 # document chunking (characters)
 CHUNK_SIZE = 200
 CHUNK_OVERLAP = 50

@@ -589,3 +589,129 @@ def kmeans_train(
             )
         )
     return cents
+
+
+def semdedup(
+    vecs: DataFrame,
+    k: int = C.KMEANS_K,
+    iters: int = C.KMEANS_ITERS,
+    threshold: float = C.NEARDUP_COSINE,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-partitioned semantic deduplication (the SemDeDup shape,
+    Abbas et al. 2023): train k-means centroids, assign every embedding to
+    its cluster, then compare pairs ONLY within a cluster and drop a
+    vector when a lower-id cluster-mate sits within the cosine threshold.
+    Returns one scalar row per vector: (vec_id, centroid_id, keep).
+
+    The drop rule is the order-parallel variant — ``drop v iff ∃ u < v in
+    the same cluster with cos(u, v) >= threshold`` — rather than the
+    paper's sequential greedy sweep: it is embarrassingly parallel, needs
+    no per-cluster iteration, and every drop it makes has a concrete
+    witness pair (it can only over-drop vs greedy when a dropped vector is
+    itself the sole witness for a later one).
+
+    Scale shape: clustering is what makes this tractable at 100 TB — the
+    pairwise cosine is an equi-join keyed on centroid_id, so candidate
+    pairs shrink from O(n²) to O(Σ cluster²); k is the knob that bounds
+    cluster size (the paper runs n/k ≈ constant, keeping per-key work
+    flat as the corpus grows). Assignment is a broadcast-centroid pure
+    map (``ivf_assign``); norms are computed once per side; a skewed
+    giant cluster is a key-skew problem with the standard salting fix
+    (operators/skew.py).
+    """
+    cents = kmeans_train(vecs, k=k, iters=iters, vec_col=vec_col)
+    assign = ivf_assign(
+        vecs,
+        cents.select(F.col("centroid_id").alias("vec_id"), F.col("c").alias("embedding")),
+    )
+    v = (
+        with_norm(vecs, vec_col)
+        .select("vec_id", F.col(vec_col).alias("__v"), F.col("__norm").alias("__vn"))
+        .join(assign, "vec_id")
+    )
+    lo = v.select(
+        "centroid_id",
+        F.col("vec_id").alias("__lo_id"),
+        F.col("__v").alias("__a"),
+        F.col("__vn").alias("__an"),
+    )
+    drops = (
+        lo.join(v, "centroid_id")
+        .filter(F.col("__lo_id") < F.col("vec_id"))
+        .filter(
+            cosine(F.col("__a"), F.col("__v"), F.col("__an"), F.col("__vn"))
+            >= F.lit(threshold)
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        v.join(drops.withColumn("__dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distributed covariance of the embedding matrix — the O(n·d²)
+    reduction at the heart of PCA / ZCA-whitening over a 100 TB embedding
+    store. Returns the upper triangle as scalar rows
+    (dim_i, dim_j, cov) with cov = E[x_i·x_j] − E[x_i]·E[x_j], rounded to
+    6 dp; the d×d eigen-solve that follows is driver-trivial.
+
+    Scale shape: each Arrow batch reduces to ONE d×d partial gramian
+    (numpy ``X.T @ X``) plus the per-dim sums and row count, encoded as
+    d(d+1)/2 + d + 1 narrow (i, j, v) rows — so the shuffle volume is
+    O(batches · d²), independent of n, with map-side partial aggregation
+    on (i, j). No explode of the n×d² product space ever materializes
+    (the oracle does exactly that, which is fine at oracle scale only).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = x.shape[1]
+            iu = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu[0], np.arange(d), [-1]]).astype(np.int32),
+                    "j": np.concatenate([iu[1], np.full(d, -1), [-1]]).astype(np.int32),
+                    "v": np.concatenate(
+                        [(x.T @ x)[iu], x.sum(axis=0), [float(x.shape[0])]]
+                    ),
+                }
+            )
+
+    parts = vecs.select(vec_col).mapInPandas(run, schema="i int, j int, v double")
+    agg = parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    tot = agg.filter(F.col("i") == -1).select(F.col("v").alias("n"))
+    sums = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("d"), F.col("v").alias("s")
+    )
+    gram = agg.filter(F.col("j") >= 0).select(
+        F.col("i").alias("dim_i"), F.col("j").alias("dim_j"), F.col("v").alias("g")
+    )
+    si = F.broadcast(sums.select(F.col("d").alias("dim_i"), F.col("s").alias("si")))
+    sj = F.broadcast(sums.select(F.col("d").alias("dim_j"), F.col("s").alias("sj")))
+    return (
+        gram.crossJoin(F.broadcast(tot))
+        .join(si, "dim_i")
+        .join(sj, "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(
+                F.col("g") / F.col("n")
+                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+    )

@@ -310,6 +310,79 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def cooccur(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = C.COOCCUR_WINDOW,
+    k: int = C.COOCCUR_TOP_K,
+) -> DataFrame:
+    """Windowed token co-occurrence with PMI — the count table behind
+    word-embedding training (GloVe / word2vec prep). Each token pairs with
+    its next ``window`` neighbors; pairs are canonicalized unordered
+    (lexicographic least/greatest). Returns the top-k pairs by count
+    (ties → a asc, b asc) as (a, b, n_pair, pmi) with
+    pmi = round(ln((c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok))), 4).
+
+    Scale shape: pair generation is a pure per-row array fan-out (no
+    join, no shuffle — output ≈ window × corpus tokens); the pair count
+    is ONE map-side-combined groupBy whose shuffle is distinct-pair-sized;
+    the unigram LM and the two scalar totals are vocab-sized/1-row
+    broadcasts probed map-side; the final top-k plans as
+    TakeOrderedAndProject (per-partition heads, driver k-merge — never a
+    global sort).
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(window), n - i)),
+                lambda o: F.struct(
+                    F.least(F.element_at(t, i), F.element_at(t, i + o)).alias("a"),
+                    F.greatest(F.element_at(t, i), F.element_at(t, i + o)).alias("b"),
+                ),
+            ),
+        )
+    )
+    # sequence(1, 0) would yield [1, 0] (descending) — gate on n >= 2
+    safe_pairs = F.when(n >= 2, pair_structs).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+    pc = (
+        df.select(F.explode(safe_pairs).alias("p"))
+        .select("p.a", "p.b")
+        .filter((F.length("a") > 0) & (F.length("b") > 0))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    uni = _word_freqs(df, text_col)
+    n_pairs = pc.agg(F.sum("n_pair").cast("double").alias("np"))
+    n_tok = uni.agg(F.sum("freq").cast("double").alias("nt"))
+    fa = F.broadcast(uni.select(F.col("w").alias("a"), F.col("freq").alias("ca")))
+    fb = F.broadcast(uni.select(F.col("w").alias("b"), F.col("freq").alias("cb")))
+    return (
+        pc.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_tok))
+        .join(fa, "a")
+        .join(fb, "b")
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("np"))
+                    / ((F.col("ca") / F.col("nt")) * (F.col("cb") / F.col("nt")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_pair").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )
+
+
 def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
     """(w, freq) over the corpus — the ONE corpus-wide shuffle the BPE ops
     share (map-side combined token groupBy)."""

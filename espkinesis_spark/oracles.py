@@ -226,6 +226,29 @@ FROM {cur} c LEFT JOIN (SELECT centroid_id, count(*) AS n FROM af GROUP BY 1) s
     )
 
 
+def _semdedup_sql() -> str:
+    """SemDeDup replay: the exact k-means trajectory (shared CTE chain),
+    final assignment, then the order-parallel drop rule — drop v iff a
+    lower-id same-cluster vector is within the rounded-cosine threshold."""
+    parts, cur = _kmeans_ctes()
+    parts.append(_kmeans_assign_cte(cur, "af"))
+    parts.append(
+        f"""drops AS (SELECT DISTINCT hi.vec_id
+  FROM af lo JOIN af hi ON lo.centroid_id = hi.centroid_id
+                       AND lo.vec_id < hi.vec_id
+  JOIN v va ON va.vec_id = lo.vec_id
+  JOIN v vb ON vb.vec_id = hi.vec_id
+  WHERE {_cos('va.e', 'vb.e')} >= {C.NEARDUP_COSINE})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT a.vec_id, a.centroid_id, (d.vec_id IS NULL) AS keep
+FROM af a LEFT JOIN drops d ON d.vec_id = a.vec_id"""
+    )
+
+
 def _ann_ivf_trained_sql() -> str:
     """IVF probe (identical shape to _ann_ivf_sql) over the k-means-trained
     centroid table instead of the vec_id % mod subsample."""
@@ -1005,6 +1028,40 @@ GROUP BY source""",
     "ex_bpe_train": _bpe_sql(),
     "ex_bpe_encode": _bpe_encode_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
+    "ex_semdedup": _semdedup_sql(),
+    # embed_gram's oracle materializes the full n×d² product space (fine at
+    # oracle scale); the Spark side ships O(batches·d²) partial gramians
+    "ex_embed_gram": """
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cells AS (SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+                         e[CAST(i AS INT) + 1] AS xi, e[CAST(j AS INT) + 1] AS xj
+                  FROM v, UNNEST(range(len(e))) t1(i), UNNEST(range(len(e))) t2(j)
+                  WHERE j >= i)
+        SELECT dim_i, dim_j,
+               round(sum(xi * xj) / count(*)
+                     - (sum(xi) / count(*)) * (sum(xj) / count(*)), 6) AS cov
+        FROM cells GROUP BY 1, 2""",
+    "ex_cooccur": f"""
+        WITH t AS (SELECT {_TOKS.format(t='text')} AS t FROM documents),
+        pr AS (SELECT least(t[CAST(i AS INT)], t[CAST(i AS INT) + CAST(o AS INT)]) AS a,
+                      greatest(t[CAST(i AS INT)], t[CAST(i AS INT) + CAST(o AS INT)]) AS b
+               FROM t, UNNEST(range(1, len(t))) u(i),
+                       UNNEST(range(1, {C.COOCCUR_WINDOW} + 1)) w(o)
+               WHERE i + o <= len(t)),
+        pc AS (SELECT a, b, count(*) AS c FROM pr
+               WHERE length(a) > 0 AND length(b) > 0 GROUP BY 1, 2),
+        uni AS (SELECT w, count(*) AS freq FROM
+                (SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)
+                WHERE length(w) > 0 GROUP BY w),
+        np AS (SELECT CAST(sum(c) AS DOUBLE) AS np FROM pc),
+        nt AS (SELECT CAST(sum(freq) AS DOUBLE) AS nt FROM uni)
+        SELECT pc.a, pc.b, CAST(pc.c AS BIGINT) AS n_pair,
+               round(ln((pc.c / np.np) / ((fa.freq / nt.nt) * (fb.freq / nt.nt))), 4) AS pmi
+        FROM pc
+        JOIN uni fa ON fa.w = pc.a
+        JOIN uni fb ON fb.w = pc.b
+        CROSS JOIN np CROSS JOIN nt
+        ORDER BY n_pair DESC, a, b LIMIT {C.COOCCUR_TOP_K}""",
     "st_vocab": f"""
         WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents)
         SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token""",

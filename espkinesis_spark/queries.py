@@ -1454,6 +1454,33 @@ def ex_domain_mix(spark, sf_dir):
     return sampling.domain_mix(_t(spark, sf_dir, "documents"))
 
 
+def ex_semdedup(spark, sf_dir):
+    """Cluster-partitioned semantic dedup (SemDeDup, Abbas et al. 2023):
+    k-means clusters bound the pairwise-cosine candidate space to
+    same-cluster pairs; a vector is dropped when a lower-id cluster-mate
+    is within the near-dup cosine threshold. One scalar row per vector
+    (vec_id, centroid_id, keep); the oracle replays the identical
+    k-means trajectory and the EXISTS drop rule in SQL."""
+    return similarity.semdedup(_t(spark, sf_dir, "embeddings"))
+
+
+def ex_embed_gram(spark, sf_dir):
+    """Distributed embedding covariance (the PCA/whitening reduction):
+    upper-triangle (dim_i, dim_j, cov) rows from per-batch numpy partial
+    gramians — shuffle volume O(batches·d²), independent of corpus size.
+    The oracle materializes the n×d² product space instead (fine at
+    oracle scale only)."""
+    return similarity.embed_gram(_t(spark, sf_dir, "embeddings"))
+
+
+def ex_cooccur(spark, sf_dir):
+    """Windowed token co-occurrence + PMI (word-embedding prep): top-100
+    unordered neighbor pairs by count with their pointwise mutual
+    information — pure array fan-out, one pair-keyed groupBy, broadcast
+    unigram probes, TakeOrderedAndProject top-k."""
+    return text.cooccur(_t(spark, sf_dir, "documents"))
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1484,29 +1511,32 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-4 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 5-7
+    EVIDENCE FRESHNESS: positions 1-7 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 8-10
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 8-32
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 11-35
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 33-37 pin the five flagship canaries; 38-50
+    streaming family); 36-40 pin the five flagship canaries; 41-50
     re-verify the oldest of the round-4 evidence (dq core). The remaining
     r4/r5-green entries follow in the tail and rotate in next round.
     """
     return {
-        # --- window 1-4: round-6 additions (unproven must sit here) ---
+        # --- window 1-7: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
         "st_console_roundtrip": st_console_roundtrip,
-        # --- window 3-5: code/oracle changed this round ---
+        "ex_semdedup": ex_semdedup,
+        "ex_embed_gram": ex_embed_gram,
+        "ex_cooccur": ex_cooccur,
+        # --- window 8-10: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 6-30: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 11-35: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1532,13 +1562,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 32-36: pinned flagship canaries ---
+        # --- window 36-40: pinned flagship canaries ---
         "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14,
-        # --- window 38-50: oldest r4 evidence (dq core) ---
+        # --- window 41-50: oldest r4 evidence (dq core) ---
         "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
         "dq06": dq06, "dq07": dq07, "dq08": dq08, "dq10": dq10, "dq11": dq11,
-        "dq12": dq12, "dq13": dq13, "dq15": dq15,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
+        "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,
         "dq24": dq24, "dq25": dq25,
         "ex_pivot": ex_pivot,

@@ -551,3 +551,106 @@ class TestDomainMixProperty:
             assert got == want
 
         run()
+
+
+# --- round-6 additions: semdedup / embed_gram / cooccur ---------------------
+
+
+def test_semdedup_constructed_clusters(spark):
+    """Hand-built 2-cluster geometry with a tight threshold: near-copies of
+    a cluster-mate drop (lowest-id witness), distinct directions survive,
+    and an exact duplicate of a KEPT non-centroid drops too."""
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.05]),   # ~v0 -> dropped (witness 0)
+            (3, [0.05, 1.0]),   # ~v1 -> dropped (witness 1)
+            (4, [0.8, 0.6]),    # cluster 0 but cos < .99 to all -> kept
+            (5, [0.8, 0.6]),    # exact dup of kept v4 -> dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semdedup(vecs, k=2, iters=1, threshold=0.99).collect()
+    }
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_semdedup_drop_always_has_lower_id_cluster_witness(spark, sf_dir):
+    """Every dropped vector must have a same-cluster lower-id witness at
+    cosine >= threshold; every kept one must have none (the order-parallel
+    drop rule, checked directly against the pairwise definition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.semdedup(emb)
+    v = similarity.with_norm(emb).join(res.select("vec_id", "centroid_id"), "vec_id")
+    lo = v.select(
+        "centroid_id",
+        F.col("vec_id").alias("lo_id"),
+        F.col("embedding").alias("a"),
+        F.col("__norm").alias("an"),
+    )
+    witnessed = (
+        lo.join(v, "centroid_id")
+        .filter(F.col("lo_id") < F.col("vec_id"))
+        .filter(
+            similarity.cosine(F.col("a"), F.col("embedding"), F.col("an"), F.col("__norm"))
+            >= F.lit(C.NEARDUP_COSINE)
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    wit = {r["vec_id"] for r in witnessed.collect()}
+    for r in res.collect():
+        assert r["keep"] == (r["vec_id"] not in wit), r
+
+
+def test_embed_gram_matches_numpy(spark, sf_dir):
+    """The distributed partial-gramian reduction equals a direct numpy
+    covariance of the collected matrix (independent model, not the SQL
+    oracle)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = np.array(
+        [list(r["embedding"]) for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    n = x.shape[0]
+    cov = (x.T @ x) / n - np.outer(x.mean(axis=0), x.mean(axis=0))
+    got = similarity.embed_gram(emb).collect()
+    assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
+    for r in got:
+        assert abs(r["cov"] - cov[r["dim_i"], r["dim_j"]]) < 2e-6, r
+
+
+def test_cooccur_constructed(spark):
+    """Hand-computed window-2 pair counts + PMI on a 2-doc corpus."""
+    from espkinesis_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = [
+        (r["a"], r["b"], r["n_pair"], r["pmi"])
+        for r in text.cooccur(docs, window=2, k=10).collect()
+    ]
+    # uni: a:2 b:2 c:1 (nt=5); pairs: (a,b):2 (a,a):1 (b,c):1 (np=4)
+    import math
+
+    assert rows == [
+        ("a", "b", 2, round(math.log((2 / 4) / ((2 / 5) * (2 / 5))), 4)),
+        ("a", "a", 1, round(math.log((1 / 4) / ((2 / 5) * (2 / 5))), 4)),
+        ("b", "c", 1, round(math.log((1 / 4) / ((2 / 5) * (1 / 5))), 4)),
+    ]
+
+
+def test_cooccur_single_token_doc_is_safe(spark):
+    """A 1-token document must contribute no pairs (the sequence(1, 0)
+    descending-range hazard is gated)."""
+    from espkinesis_spark.functions import text
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "x y")], "doc_id long, text string")
+    rows = text.cooccur(docs, window=2, k=10).collect()
+    assert [(r["a"], r["b"], r["n_pair"]) for r in rows] == [("x", "y", 1)]

@@ -156,3 +156,39 @@ def test_frame_decode_is_zero_shuffle_map(spark, sf_dir):
         plan = audit.physical_plan(df)
         assert "Exchange" not in plan
         assert "codegen id" in plan  # decode stays inside whole-stage codegen
+
+
+def test_cooccur_topk_and_broadcast_probes(spark, sf_dir):
+    """Top-k pairs must plan as TakeOrderedAndProject (never a global Sort
+    of the pair table), and the unigram/total probes must stay broadcast —
+    the pair stream is shuffled exactly once, keyed by the pair."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_cooccur")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_gram_ships_partial_gramians(spark, sf_dir):
+    """The covariance reduction must run as Arrow-batched partial gramians
+    (MapInPandas) with only d²-sized data past the map — never an explode
+    of the n×d² product space or a corpus-sized sort-merge join."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_embed_gram")
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan, "product space exploded row-wise"
+    assert "SortMergeJoin" not in plan, "d2-sized assembly joins must broadcast"
+
+
+def test_semdedup_pairs_are_cluster_keyed(spark, sf_dir):
+    """The pairwise-cosine stage must be an equi-join keyed on centroid_id
+    — a CartesianProduct here is the O(n²) cliff SemDeDup exists to
+    avoid."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_semdedup")
+    assert "CartesianProduct" not in physical_plan(df)
