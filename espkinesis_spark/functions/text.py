@@ -331,7 +331,10 @@ def cooccur(
     TakeOrderedAndProject (per-partition heads, driver k-merge — never a
     global sort).
     """
-    t = tokens(F.col(text_col))
+    # materialize the token array as a projected column FIRST: referencing
+    # tokens(text) directly inside the nested lambdas re-evaluates the
+    # regex split per element (no CSE across lambda scopes) — measured 10x
+    t = F.col("__t")
     n = F.size(t)
     pair_structs = F.flatten(
         F.transform(
@@ -350,7 +353,8 @@ def cooccur(
         F.array().cast("array<struct<a:string,b:string>>")
     )
     pc = (
-        df.select(F.explode(safe_pairs).alias("p"))
+        df.select(tokens(F.col(text_col)).alias("__t"))
+        .select(F.explode(safe_pairs).alias("p"))
         .select("p.a", "p.b")
         .filter((F.length("a") > 0) & (F.length("b") > 0))
         .groupBy("a", "b")
