@@ -105,6 +105,13 @@ QUANT_LEVELS = 127
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
+# SemDeDup cluster sizing: k auto-scales as max(KMEANS_K, n // TARGET) so
+# the per-cluster pairwise work stays ~TARGET²/2 regardless of corpus size
+# (fixed k would make the pair count O(n²/k) — quadratic). At oracle scales
+# (n <= KMEANS_K * TARGET) the auto-k equals KMEANS_K, so the SQL replay
+# stays exact.
+SEMDEDUP_TARGET_CLUSTER = 1024
+
 # windowed token co-occurrence (word-embedding prep): pair each token with
 # its next COOCCUR_WINDOW neighbors; report the COOCCUR_TOP_K most frequent
 # unordered pairs with their PMI

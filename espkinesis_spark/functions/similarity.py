@@ -591,12 +591,21 @@ def kmeans_train(
     return cents
 
 
+def semdedup_auto_k(n: int, target_cluster: int = C.SEMDEDUP_TARGET_CLUSTER) -> int:
+    """Cluster count that holds per-cluster pairwise work constant as the
+    corpus grows (pairs/vector ~ target_cluster/2): max(KMEANS_K,
+    n // target_cluster). Keeping the KMEANS_K floor means oracle-scale
+    corpora replay the fixed-k SQL trajectory exactly."""
+    return max(C.KMEANS_K, n // target_cluster)
+
+
 def semdedup(
     vecs: DataFrame,
-    k: int = C.KMEANS_K,
+    k: int | None = None,
     iters: int = C.KMEANS_ITERS,
     threshold: float = C.NEARDUP_COSINE,
     vec_col: str = "embedding",
+    target_cluster: int = C.SEMDEDUP_TARGET_CLUSTER,
 ) -> DataFrame:
     """Cluster-partitioned semantic deduplication (the SemDeDup shape,
     Abbas et al. 2023): train k-means centroids, assign every embedding to
@@ -613,13 +622,22 @@ def semdedup(
 
     Scale shape: clustering is what makes this tractable at 100 TB — the
     pairwise cosine is an equi-join keyed on centroid_id, so candidate
-    pairs shrink from O(n²) to O(Σ cluster²); k is the knob that bounds
-    cluster size (the paper runs n/k ≈ constant, keeping per-key work
-    flat as the corpus grows). Assignment is a broadcast-centroid pure
-    map (``ivf_assign``); norms are computed once per side; a skewed
-    giant cluster is a key-skew problem with the standard salting fix
-    (operators/skew.py).
+    pairs shrink from O(n²) to O(Σ cluster²). A FIXED k would creep back
+    to quadratic (pairs ~ n²/k; measured 130x wall at 30x data), so when
+    ``k`` is None it auto-scales as max(KMEANS_K, n // target_cluster) —
+    the paper's n/k ≈ constant regime, which keeps pairs-per-vector at
+    ~target_cluster/2 at any corpus size; at oracle scales the auto-k
+    equals KMEANS_K so the SQL replay stays exact. Assignment is a
+    broadcast-centroid pure map (``ivf_assign``); norms are computed once
+    per side; a skewed giant cluster is a key-skew problem with the
+    standard salting fix (operators/skew.py). The centroid table is the
+    bounded build side (k rows, collected for the matmul broadcast) — at
+    corpus sizes where n/1024 outgrows broadcast limits, raise
+    ``target_cluster`` so k stays build-side-sized (the paper's 5B-doc
+    runs use ~100k clusters, i.e. clusters of ~50k).
     """
+    if k is None:
+        k = semdedup_auto_k(vecs.count(), target_cluster)
     cents = kmeans_train(vecs, k=k, iters=iters, vec_col=vec_col)
     assign = ivf_assign(
         vecs,

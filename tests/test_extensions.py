@@ -654,3 +654,15 @@ def test_cooccur_single_token_doc_is_safe(spark):
     docs = spark.createDataFrame([(1, "solo"), (2, "x y")], "doc_id long, text string")
     rows = text.cooccur(docs, window=2, k=10).collect()
     assert [(r["a"], r["b"], r["n_pair"]) for r in rows] == [("x", "y", 1)]
+
+
+def test_semdedup_auto_k_scaling():
+    """k must grow with n past the fixed-k floor — fixed k=8 measured 130x
+    wall at 30x data (quadratic pair growth); the floor keeps oracle-scale
+    runs on the exact fixed-k SQL trajectory."""
+    assert similarity.semdedup_auto_k(500) == C.KMEANS_K
+    assert similarity.semdedup_auto_k(C.KMEANS_K * C.SEMDEDUP_TARGET_CLUSTER) == C.KMEANS_K
+    assert similarity.semdedup_auto_k(60_000) == 60_000 // C.SEMDEDUP_TARGET_CLUSTER
+    assert similarity.semdedup_auto_k(60_000_000) == 60_000_000 // C.SEMDEDUP_TARGET_CLUSTER
+    # raising target_cluster caps k when n outgrows broadcast limits
+    assert similarity.semdedup_auto_k(5_000_000_000, 50_000) == 100_000
