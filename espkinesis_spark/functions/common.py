@@ -112,6 +112,12 @@ KMEANS_ITERS = 2
 # stays exact.
 SEMDEDUP_TARGET_CLUSTER = 1024
 
+# PageRank: standard damping, fixed iteration budget (the trajectory is
+# replayed in SQL iteration-by-iteration, so the budget is unrolled — keep
+# it small; centrality orderings stabilize in a few rounds)
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
 # windowed token co-occurrence (word-embedding prep): pair each token with
 # its next COOCCUR_WINDOW neighbors; report the COOCCUR_TOP_K most frequent
 # unordered pairs with their PMI

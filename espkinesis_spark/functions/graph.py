@@ -1,0 +1,62 @@
+"""Graph algorithms over relational edge tables.
+
+Connected components (large-star/small-star) lives in functions/dedup.py
+where its consumer (near-dup clustering) is; this module holds the
+general-purpose iterative fixpoint ops, starting with PageRank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from espkinesis_spark.functions import common as C
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = C.PAGERANK_DAMPING,
+    iters: int = C.PAGERANK_ITERS,
+) -> DataFrame:
+    """PageRank over a directed (src, dst) edge table with a fixed
+    iteration budget and an engine-portable trajectory: ranks start at
+    1/N, each round computes round((1-d)/N + d·Σ_{u→v} r(u)/outdeg(u), 9)
+    (the 9-dp round keeps Spark's and a SQL oracle's float summation
+    orders aligned, the kmeans-trajectory trick), and the result is
+    (node, rank) rounded to 6 dp. Multi-edges weight naturally (outdeg
+    counts them); dangling-node mass is NOT redistributed (the simplified
+    teleport-only variant — deterministic, and a no-op for bipartite
+    src→sink graphs where sinks never emit).
+
+    Scale shape: per round, ONE shuffle — contributions aggregate on dst
+    with map-side partials; the rank and out-degree tables are node-sized
+    and join the edge table on src (co-partitioned equi-joins; AQE
+    broadcasts them while they fit). The iteration budget is fixed — no
+    convergence collect, no driver-side data beyond the scalar node
+    count, so the loop costs exactly iters × (join + narrow shuffle) at
+    any graph size.
+    """
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.union(dst_nodes).distinct().localCheckpoint(eager=True)
+    n = float(nodes.count())
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    ranks = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), 9).alias("r"))
+    teleport = F.lit(1.0 - damping) / F.lit(n)
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("od")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    teleport + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)), 9
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round(F.col("r"), 6).alias("rank"))

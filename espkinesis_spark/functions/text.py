@@ -310,6 +310,41 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal (near-zero entropy = degenerate
+    repetition; normalized entropy ≈ 1 = maximally diverse vocabulary).
+    Returns (doc_id, n_tokens, n_distinct, entropy, norm_entropy) with
+    entropy = round(-Σ (c/n)·ln(c/n), 4) and norm_entropy = entropy /
+    ln(n_distinct) (NULL when a doc has a single distinct token).
+
+    Scale shape: explode → (doc, token) count → per-doc total joined back
+    on doc_id (co-partitioned — the token counts are already keyed by
+    doc_id, so AQE reuses the partitioning) → one per-doc reduce. Both
+    aggregations partial-aggregate map-side; nothing is corpus-global.
+    """
+    tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count("*").cast("double").alias("c"))
+    totals = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").cast("long").alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n")
+    ent = F.round(-F.sum(p * F.log(p)), 4)
+    return (
+        per_tok.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").cast("long").alias("n_tokens"),
+            F.first("n_distinct").alias("n_distinct"),
+            ent.alias("entropy"),
+            F.when(
+                F.first("n_distinct") > 1,
+                F.round(-F.sum(p * F.log(p)) / F.log(F.first("n_distinct").cast("double")), 4),
+            ).alias("norm_entropy"),
+        )
+    )
+
+
 def cooccur(
     df: DataFrame,
     text_col: str = "text",

@@ -249,6 +249,41 @@ FROM af a LEFT JOIN drops d ON d.vec_id = a.vec_id"""
     )
 
 
+def _pagerank_sql() -> str:
+    """Replay graph.pagerank's trajectory iteration-by-iteration: same
+    customer→supplier edge build, same 1/N init, same 9-dp-rounded
+    (1-d)/N + d·Σ r/outdeg update, final rank rounded to 6 dp. Float
+    literals use repr() so the SQL constants are the exact doubles the
+    Spark side computes with."""
+    d, iters = C.PAGERANK_DAMPING, C.PAGERANK_ITERS
+    tele = repr(1.0 - d)
+    parts = [
+        """e AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src)",
+        "r0 AS (SELECT node, round(1.0 / nn.n, 9) AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst, sum(p.r / od.od) AS c
+  FROM e JOIN r{i - 1} p ON p.node = e.src JOIN od ON od.src = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i} AS (SELECT nodes.node,
+  round({tele} / nn.n + {d!r} * coalesce(c{i}.c, 0.0), 9) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(r, 6) AS rank FROM r{iters}"
+    )
+
+
 def _ann_ivf_trained_sql() -> str:
     """IVF probe (identical shape to _ann_ivf_sql) over the k-means-trained
     centroid table instead of the vec_id % mod subsample."""
@@ -1029,6 +1064,20 @@ GROUP BY source""",
     "ex_bpe_encode": _bpe_encode_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_semdedup": _semdedup_sql(),
+    "ex_pagerank": _pagerank_sql(),
+    "ex_token_entropy": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
+        pt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS nd
+                FROM pt GROUP BY 1)
+        SELECT pt.doc_id, CAST(tot.n AS BIGINT) AS n_tokens, tot.nd AS n_distinct,
+               round(-sum((pt.c / tot.n) * ln(pt.c / tot.n)), 4) AS entropy,
+               CASE WHEN tot.nd > 1 THEN
+                 round(-sum((pt.c / tot.n) * ln(pt.c / tot.n))
+                       / ln(CAST(tot.nd AS DOUBLE)), 4)
+               END AS norm_entropy
+        FROM pt JOIN tot USING (doc_id)
+        GROUP BY pt.doc_id, tot.n, tot.nd""",
     # embed_gram's oracle materializes the full n×d² product space (fine at
     # oracle scale); the Spark side ships O(batches·d²) partial gramians
     "ex_embed_gram": """

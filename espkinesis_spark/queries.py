@@ -1481,6 +1481,30 @@ def ex_cooccur(spark, sf_dir):
     return text.cooccur(_t(spark, sf_dir, "documents"))
 
 
+def ex_pagerank(spark, sf_dir):
+    """PageRank centrality over the customer→supplier trade graph (edges =
+    order lineitems, multi-edges weight naturally): which suppliers does
+    the order flow concentrate on. Fixed 3-iteration budget with a
+    9-dp-rounded trajectory the SQL oracle replays iteration-by-iteration
+    (the kmeans-trajectory trick); one dst-keyed shuffle per round."""
+    from espkinesis_spark.functions import graph
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.pagerank(edges)
+
+
+def ex_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution (+ the
+    ln(n_distinct)-normalized form) — the information-density quality
+    signal that catches degenerate repetition lexical stats miss."""
+    return text.token_entropy(_t(spark, sf_dir, "documents"))
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1511,20 +1535,20 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-7 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 8-10
+    EVIDENCE FRESHNESS: positions 1-9 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 10-12
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 11-35
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 13-37
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 36-40 pin the five flagship canaries; 41-50
+    streaming family); 38-42 pin the five flagship canaries; 43-50
     re-verify the oldest of the round-4 evidence (dq core). The remaining
     r4/r5-green entries follow in the tail and rotate in next round.
     """
     return {
-        # --- window 1-7: round-6 additions (unproven must sit here) ---
+        # --- window 1-9: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1532,11 +1556,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_semdedup": ex_semdedup,
         "ex_embed_gram": ex_embed_gram,
         "ex_cooccur": ex_cooccur,
-        # --- window 8-10: code/oracle changed this round ---
+        "ex_pagerank": ex_pagerank,
+        "ex_token_entropy": ex_token_entropy,
+        # --- window 10-12: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 11-35: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 13-37: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1562,13 +1588,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 36-40: pinned flagship canaries ---
+        # --- window 38-42: pinned flagship canaries ---
         "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14,
-        # --- window 41-50: oldest r4 evidence (dq core) ---
+        # --- window 43-50: oldest r4 evidence (dq core) ---
         "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
-        "dq06": dq06, "dq07": dq07, "dq08": dq08, "dq10": dq10, "dq11": dq11,
+        "dq06": dq06, "dq07": dq07, "dq08": dq08,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq12": dq12, "dq13": dq13, "dq15": dq15,
+        "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,
         "dq24": dq24, "dq25": dq25,
         "ex_pivot": ex_pivot,

@@ -666,3 +666,65 @@ def test_semdedup_auto_k_scaling():
     assert similarity.semdedup_auto_k(60_000_000) == 60_000_000 // C.SEMDEDUP_TARGET_CLUSTER
     # raising target_cluster caps k when n outgrows broadcast limits
     assert similarity.semdedup_auto_k(5_000_000_000, 50_000) == 100_000
+
+
+def test_pagerank_matches_python_model(spark):
+    """Hand-built multigraph vs a direct python trajectory model (same
+    init, same per-round 9-dp rounding, no dangling redistribution)."""
+    from collections import Counter, defaultdict
+
+    from espkinesis_spark.functions import graph
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"), ("a", "b")]
+    d, iters = 0.85, 3
+    nodes = sorted({x for e in edges for x in e})
+    n = float(len(nodes))
+    od = Counter(s for s, _ in edges)
+    r = {v: round(1.0 / n, 9) for v in nodes}
+    for _ in range(iters):
+        c = defaultdict(float)
+        for s, t in edges:
+            c[t] += r[s] / od[s]
+        r = {v: round((1 - d) / n + d * c.get(v, 0.0), 9) for v in nodes}
+    want = {v: round(r[v], 6) for v in nodes}
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {row["node"]: row["rank"] for row in graph.pagerank(df).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
+
+
+def test_pagerank_dangling_sink_accumulates(spark):
+    """In a bipartite src→sink graph every sink outranks the uniform
+    teleport floor and sources sit exactly on it (no dangling
+    redistribution by design)."""
+    from espkinesis_spark.functions import graph
+
+    df = spark.createDataFrame(
+        [("u1", "s1"), ("u2", "s1"), ("u3", "s2")], "src string, dst string"
+    )
+    got = {row["node"]: row["rank"] for row in graph.pagerank(df).collect()}
+    floor = round(0.15 / 5.0, 6)  # 5 nodes: u1 u2 u3 s1 s2
+    assert got["u1"] == got["u2"] == got["u3"] == floor
+    assert got["s1"] > got["s2"] > floor
+
+
+def test_token_entropy_constructed(spark):
+    """Degenerate repetition scores 0 (norm NULL); a uniform 2-token doc
+    scores ln 2 with norm exactly 1."""
+    import math
+
+    from espkinesis_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b"), (3, "a a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.token_entropy(docs).collect()}
+    assert (got[1]["entropy"], got[1]["norm_entropy"]) == (0.0, None)
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 1
+    assert got[2]["entropy"] == round(math.log(2), 4)
+    assert got[2]["norm_entropy"] == 1.0
+    h3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert got[3]["entropy"] == round(h3, 4)
+    assert got[3]["norm_entropy"] == round(h3 / math.log(2), 4)

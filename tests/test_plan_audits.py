@@ -192,3 +192,22 @@ def test_semdedup_pairs_are_cluster_keyed(spark, sf_dir):
 
     df = _q(spark, sf_dir, "ex_semdedup")
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_pagerank_iterations_have_no_cartesian(spark, sf_dir):
+    """Each PageRank round is a dst-keyed aggregation over src-keyed
+    equi-joins; the only nested-loop join allowed is the 1-row node-count
+    broadcast."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_pagerank")
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_token_entropy_is_doc_keyed_only(spark, sf_dir):
+    """Entropy never aggregates corpus-globally: every Exchange in the
+    plan is keyed by doc_id (no SinglePartition reduce)."""
+    from espkinesis_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "ex_token_entropy"))
+    assert "SinglePartition" not in plan
