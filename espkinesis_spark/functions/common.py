@@ -112,6 +112,9 @@ KMEANS_ITERS = 2
 # stays exact.
 SEMDEDUP_TARGET_CLUSTER = 1024
 
+# add-alpha smoothing for the bigram LM quality score
+BIGRAM_ALPHA = 0.5
+
 # PageRank: standard damping, fixed iteration budget (the trajectory is
 # replayed in SQL iteration-by-iteration, so the budget is unrolled — keep
 # it small; centrality orderings stabilize in a few rounds)

@@ -310,6 +310,63 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", alpha: float = C.BIGRAM_ALPHA
+) -> DataFrame:
+    """Score each document under an add-alpha-smoothed bigram LM trained on
+    the corpus itself: p(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V), score =
+    round(-avg(ln p) over the doc's bigrams, 4). The KenLM-style upgrade
+    of ``unigram_logprob`` — catches improbable word ORDER, not just
+    improbable words. Documents with < 2 tokens emit no row.
+
+    Scale shape: bigram generation is a per-row array fan-out (the token
+    array is materialized as a column first — the lambda-scope CSE
+    hazard); the LM tables are bigram-vocab-sized (one map-side-combined
+    groupBy each); scoring probes them map-side (AQE broadcasts while
+    they fit; a 100 TB corpus's bigram table falls back to a shuffled
+    equi-join) and reduces per doc_id.
+    """
+    toks_df = df.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    big = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        toks_df.select("doc_id", F.explode(big).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    lm = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    ctx = pairs.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    v = _word_freqs(df, text_col).agg(F.count("*").cast("double").alias("v"))
+    a = F.lit(alpha)
+    probs = (
+        lm.join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            ((F.col("c12") + a) / (F.col("c1") + a * F.col("v"))).alias("p"),
+        )
+    )
+    return (
+        pairs.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.avg(F.log("p")), 4).alias("bigram_logprob"),
+        )
+    )
+
+
 def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document Shannon entropy of the token distribution — the
     information-density quality signal (near-zero entropy = degenerate

@@ -1065,6 +1065,25 @@ GROUP BY source""",
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_semdedup": _semdedup_sql(),
     "ex_pagerank": _pagerank_sql(),
+    "ex_bigram_logprob": f"""
+        WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS t FROM documents),
+        bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+               FROM t, UNNEST(range(1, len(t))) u(i)
+               WHERE length(t[CAST(i AS INT)]) > 0
+                 AND length(t[CAST(i AS INT) + 1]) > 0),
+        lm AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+        vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM (
+               SELECT DISTINCT w FROM (
+                 SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)
+               WHERE length(w) > 0)),
+        pr AS (SELECT lm.w1, lm.w2,
+                      (lm.c12 + {C.BIGRAM_ALPHA}) / (ctx.c1 + {C.BIGRAM_ALPHA} * vv.v) AS p
+               FROM lm JOIN ctx ON ctx.w1 = lm.w1 CROSS JOIN vv)
+        SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-avg(ln(pr.p)), 4) AS bigram_logprob
+        FROM bg JOIN pr ON pr.w1 = bg.w1 AND pr.w2 = bg.w2
+        GROUP BY bg.doc_id""",
     "ex_token_entropy": f"""
         WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
         pt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY 1, 2),

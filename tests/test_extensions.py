@@ -728,3 +728,24 @@ def test_token_entropy_constructed(spark):
     h3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert got[3]["entropy"] == round(h3, 4)
     assert got[3]["norm_entropy"] == round(h3 / math.log(2), 4)
+
+
+def test_bigram_logprob_constructed(spark):
+    """Hand-computed add-0.5 bigram LM on a 3-doc corpus; a 1-token doc
+    emits no row."""
+    import math
+
+    from espkinesis_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "b a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.bigram_logprob(docs).collect()}
+    assert set(got) == {1, 3}
+    # lm: (a,b):2 (b,a):1; ctx: a:2 b:1; V=2, alpha=.5
+    p_ab = 2.5 / 3.0
+    p_ba = 1.5 / 2.0
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["bigram_logprob"] == round(-math.log(p_ab), 4)
+    assert got[3]["n_bigrams"] == 2
+    assert got[3]["bigram_logprob"] == round(-(math.log(p_ba) + math.log(p_ab)) / 2, 4)
