@@ -749,3 +749,106 @@ def test_bigram_logprob_constructed(spark):
     assert got[1]["bigram_logprob"] == round(-math.log(p_ab), 4)
     assert got[3]["n_bigrams"] == 2
     assert got[3]["bigram_logprob"] == round(-(math.log(p_ba) + math.log(p_ab)) / 2, 4)
+
+
+class TestCooccurProperty:
+    """Property: cooccur pair counts + PMI equal a direct python model on
+    random corpora (the window/offset indexing is where bugs hide)."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True)
+    def _stash(self, spark):
+        TestCooccurProperty._spark = spark
+
+    def test_matches_python_model(self):
+        import math
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from espkinesis_spark.functions import text
+
+        spark = TestCooccurProperty._spark
+        word = st.sampled_from(["a", "b", "c", "d"])
+        doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=5), st.integers(1, 3))
+        def run(texts, window):
+            pair_c: Counter = Counter()
+            uni: Counter = Counter()
+            for t in texts:
+                toks = t.split()
+                uni.update(toks)
+                for i in range(len(toks)):
+                    for o in range(1, window + 1):
+                        if i + o < len(toks):
+                            a, b = sorted((toks[i], toks[i + o]))
+                            pair_c[(a, b)] += 1
+            np_, nt = float(sum(pair_c.values())), float(sum(uni.values()))
+            want = sorted(
+                (
+                    (-c, a, b, c,
+                     round(math.log((c / np_) / ((uni[a] / nt) * (uni[b] / nt))), 4))
+                    for (a, b), c in pair_c.items()
+                ),
+            )[:10]
+            want = [(a, b, c, p) for _, a, b, c, p in want]
+
+            docs = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+            )
+            got = [
+                (r["a"], r["b"], r["n_pair"], r["pmi"])
+                for r in text.cooccur(docs, window=window, k=10).collect()
+            ]
+            assert got == want
+
+        run()
+
+
+class TestPagerankProperty:
+    """Property: the Spark trajectory equals the python model on random
+    directed multigraphs (including self-loops and dangling sinks)."""
+
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True)
+    def _stash(self, spark):
+        TestPagerankProperty._spark = spark
+
+    def test_matches_python_model(self):
+        from collections import Counter, defaultdict
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from espkinesis_spark.functions import graph
+
+        spark = TestPagerankProperty._spark
+        node = st.sampled_from(["a", "b", "c", "d", "e"])
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(st.tuples(node, node), min_size=1, max_size=12))
+        def run(edges):
+            d, iters = 0.85, 3
+            nodes = sorted({x for e in edges for x in e})
+            n = float(len(nodes))
+            od = Counter(s for s, _ in edges)
+            r = {v: round(1.0 / n, 9) for v in nodes}
+            for _ in range(iters):
+                c = defaultdict(float)
+                for s, t in edges:
+                    c[t] += r[s] / od[s]
+                r = {v: round((1 - d) / n + d * c.get(v, 0.0), 9) for v in nodes}
+            want = {v: round(r[v], 6) for v in nodes}
+
+            df = spark.createDataFrame(edges, "src string, dst string")
+            got = {row["node"]: row["rank"] for row in graph.pagerank(df).collect()}
+            assert set(got) == set(want)
+            for v in want:
+                assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
+
+        run()
