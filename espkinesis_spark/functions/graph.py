@@ -36,6 +36,10 @@ def pagerank(
     count, so the loop costs exactly iters × (join + narrow shuffle) at
     any graph size.
     """
+    # the edge table feeds every iteration plus the degree build — truncate
+    # its lineage once so an expensive upstream edge construction (a join,
+    # typically) is not re-executed iters+1 times
+    edges = edges.localCheckpoint(eager=True)
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
     nodes = src_nodes.union(dst_nodes).distinct().localCheckpoint(eager=True)
