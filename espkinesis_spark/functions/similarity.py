@@ -570,8 +570,10 @@ def kmeans_train(
         F.col("vec_id").alias("centroid_id"), _as_double(F.col(vec_col)).alias("c")
     )
     for _ in range(iters):
+        # ivf_assign's kernel reads the canonical 'embedding' column —
+        # rename at the boundary so any vec_col works
         assign = ivf_assign(
-            vecs,
+            vecs.select("vec_id", F.col(vec_col).alias("embedding")),
             cents.select(F.col("centroid_id").alias("vec_id"), F.col("c").alias("embedding")),
         )
         per = (
@@ -639,14 +641,20 @@ def semdedup(
     if k is None:
         k = semdedup_auto_k(vecs.count(), target_cluster)
     cents = kmeans_train(vecs, k=k, iters=iters, vec_col=vec_col)
+    # ivf_assign's kernel reads the canonical 'embedding' column — rename
+    # at the boundary so any vec_col works
     assign = ivf_assign(
-        vecs,
+        vecs.select("vec_id", F.col(vec_col).alias("embedding")),
         cents.select(F.col("centroid_id").alias("vec_id"), F.col("c").alias("embedding")),
     )
+    # v feeds three plan subtrees (pair left side, pair right side, keep
+    # output); truncate lineage once so the corpus-wide norm + assignment
+    # matmul runs once per action, not three times
     v = (
         with_norm(vecs, vec_col)
         .select("vec_id", F.col(vec_col).alias("__v"), F.col("__norm").alias("__vn"))
         .join(assign, "vec_id")
+        .localCheckpoint(eager=True)
     )
     lo = v.select(
         "centroid_id",

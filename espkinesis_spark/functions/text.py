@@ -380,7 +380,12 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     doc_id, so AQE reuses the partitioning) → one per-doc reduce. Both
     aggregations partial-aggregate map-side; nothing is corpus-global.
     """
-    tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    # empty-string tokens are filtered so an empty/whitespace-only doc
+    # emits no row on BOTH engines (Spark splits '' to []; DuckDB's
+    # string_split_regex yields [''] — unguarded, parity diverges)
+    tok = df.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.length("tok") > 0)
     per_tok = tok.groupBy("doc_id", "tok").agg(F.count("*").cast("double").alias("c"))
     totals = per_tok.groupBy("doc_id").agg(
         F.sum("c").alias("n"), F.count("*").cast("long").alias("n_distinct")

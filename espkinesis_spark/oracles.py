@@ -147,8 +147,10 @@ def _bpe_ctes() -> tuple[list[str], int]:
     non-overlapping while the wrapping keeps a just-merged token from
     re-matching — byte-identical semantics to the Spark array fold. The
     s{r} CTEs carry (w, sym, freq) so _bpe_encode_sql can join the final
-    segmentation back to words; b{r} holds round r's winning pair.
-    Returns (parts, rounds)."""
+    segmentation back to words; b{r} holds round r's winning pair. The
+    merge application LEFT-joins b{r} so a dry round (no pairs left —
+    Spark's early break) passes sym through unchanged instead of
+    emptying the chain. Returns (parts, rounds)."""
     rounds = C.BPE_MERGES
     parts = [
         f"tok AS (SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)",
@@ -169,9 +171,10 @@ def _bpe_ctes() -> tuple[list[str], int]:
         )
         parts.append(
             f"""s{r + 1} AS (SELECT w,
-  replace(sym, ' ' || bb.a || '  ' || bb.b || ' ', ' ' || bb.a || bb.b || ' ')
-      AS sym, freq
-  FROM s{r}, b{r} bb)"""
+  CASE WHEN bb.a IS NULL THEN sym
+       ELSE replace(sym, ' ' || bb.a || '  ' || bb.b || ' ',
+                    ' ' || bb.a || bb.b || ' ') END AS sym, freq
+  FROM s{r} LEFT JOIN b{r} bb ON TRUE)"""
         )
     return parts, rounds
 
@@ -1086,7 +1089,8 @@ GROUP BY source""",
         GROUP BY bg.doc_id""",
     "ex_token_entropy": f"""
         WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
-        pt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY 1, 2),
+        pt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM t
+               WHERE length(tok) > 0 GROUP BY 1, 2),
         tot AS (SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS nd
                 FROM pt GROUP BY 1)
         SELECT pt.doc_id, CAST(tot.n AS BIGINT) AS n_tokens, tot.nd AS n_distinct,

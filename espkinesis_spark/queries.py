@@ -650,10 +650,13 @@ def ex_array_agg(spark, sf_dir):
 def ex_approx_distinct(spark, sf_dir):
     """Sketch aggregation: HLL approx distinct vs exact, emitting only
     violations of the 5% tolerance — the oracle expects zero rows, so the
-    driver gate asserts the sketch's accuracy contract distributedly."""
+    driver gate asserts the sketch's accuracy contract distributedly.
+    rsd is pinned to 0.01 (5x headroom under the gate): the default 0.05
+    sketch measured 6.7% error on the 10k-distinct sf0.1 groups — a
+    1-sigma sketch cannot back a 1-sigma tolerance."""
     ev = _t(spark, sf_dir, "events")
     checked = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
         F.countDistinct("user_id").alias("exact"),
     )
     return checked.filter(

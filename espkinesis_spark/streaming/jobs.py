@@ -363,6 +363,39 @@ def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_command_plane_sink", "complete")
 
 
+_ROUNDTRIP_SCHEMA = "event_type string, n long, sum_v double, n_distinct long"
+
+
+def _roundtrip_aggregate(df: DataFrame) -> DataFrame:
+    """The shared delivery-check aggregate both round-trip jobs hash."""
+    return df.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.countDistinct("event_id").cast("long").alias("n_distinct"),
+    )
+
+
+def _read_back_batches(spark: SparkSession, out_dir: str, data_dir: str, read_fn):
+    """Read the batch_id=N subdirectories a round-trip sink delivered
+    (the retry-idempotent exactly-once layout), aggregate, detach from
+    the tmp files, and clean up. A zero-batch stream never creates
+    data_dir — deliver an empty result rather than a read error."""
+    import shutil
+
+    os.makedirs(data_dir, exist_ok=True)
+    batch_dirs = [
+        os.path.join(data_dir, d)
+        for d in os.listdir(data_dir)
+        if d.startswith("batch_id=")
+    ]
+    if not batch_dirs:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return spark.createDataFrame([], _ROUNDTRIP_SCHEMA)
+    out = _roundtrip_aggregate(read_fn(batch_dirs)).localCheckpoint(eager=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 def sink_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1/K2 driver-checkable delivery round-trip: the events stream goes
     through the keyed ``foreachBatch`` sink (per-key repartitioned delivery,
@@ -372,8 +405,6 @@ def sink_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value-hash asserts exactly-once-complete delivery — every source
     row shipped, none duplicated — not just that a sink ran.
     """
-    import shutil
-
     from espkinesis_spark.streaming.sinks import keyed_foreach_batch_sink
 
     src = _events_stream(spark, sf_dir)
@@ -397,31 +428,9 @@ def sink_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="st_sink_roundtrip",
     )
     query.awaitTermination()
-    # a zero-batch stream never creates data_dir; deliver an empty result
-    # rather than a read error
-    os.makedirs(data_dir, exist_ok=True)
-    batch_dirs = [
-        os.path.join(data_dir, d)
-        for d in os.listdir(data_dir)
-        if d.startswith("batch_id=")
-    ]
-    if not batch_dirs:
-        shutil.rmtree(out_dir, ignore_errors=True)
-        return spark.createDataFrame(
-            [], "event_type string, n long, sum_v double, n_distinct long"
-        )
-    delivered = (
-        spark.read.parquet(*batch_dirs)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_v"),
-            F.countDistinct("event_id").cast("long").alias("n_distinct"),
-        )
+    return _read_back_batches(
+        spark, out_dir, data_dir, lambda dirs: spark.read.parquet(*dirs)
     )
-    out = delivered.localCheckpoint(eager=True)  # detach from the tmp files
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
 
 
 def console_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,8 +442,6 @@ def console_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash proves the K3 serialization is lossless and delivery is
     exactly-once-complete (every row serialized once, parse round-trips
     every field)."""
-    import shutil
-
     from espkinesis_spark.streaming.sinks import console_json_sink
 
     src = _events_stream(spark, sf_dir)
@@ -448,32 +455,16 @@ def console_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=os.path.join(out_dir, "ckpt"),
     )
     query.awaitTermination()
-    os.makedirs(cap, exist_ok=True)
-    batch_dirs = [
-        os.path.join(cap, d) for d in os.listdir(cap) if d.startswith("batch_id=")
-    ]
-    if not batch_dirs:
-        shutil.rmtree(out_dir, ignore_errors=True)
-        return spark.createDataFrame(
-            [], "event_type string, n long, sum_v double, n_distinct long"
+
+    def read_docs(dirs):
+        return (
+            spark.read.json(*dirs)
+            .select(
+                F.from_json(
+                    "doc", "event_id bigint, event_type string, value double"
+                ).alias("r")
+            )
+            .select("r.*")
         )
-    parsed = (
-        spark.read.json(*batch_dirs)
-        .select(
-            F.from_json(
-                "doc", "event_id bigint, event_type string, value double"
-            ).alias("r")
-        )
-        .select("r.*")
-    )
-    out = (
-        parsed.groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_v"),
-            F.countDistinct("event_id").cast("long").alias("n_distinct"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+
+    return _read_back_batches(spark, out_dir, cap, read_docs)

@@ -852,3 +852,50 @@ class TestPagerankProperty:
                 assert abs(got[v] - want[v]) < 2e-6, (v, got[v], want[v])
 
         run()
+
+
+def test_token_entropy_empty_doc_emits_no_row(spark):
+    """Empty/whitespace-only docs must vanish on both engines (Spark
+    splits '' to []; the oracle filters the '' token DuckDB yields)."""
+    from espkinesis_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in text.token_entropy(docs).collect()}
+    assert got == {3}
+
+
+def test_bpe_oracle_survives_dry_merges(spark):
+    """A corpus whose pairs run dry before BPE_MERGES rounds must still
+    agree between engines: Spark breaks out of the merge loop, the oracle
+    LEFT-joins the empty winner CTE (a no-op round) instead of emptying
+    the symbol chain."""
+    import duckdb
+    import pandas as pd
+
+    from espkinesis_spark import oracles
+    from espkinesis_spark.functions import text
+    from tests.oracle_util import compare
+
+    pdocs = pd.DataFrame({"doc_id": [1], "text": ["ab ab cd"]})
+    con = duckdb.connect()
+    con.register("documents", pdocs)
+    for name in ("ex_bpe_train", "ex_bpe_encode"):
+        want = con.execute(oracles.ORACLES[name]).df()
+        fn = text.bpe_train if name == "ex_bpe_train" else text.bpe_encode
+        compare(fn(spark.createDataFrame(pdocs)), want)
+
+
+def test_semdedup_honors_custom_vec_col(spark):
+    """vec_col != 'embedding' must work end-to-end (the assignment kernel
+    reads the canonical name; semdedup renames at the boundary)."""
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.01])],
+        "vec_id long, vec array<double>",
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semdedup(vecs, k=2, iters=1, threshold=0.99, vec_col="vec").collect()
+    }
+    assert out == {0: True, 1: True, 2: False}
