@@ -83,7 +83,10 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Components are rounded to 4 dp *before* the weighted combination so the
     score is bit-stable across engines and summation orders.
     """
-    toks = tokens(F.col(text_col))
+    # materialize the split once per row — every later reference to the
+    # raw tokens() expression would re-run the regex split (4x here)
+    df = df.select("doc_id", F.col(text_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n_tokens = F.size(toks).cast("long")
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("long")),
