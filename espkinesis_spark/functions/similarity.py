@@ -716,7 +716,13 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
                 }
             )
 
-    parts = vecs.select(vec_col).mapInPandas(run, schema="i int, j int, v double")
+    # NULL vectors contribute nothing (the SQL mirror's UNNEST over a NULL
+    # array yields no rows; an unguarded np.stack would crash instead)
+    parts = (
+        vecs.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(run, schema="i int, j int, v double")
+    )
     agg = parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
     tot = agg.filter(F.col("i") == -1).select(F.col("v").alias("n"))
     sums = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(

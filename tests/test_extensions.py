@@ -899,3 +899,20 @@ def test_semdedup_honors_custom_vec_col(spark):
         for r in similarity.semdedup(vecs, k=2, iters=1, threshold=0.99, vec_col="vec").collect()
     }
     assert out == {0: True, 1: True, 2: False}
+
+
+def test_embed_gram_skips_null_vectors(spark):
+    """NULL embeddings contribute nothing (matching the oracle's UNNEST
+    semantics) instead of crashing the numpy kernel."""
+    import numpy as np
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["dim_i"], r["dim_j"]): r["cov"] for r in similarity.embed_gram(vecs).collect()}
+    x = np.array([[1.0, 2.0], [3.0, 4.0]])
+    cov = (x.T @ x) / 2 - np.outer(x.mean(axis=0), x.mean(axis=0))
+    assert len(got) == 3
+    for (i, j), v in got.items():
+        assert abs(v - cov[i, j]) < 1e-9
