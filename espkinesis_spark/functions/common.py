@@ -115,6 +115,12 @@ SEMDEDUP_TARGET_CLUSTER = 1024
 # add-alpha smoothing for the bigram LM quality score
 BIGRAM_ALPHA = 0.5
 
+# dedup-normalization accent fold: a fixed codepoint translate map (kept
+# identical in Spark translate() and DuckDB translate() — neither engine's
+# locale-dependent strip-accents is used, so both fold identically)
+ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuucnyy"
+
 # PageRank: standard damping, fixed iteration budget (the trajectory is
 # replayed in SQL iteration-by-iteration, so the budget is unrolled — keep
 # it small; centrality orderings stabilize in a few rounds)

@@ -313,6 +313,31 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dedup-normalization (the CCNet/Dolma step that precedes every
+    content hash): lowercase → fixed-map accent fold (common.ACCENT_*) →
+    collapse whitespace runs → trim. Emits (doc_id, norm_len, norm_md5)
+    so the normalized identity is checkable without hauling the text.
+
+    Pure projection — whole-stage codegen, zero shuffle at any corpus
+    size. The accent fold is a codepoint translate with an explicit map,
+    NOT a locale/ICU strip-accents, so any SQL engine with translate()
+    reproduces it byte-for-byte.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(F.col(text_col)), C.ACCENT_SRC, C.ACCENT_DST),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
 def bigram_logprob(
     df: DataFrame, text_col: str = "text", alpha: float = C.BIGRAM_ALPHA
 ) -> DataFrame:

@@ -1068,6 +1068,15 @@ GROUP BY source""",
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_semdedup": _semdedup_sql(),
     "ex_pagerank": _pagerank_sql(),
+    "ex_normalize_text": f"""
+        SELECT doc_id,
+               CAST(length(trim(regexp_replace(
+                   translate(lower(text), '{C.ACCENT_SRC}', '{C.ACCENT_DST}'),
+                   '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len,
+               md5(trim(regexp_replace(
+                   translate(lower(text), '{C.ACCENT_SRC}', '{C.ACCENT_DST}'),
+                   '\\s+', ' ', 'g'))) AS norm_md5
+        FROM documents""",
     "ex_bigram_logprob": f"""
         WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS t FROM documents),
         bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2

@@ -1508,6 +1508,13 @@ def ex_token_entropy(spark, sf_dir):
     return text.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def ex_normalize_text(spark, sf_dir):
+    """CCNet-style dedup normalization (lowercase, fixed-map accent fold,
+    whitespace collapse) as hashes — the step every content-dedup hash
+    runs on first. Pure zero-shuffle projection."""
+    return text.normalize_text(_t(spark, sf_dir, "documents"))
+
+
 def ex_bigram_logprob(spark, sf_dir):
     """Model-based quality scoring v2: each document scored under an
     add-alpha-smoothed bigram LM trained on the corpus — improbable word
@@ -1545,20 +1552,20 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-10 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 11-13
+    EVIDENCE FRESHNESS: positions 1-11 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 12-14
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 14-38
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 15-39
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 39-43 pin the five flagship canaries; 44-50
+    streaming family); 40-44 pin the five flagship canaries; 45-50
     re-verify the oldest of the round-4 evidence (dq core). The remaining
     r4/r5-green entries follow in the tail and rotate in next round.
     """
     return {
-        # --- window 1-10: round-6 additions (unproven must sit here) ---
+        # --- window 1-11: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1569,11 +1576,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_pagerank": ex_pagerank,
         "ex_token_entropy": ex_token_entropy,
         "ex_bigram_logprob": ex_bigram_logprob,
-        # --- window 11-13: code/oracle changed this round ---
+        "ex_normalize_text": ex_normalize_text,
+        # --- window 12-14: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 14-38: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 15-39: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1599,13 +1607,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 39-43: pinned flagship canaries ---
+        # --- window 40-44: pinned flagship canaries ---
         "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14,
-        # --- window 44-50: oldest r4 evidence (dq core) ---
+        # --- window 45-50: oldest r4 evidence (dq core) ---
         "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
-        "dq06": dq06, "dq07": dq07,
+        "dq06": dq06,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq08": dq08,
+        "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,
         "dq24": dq24, "dq25": dq25,

@@ -916,3 +916,20 @@ def test_embed_gram_skips_null_vectors(spark):
     assert len(got) == 3
     for (i, j), v in got.items():
         assert abs(v - cov[i, j]) < 1e-9
+
+
+def test_normalize_text_constructed(spark):
+    """Accent fold, case fold, and whitespace collapse behave exactly as
+    the fixed map specifies (including multi-space and tab runs)."""
+    import hashlib
+
+    from espkinesis_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "  Él  está\tAQUÍ  "), (2, "plain text")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.normalize_text(docs).collect()}
+    want1 = "el esta aqui"
+    assert got[1]["norm_len"] == len(want1)
+    assert got[1]["norm_md5"] == hashlib.md5(want1.encode()).hexdigest()
+    assert got[2]["norm_md5"] == hashlib.md5(b"plain text").hexdigest()

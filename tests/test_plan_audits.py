@@ -92,7 +92,7 @@ def test_dedup_pipeline_reuses_bucketed_shingles(spark, sf_dir):
 def test_projection_ops_have_zero_shuffle(spark, sf_dir):
     """pii_scrub and embed_quantize are pure projections — any Exchange in
     their plan is a silent 100x regression at corpus scale."""
-    for name in ("ex_pii_scrub", "ex_embed_quantize"):
+    for name in ("ex_pii_scrub", "ex_embed_quantize", "ex_normalize_text"):
         df = _q(spark, sf_dir, name)
         assert exchange_count(df) == 0, f"{name} gained a shuffle"
 
