@@ -1068,6 +1068,28 @@ GROUP BY source""",
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_semdedup": _semdedup_sql(),
     "ex_pagerank": _pagerank_sql(),
+    "ex_funnel": """
+        WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        fc AS (SELECT user_id, min(ts) AS c_ts FROM e WHERE event_type = 'click' GROUP BY 1),
+        fp AS (SELECT DISTINCT e.user_id FROM e JOIN fc ON fc.user_id = e.user_id
+               WHERE e.event_type = 'purchase'
+                 AND e.ts >= fc.c_ts AND e.ts <= fc.c_ts + INTERVAL 1 HOUR),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_clickers FROM fc),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS n_converted FROM fp)
+        SELECT n_clickers, n_converted,
+               round(n_converted * 1.0 / n_clickers, 4) AS conv_rate
+        FROM c CROSS JOIN v""",
+    "ex_retention": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        fs AS (SELECT user_id, date_trunc('hour', min(ts)) AS cohort FROM e GROUP BY 1),
+        nh AS (SELECT DISTINCT e.user_id FROM e JOIN fs ON fs.user_id = e.user_id
+               WHERE date_trunc('hour', e.ts) = fs.cohort + INTERVAL 1 HOUR)
+        SELECT fs.cohort, CAST(count(*) AS BIGINT) AS cohort_size,
+               CAST(sum(CASE WHEN nh.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               round(sum(CASE WHEN nh.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS retention_rate
+        FROM fs LEFT JOIN nh ON nh.user_id = fs.user_id
+        GROUP BY fs.cohort""",
     "ex_normalize_text": f"""
         SELECT doc_id,
                CAST(length(trim(regexp_replace(

@@ -1522,6 +1522,65 @@ def ex_bigram_logprob(spark, sf_dir):
     return text.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def ex_funnel(spark, sf_dir):
+    """Two-step conversion funnel (click → purchase within 1 hour of the
+    user's FIRST click): the classic product-analytics sequence query.
+    Two per-user min-aggregations (map-side partials) and one user-keyed
+    join — no window over the raw event stream, no self-join explosion."""
+    ev = _t(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    clickers = first_click.agg(F.count("*").cast("long").alias("n_clickers"))
+    converted = first_purchase.agg(F.count("*").cast("long").alias("n_converted"))
+    return clickers.crossJoin(F.broadcast(converted)).select(
+        "n_clickers",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_clickers"), 4).alias("conv_rate"),
+    )
+
+
+def ex_retention(spark, sf_dir):
+    """Hourly cohort retention: users grouped by first-seen hour; how many
+    are active again in the NEXT hour. Per-user min + exists-join keyed on
+    user_id, then a cohort-keyed rollup — the standard retention matrix
+    collapsed to its first off-diagonal."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("cohort")
+    )
+    next_hour_active = (
+        ev.join(first_seen, "user_id")
+        .filter(F.date_trunc("hour", F.col("ts")) == F.col("cohort") + F.expr("INTERVAL 1 HOUR"))
+        .select("user_id")
+        .distinct()
+        .withColumn("retained", F.lit(1).cast("long"))
+    )
+    return (
+        first_seen.join(next_hour_active, "user_id", "left")
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("long").alias("cohort_size"),
+            F.sum(F.coalesce(F.col("retained"), F.lit(0))).cast("long").alias("retained"),
+            F.round(
+                F.sum(F.coalesce(F.col("retained"), F.lit(0))) / F.count("*"), 4
+            ).alias("retention_rate"),
+        )
+    )
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1552,20 +1611,20 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-11 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 12-14
+    EVIDENCE FRESHNESS: positions 1-13 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 14-16
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 15-39
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 17-41
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 40-44 pin the five flagship canaries; 45-50
+    streaming family); 42-46 pin the five flagship canaries; 47-50
     re-verify the oldest of the round-4 evidence (dq core). The remaining
     r4/r5-green entries follow in the tail and rotate in next round.
     """
     return {
-        # --- window 1-11: round-6 additions (unproven must sit here) ---
+        # --- window 1-13: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1577,11 +1636,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_token_entropy": ex_token_entropy,
         "ex_bigram_logprob": ex_bigram_logprob,
         "ex_normalize_text": ex_normalize_text,
-        # --- window 12-14: code/oracle changed this round ---
+        "ex_funnel": ex_funnel,
+        "ex_retention": ex_retention,
+        # --- window 14-16: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 15-39: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 17-41: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1607,13 +1668,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 40-44: pinned flagship canaries ---
+        # --- window 42-46: pinned flagship canaries ---
         "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14,
-        # --- window 45-50: oldest r4 evidence (dq core) ---
-        "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04, "dq05": dq05,
-        "dq06": dq06,
+        # --- window 47-50: oldest r4 evidence (dq core) ---
+        "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq07": dq07, "dq08": dq08,
+        "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,
         "dq24": dq24, "dq25": dq25,
