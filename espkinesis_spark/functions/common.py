@@ -147,6 +147,25 @@ SPAN_TOKENS = 10
 SPAN_ORD_BASE = 1_000_000
 
 
+# label-propagation communities: synchronous updates with a fixed round
+# budget (trajectory unrolled in the SQL oracle like pagerank/kmeans); ties
+# in the neighbor-label vote break to the lexicographically-smallest label
+# so both engines converge identically.
+LPA_ITERS = 3
+
+# heavy hitters: Misra-Gries candidate capacity per partition; the exact
+# second pass keeps tokens whose TRUE count exceeds total/HH_K, so the
+# output is exact (the sketch only bounds the candidate set).
+HH_K = 100
+
+# largest-triangle downsampling: number of output buckets over the event
+# time range. Anchors are the neighbor buckets' mean points (the
+# fixed-anchor LTTB variant — bucket selections stay independent, so the
+# argmax distributes; canonical LTTB chains selections sequentially).
+LTTB_BUCKETS = 48
+LTTB_AREA_ROUND = 4  # round triangle areas before argmax (engine-portable)
+
+
 def minhash_salt(j: int) -> str:
     """Salt for the j-th MinHash permutation; md5(salt || shingle)."""
     return f"mh{j:02d}|"

@@ -64,3 +64,48 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round(F.col("r"), 6).alias("rank"))
+
+
+def label_propagation(edges: DataFrame, iters: int = C.LPA_ITERS) -> DataFrame:
+    """Synchronous label-propagation community detection over a directed
+    (src, dst) edge table, treated as undirected (each edge votes both
+    ways; multi-edges weight the vote naturally). Labels start as the node
+    id; each round every node adopts the most frequent label among its
+    neighbors, ties to the lexicographically-smallest label — a fully
+    deterministic trajectory the SQL oracle replays round-by-round (the
+    pagerank/kmeans trick). Isolated-by-direction nodes cannot occur
+    (symmetrization gives every endpoint a neighbor), but the left join +
+    coalesce keeps the op total anyway. Returns (node, community,
+    n_members).
+
+    Scale shape: per round, the node-sized label table joins the edge
+    table on src (co-partitioned equi-join; AQE broadcasts while it fits)
+    and the vote aggregates in two map-side-partial steps — (node, label)
+    count, then a per-node ``min(struct(-count, label))`` argmax, so the
+    only full shuffles are keyed by node. Fixed budget, no driver-side
+    data, no windows over the edge table.
+    """
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    both = both.localCheckpoint(eager=True)
+    nodes = both.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(iters):
+        votes = (
+            both.join(labels, both["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("vnode"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            votes.groupBy("vnode")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias("b"))
+            .select("vnode", F.col("b.lab").alias("new_lab"))
+        )
+        labels = nodes.join(best, nodes["node"] == best["vnode"], "left").select(
+            "node", F.coalesce(F.col("new_lab"), F.col("node")).alias("lab")
+        )
+    sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("n_members"))
+    return labels.join(sizes, "lab").select(
+        "node", F.col("lab").alias("community"), "n_members"
+    )

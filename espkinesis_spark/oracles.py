@@ -287,6 +287,47 @@ def _pagerank_sql() -> str:
     )
 
 
+def _label_prop_sql() -> str:
+    """Replay graph.label_propagation round-by-round: same symmetrized
+    customer↔supplier edge table, labels init to the node id, each round
+    every node adopts the most frequent neighbor label with ties to the
+    lexicographically-smallest label (row_number ORDER BY c DESC, lab ==
+    Spark's min(struct(-c, lab)) argmax)."""
+    iters = C.LPA_ITERS
+    parts = [
+        """e0 AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "l0 AS (SELECT node, node AS lab FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""v{i} AS (SELECT e.dst AS vnode, p.lab, count(*) AS c
+  FROM e JOIN l{i - 1} p ON p.node = e.src GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""b{i} AS (SELECT vnode, lab FROM (
+    SELECT vnode, lab,
+           row_number() OVER (PARTITION BY vnode ORDER BY c DESC, lab) AS rn
+    FROM v{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{i} AS (SELECT nodes.node, coalesce(b{i}.lab, nodes.node) AS lab
+  FROM nodes LEFT JOIN b{i} ON b{i}.vnode = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_members
+          FROM l{iters} GROUP BY lab)
+SELECT l.node, l.lab AS community, s.n_members
+FROM l{iters} l JOIN sizes s ON s.lab = l.lab"""
+    )
+
+
 def _ann_ivf_trained_sql() -> str:
     """IVF probe (identical shape to _ann_ivf_sql) over the k-means-trained
     centroid table instead of the vec_id % mod subsample."""
@@ -1068,6 +1109,15 @@ GROUP BY source""",
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_semdedup": _semdedup_sql(),
     "ex_pagerank": _pagerank_sql(),
+    "ex_label_prop": _label_prop_sql(),
+    # exact heavy hitters: the Spark side's Misra-Gries pass only proposes
+    # candidates; the emitted rows are the exact count > total/k set
+    "ex_heavy_hitters": f"""
+        WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+        g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
+        SELECT token, n, round(n * 1.0 / total, 6) AS share
+        FROM g CROSS JOIN tot WHERE n * {C.HH_K} > total""",
     "ex_funnel": """
         WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         fc AS (SELECT user_id, min(ts) AS c_ts FROM e WHERE event_type = 'click' GROUP BY 1),

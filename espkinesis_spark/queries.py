@@ -1501,6 +1501,32 @@ def ex_pagerank(spark, sf_dir):
     return graph.pagerank(edges)
 
 
+def ex_label_prop(spark, sf_dir):
+    """Label-propagation community detection over the (undirected)
+    customer↔supplier trade graph: which customer/supplier groups trade
+    mostly among themselves. Fixed 3-round synchronous trajectory with
+    min-label tie-break, replayed round-by-round by the SQL oracle; per
+    round one src-keyed join + two map-side-partial vote aggregations."""
+    from espkinesis_spark.functions import graph
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.label_propagation(edges)
+
+
+def ex_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens above a 1/k frequency share) via
+    a Misra-Gries bounded-memory candidate pass + an exact broadcast
+    verification count — the streaming-sketch pattern with a deterministic
+    exact output, so the sketch's order-dependence never reaches the
+    result."""
+    return text.heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
 def ex_token_entropy(spark, sf_dir):
     """Per-document Shannon entropy of the token distribution (+ the
     ln(n_distinct)-normalized form) — the information-density quality
@@ -1638,6 +1664,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_normalize_text": ex_normalize_text,
         "ex_funnel": ex_funnel,
         "ex_retention": ex_retention,
+        "ex_label_prop": ex_label_prop,
+        "ex_heavy_hitters": ex_heavy_hitters,
         # --- window 14-16: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,

@@ -933,3 +933,84 @@ def test_normalize_text_constructed(spark):
     assert got[1]["norm_len"] == len(want1)
     assert got[1]["norm_md5"] == hashlib.md5(want1.encode()).hexdigest()
     assert got[2]["norm_md5"] == hashlib.md5(b"plain text").hexdigest()
+
+
+def test_label_prop_matches_python_model(spark):
+    """Hand-built graph vs a direct python synchronous-LPA model (same
+    symmetrization, most-frequent-neighbor vote, min-label tie-break)."""
+    from collections import Counter
+
+    from espkinesis_spark.functions import graph
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    both = edges + [(t, s) for s, t in edges]
+    nodes = sorted({x for e in edges for x in e})
+    lab = {v: v for v in nodes}
+    for _ in range(3):
+        votes = {v: Counter() for v in nodes}
+        for s, t in both:
+            votes[t][lab[s]] += 1
+        lab = {
+            v: (min(c for _, c in votes[v].most_common()) and
+                sorted(votes[v].items(), key=lambda kv: (-kv[1], kv[0]))[0][0])
+            if votes[v] else v
+            for v in nodes
+        }
+    sizes = Counter(lab.values())
+    want = {v: (lab[v], sizes[lab[v]]) for v in nodes}
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["community"], r["n_members"])
+        for r in graph.label_propagation(df).collect()
+    }
+    assert got == want
+
+
+def test_label_prop_two_cliques_converge(spark):
+    """Two triangles joined by one bridge edge settle into exactly two
+    communities labeled by each clique's minimal node."""
+    from espkinesis_spark.functions import graph
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    df = spark.createDataFrame(tri1 + tri2, "src string, dst string")
+    got = {r["node"]: r["community"] for r in graph.label_propagation(df).collect()}
+    assert {got["a"], got["b"], got["c"]} == {"a"}
+    assert {got["x"], got["y"], got["z"]} == {"x"}
+
+
+def test_heavy_hitters_exact_on_skewed_corpus(spark):
+    """Output equals the exact count > total/k set on a constructed skewed
+    corpus, independent of partitioning (MG only proposes candidates)."""
+    from collections import Counter
+
+    from espkinesis_spark.functions import text as T
+
+    docs = []
+    for i in range(40):
+        docs.append((i, "hot " * 5 + f"cold{i}"))
+    toks = [t for _, s in docs for t in s.split()]
+    total = len(toks)
+    k = 3
+    want = {
+        t: c for t, c in Counter(toks).items() if c * k > total
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    got = {
+        r["token"]: r["n"]
+        for r in T.heavy_hitters(df, k=k).collect()
+    }
+    assert got == want and "hot" in got
+
+
+def test_heavy_hitters_tiny_k_never_misses(spark):
+    """MG with k=2 across many partitions still surfaces every true heavy
+    (superset guarantee survives the partition merge)."""
+    from espkinesis_spark.functions import text as T
+
+    rows = [(i, "alpha beta " + f"noise{i % 97} noise{i % 89}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    # alpha/beta are 200/800 = exactly 1/4 of tokens: strictly above 1/5
+    got = {r["token"] for r in T.heavy_hitters(df, k=5).collect()}
+    assert {"alpha", "beta"} <= got
