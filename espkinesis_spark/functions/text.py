@@ -713,3 +713,50 @@ def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = C.HH_K) -> Dat
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+def quality_gate_stateless(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The quality_filter gate re-expressed as a STATELESS projection
+    (array expressions only — no explode, no groupBy), emitting the
+    documents that pass. Identical semantics/rounding to quality_filter,
+    so the two forms share one oracle; this form runs on an unbounded
+    stream in append mode with zero state and no watermark — the shape a
+    100 TB/day ingest gate needs (the batch form's per-doc aggregation
+    would accumulate corpus-sized state on a stream).
+
+    Per-doc cost is O(distinct·tokens) for the top-token scan — fine for
+    document-sized arrays; the token array is materialized as a real
+    column first (nested-lambda re-evaluation hazard, NOTES round 6).
+    """
+    toks = tokens(F.col(text_col))
+    t = df.withColumn("__toks", toks).withColumn(
+        "__dt", F.array_distinct(F.col("__toks"))
+    )
+    n = F.size("__toks").cast("long")
+    n_distinct = F.size("__dt").cast("long")
+    top_n = F.array_max(
+        F.transform(
+            F.col("__dt"),
+            lambda d: F.size(F.filter(F.col("__toks"), lambda x: x == d)),
+        )
+    ).cast("long")
+    char_sum = F.aggregate(
+        F.col("__toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_frac = F.round(F.lit(1.0) - n_distinct / n, 4)
+    top_frac = F.round(top_n / n, 4)
+    mean_len = F.round(char_sum / n, 4)
+    keep = (
+        (n >= C.QF_MIN_TOKENS)
+        & (top_frac <= C.QF_MAX_TOP_FRAC)
+        & (mean_len >= C.QF_MIN_MEAN_LEN)
+        & (mean_len <= C.QF_MAX_MEAN_LEN)
+    )
+    return t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup_frac.alias("dup_frac"),
+        top_frac.alias("top_frac"),
+        mean_len.alias("mean_len"),
+        keep.alias("keep"),
+    ).filter("keep").drop("keep")

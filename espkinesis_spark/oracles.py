@@ -1000,6 +1000,24 @@ FROM t JOIN b USING (s) GROUP BY doc_id""",
                CAST(length(regexp_replace(ne, '{C.PII_NUMBER_RE}', '<NUM>', 'g')) AS BIGINT) AS clean_len,
                md5(regexp_replace(ne, '{C.PII_NUMBER_RE}', '<NUM>', 'g')) AS clean_md5
         FROM s""",
+    # streaming stateless form of the same gate: passing docs only
+    "st_quality_gate": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
+        pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS top_n,
+                     CAST(sum(length(tok) * c) AS BIGINT) AS char_sum
+              FROM pt GROUP BY 1)
+        SELECT doc_id, n_tokens,
+               round(1.0 - n_distinct * 1.0 / n_tokens, 4) AS dup_frac,
+               round(top_n * 1.0 / n_tokens, 4) AS top_frac,
+               round(char_sum * 1.0 / n_tokens, 4) AS mean_len
+        FROM s
+        WHERE n_tokens >= {C.QF_MIN_TOKENS}
+          AND round(top_n * 1.0 / n_tokens, 4) <= {C.QF_MAX_TOP_FRAC}
+          AND round(char_sum * 1.0 / n_tokens, 4) >= {C.QF_MIN_MEAN_LEN}
+          AND round(char_sum * 1.0 / n_tokens, 4) <= {C.QF_MAX_MEAN_LEN}""",
     "ex_quality_filter": f"""
         WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
         pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
@@ -1110,6 +1128,45 @@ GROUP BY source""",
     "ex_semdedup": _semdedup_sql(),
     "ex_pagerank": _pagerank_sql(),
     "ex_label_prop": _label_prop_sql(),
+    # fixed-anchor largest-triangle downsampling: same bucket assignment
+    # (integer div), 6-dp anchor means, LTTB_AREA_ROUND-dp areas, and the
+    # (k1, k2, k3) selection key as the Spark min-struct argmax
+    "ex_downsample": f"""
+        WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS xu,
+                          value AS y FROM events),
+        bo AS (SELECT min(xu) AS mn, max(xu) AS mx FROM e),
+        p AS (SELECT event_id, xu - mn AS x_us, y,
+                     CAST(least(((xu - mn) * {C.LTTB_BUCKETS}) // greatest(mx - mn, 1),
+                                {C.LTTB_BUCKETS - 1}) AS BIGINT) AS b
+              FROM e CROSS JOIN bo),
+        a AS (SELECT b, round(avg(CAST(x_us AS DOUBLE) / 1000000.0), 6) AS ax,
+                     round(avg(CAST(y AS DOUBLE)), 6) AS ay
+              FROM p GROUP BY b),
+        al AS (SELECT b,
+                      lag(ax) OVER (ORDER BY b) AS lx, lag(ay) OVER (ORDER BY b) AS ly,
+                      lead(ax) OVER (ORDER BY b) AS rx, lead(ay) OVER (ORDER BY b) AS ry
+               FROM a),
+        c AS (SELECT p.b, p.event_id, p.x_us, p.y,
+                     CASE WHEN al.lx IS NULL OR al.rx IS NULL THEN NULL
+                          ELSE round(abs((al.lx - al.rx) * (p.y - al.ly)
+                                         - (al.lx - CAST(p.x_us AS DOUBLE) / 1000000.0)
+                                           * (al.ry - al.ly)) * 0.5,
+                                     {C.LTTB_AREA_ROUND}) END AS area,
+                     al.lx IS NULL AS ef, al.rx IS NULL AS el
+              FROM p JOIN al ON al.b = p.b),
+        k AS (SELECT b, event_id, x_us, y, area,
+                     CASE WHEN ef OR el THEN 0.0 ELSE -area END AS k1,
+                     CASE WHEN ef THEN x_us WHEN el THEN -x_us ELSE x_us END AS k2,
+                     CASE WHEN ef THEN event_id WHEN el THEN -event_id
+                          ELSE event_id END AS k3,
+                     count(*) OVER (PARTITION BY b) AS np
+              FROM c),
+        r AS (SELECT b, event_id, x_us, y, area, np,
+                     row_number() OVER (PARTITION BY b ORDER BY k1, k2, k3) AS rn
+              FROM k)
+        SELECT b AS bucket, event_id, x_us, round(y, 6) AS y,
+               coalesce(area, 0.0) AS area, CAST(np AS BIGINT) AS n_points
+        FROM r WHERE rn = 1""",
     # exact heavy hitters: the Spark side's Misra-Gries pass only proposes
     # candidates; the emitted rows are the exact count > total/k set
     "ex_heavy_hitters": f"""

@@ -1081,6 +1081,14 @@ def st_sliding_counts(spark, sf_dir):
     return jobs.sliding_counts_stream(spark, sf_dir)
 
 
+def st_quality_gate(spark, sf_dir):
+    """Streaming quality gate: stateless Gopher-rule filtering of the
+    document stream (append mode, zero state)."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.quality_gate_stream(spark, sf_dir)
+
+
 def st_content_dedup(spark, sf_dir):
     """Online SimHash content dedup over a document stream."""
     from espkinesis_spark.streaming import jobs
@@ -1607,6 +1615,98 @@ def ex_retention(spark, sf_dir):
     )
 
 
+def ex_downsample(spark, sf_dir):
+    """Largest-triangle time-series downsampling of the event stream to
+    LTTB_BUCKETS visually-representative points (fixed-anchor LTTB
+    variant: each bucket's anchors are its NEIGHBOR buckets' mean points,
+    so per-bucket selections are independent and the argmax distributes —
+    canonical LTTB chains selections sequentially, which cannot). First /
+    last buckets pin the series endpoints, per LTTB convention.
+
+    Scale shape: one scalar min/max pass, one bucket-keyed partial agg for
+    the ≤NB anchor rows (the only window runs over that bucket-sized
+    table), then a broadcast anchor join + one bucket-keyed min-struct
+    argmax — no window or sort over the raw series. Anchor means round to
+    6 dp and areas to LTTB_AREA_ROUND dp before the argmax so both engines
+    pick identical points; ties break on (x, event_id), exact integers.
+    """
+    nb = C.LTTB_BUCKETS
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    pts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            (F.unix_micros("ts") - F.col("mn")).alias("x_us"),
+            F.col("value").alias("y"),
+            "mn",
+            "mx",
+        )
+        .select(
+            "event_id",
+            "x_us",
+            "y",
+            F.least(
+                F.expr(f"(x_us * {nb}) div greatest(mx - mn, 1L)"), F.lit(nb - 1)
+            ).cast("long").alias("b"),
+        )
+    )
+    anchors = pts.groupBy("b").agg(
+        F.round(F.avg(F.col("x_us").cast("double") / F.lit(1e6)), 6).alias("ax"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("ay"),
+    )
+    wb = Window.orderBy("b")  # anchor table is bucket-sized (≤NB rows)
+    al = anchors.select(
+        "b",
+        F.lag("ax").over(wb).alias("lx"),
+        F.lag("ay").over(wb).alias("ly"),
+        F.lead("ax").over(wb).alias("rx"),
+        F.lead("ay").over(wb).alias("ry"),
+    )
+    px = F.col("x_us").cast("double") / F.lit(1e6)
+    area = F.round(
+        F.abs(
+            (F.col("lx") - F.col("rx")) * (F.col("y") - F.col("ly"))
+            - (F.col("lx") - px) * (F.col("ry") - F.col("ly"))
+        )
+        * F.lit(0.5),
+        C.LTTB_AREA_ROUND,
+    )
+    edge_first = F.col("lx").isNull()
+    edge_last = F.col("rx").isNull()
+    k1 = F.when(edge_first | edge_last, F.lit(0.0)).otherwise(-area)
+    k2 = F.when(edge_first, F.col("x_us")).when(edge_last, -F.col("x_us")).otherwise(
+        F.col("x_us")
+    )
+    k3 = F.when(edge_first, F.col("event_id")).when(
+        edge_last, -F.col("event_id")
+    ).otherwise(F.col("event_id"))
+    sel = F.struct(
+        k1.alias("k1"),
+        k2.alias("k2"),
+        k3.alias("k3"),
+        F.col("event_id").alias("pid"),
+        F.col("x_us").alias("pxu"),
+        F.round(F.col("y"), 6).alias("py"),
+        F.when(edge_first | edge_last, F.lit(0.0)).otherwise(area).alias("parea"),
+    )
+    return (
+        pts.join(F.broadcast(al), "b")
+        .groupBy("b")
+        .agg(F.min(sel).alias("s"), F.count("*").cast("long").alias("n_points"))
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("s.pid").alias("event_id"),
+            F.col("s.pxu").alias("x_us"),
+            F.col("s.py").alias("y"),
+            F.col("s.parea").alias("area"),
+            "n_points",
+        )
+    )
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1666,6 +1766,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_retention": ex_retention,
         "ex_label_prop": ex_label_prop,
         "ex_heavy_hitters": ex_heavy_hitters,
+        "ex_downsample": ex_downsample,
+        "st_quality_gate": st_quality_gate,
         # --- window 14-16: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,

@@ -191,6 +191,19 @@ def content_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_content_dedup_sink", "append")
 
 
+def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document quality gate: the Gopher-style repetition rules
+    applied to documents AS THEY ARRIVE, via the stateless projection form
+    (text.quality_gate_stateless) — zero state, no watermark, append mode,
+    so the gate keeps up at any ingest rate; the batch form's per-doc
+    aggregation shares the same thresholds/rounding and one oracle."""
+    from espkinesis_spark.functions.text import quality_gate_stateless
+
+    src = _documents_stream(spark, sf_dir)
+    out = quality_gate_stateless(src)
+    return _drain_to_memory(out, "st_quality_gate_sink", "append")
+
+
 def vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus vocabulary: running token counts maintained
     incrementally as documents arrive (complete-mode aggregation — state is

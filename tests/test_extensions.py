@@ -1014,3 +1014,47 @@ def test_heavy_hitters_tiny_k_never_misses(spark):
     # alpha/beta are 200/800 = exactly 1/4 of tokens: strictly above 1/5
     got = {r["token"] for r in T.heavy_hitters(df, k=5).collect()}
     assert {"alpha", "beta"} <= got
+
+
+def test_downsample_pins_endpoints_and_bucket_bounds(spark, sf_dir):
+    """First/last buckets pin the series endpoints (LTTB convention),
+    every bucket emits exactly one point, and bucket ids stay in range."""
+    from espkinesis_spark import queries
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.tables import load_table
+
+    rows = queries.ex_downsample(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= C.LTTB_BUCKETS
+    by_bucket = {r["bucket"]: r for r in rows}
+    assert len(by_bucket) == len(rows)
+    assert all(0 <= b < C.LTTB_BUCKETS for b in by_bucket)
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.orderBy("ts", "event_id").first()
+    hi = ev.orderBy(F.desc("ts"), F.desc("event_id")).first()
+    first_b, last_b = min(by_bucket), max(by_bucket)
+    assert by_bucket[first_b]["event_id"] == lo["event_id"]
+    assert by_bucket[last_b]["event_id"] == hi["event_id"]
+    assert by_bucket[first_b]["x_us"] == 0
+    # interior picks carry a positive rounded triangle area
+    for b, r in by_bucket.items():
+        if b not in (first_b, last_b):
+            assert r["area"] >= 0.0
+
+
+def test_quality_gate_stateless_equals_batch(spark, sf_dir):
+    """The streaming (stateless projection) gate and the batch
+    (explode+groupBy) gate agree document-by-document."""
+    from espkinesis_spark.functions import text as T
+    from espkinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["dup_frac"], r["top_frac"], r["mean_len"])
+        for r in T.quality_filter(docs).collect()
+        if r["keep"]
+    }
+    stateless = {
+        r["doc_id"]: (r["n_tokens"], r["dup_frac"], r["top_frac"], r["mean_len"])
+        for r in T.quality_gate_stateless(docs).collect()
+    }
+    assert stateless == batch and len(batch) > 0
