@@ -1737,20 +1737,20 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-13 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 14-16
+    EVIDENCE FRESHNESS: positions 1-17 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 18-20
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 17-41
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 21-45
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 42-46 pin the five flagship canaries; 47-50
-    re-verify the oldest of the round-4 evidence (dq core). The remaining
-    r4/r5-green entries follow in the tail and rotate in next round.
+    streaming family); 46-50 pin the five flagship canaries. The r4/r5
+    green entries (dq core included) follow in the tail and rotate back
+    into the window next round.
     """
     return {
-        # --- window 1-13: round-6 additions (unproven must sit here) ---
+        # --- window 1-17: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1768,11 +1768,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_heavy_hitters": ex_heavy_hitters,
         "ex_downsample": ex_downsample,
         "st_quality_gate": st_quality_gate,
-        # --- window 14-16: code/oracle changed this round ---
+        # --- window 18-20: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 17-41: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 21-45: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1798,11 +1798,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 42-46: pinned flagship canaries ---
+        # --- window 46-50: pinned flagship canaries ---
         "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14,
-        # --- window 47-50: oldest r4 evidence (dq core) ---
-        "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
+        "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,

@@ -211,3 +211,36 @@ def test_token_entropy_is_doc_keyed_only(spark, sf_dir):
 
     plan = physical_plan(_q(spark, sf_dir, "ex_token_entropy"))
     assert "SinglePartition" not in plan
+
+
+def test_label_prop_rounds_have_no_cartesian(spark, sf_dir):
+    """Every LPA round is a src-keyed equi-join + two map-side-partial
+    vote aggregations; no nested-loop joins anywhere."""
+    from espkinesis_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "ex_label_prop"))
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_candidate_join_broadcasts(spark, sf_dir):
+    """The exact verification pass must probe the ≤partitions·k candidate
+    set via a broadcast join (never shuffle the token stream against it),
+    and the only Python stage is the Arrow-batched MG pass."""
+    from espkinesis_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "ex_heavy_hitters"))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan  # MG runs via mapInPandas
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_downsample_has_no_window_over_raw_series(spark, sf_dir):
+    """The only Window in the plan runs over the bucket-sized anchor
+    table: the raw series side is scan → project → partial agg, and the
+    anchor join is broadcast."""
+    from espkinesis_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "ex_downsample"))
+    assert plan.count("Window") <= 2  # lag/lead over ≤NB anchor rows only
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
