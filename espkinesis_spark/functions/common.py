@@ -165,6 +165,16 @@ HH_K = 100
 LTTB_BUCKETS = 48
 LTTB_AREA_ROUND = 4  # round triangle areas before argmax (engine-portable)
 
+# time-series subsequence similarity search (EDBT-2019 streaming-similarity
+# shape): z-normalized Euclidean distance between a query pattern and every
+# W-length per-user sliding window, top-k closest. The query pattern is the
+# lowest-(ts, event_id) window of TSS_QUERY_USER — fully in-plan, no
+# side-channel input. All folds are sequential left-to-right in BOTH
+# engines, so distances are bit-identical before the final 6-dp round.
+TSS_W = 16
+TSS_TOPK = 20
+TSS_QUERY_USER = 0
+
 
 def minhash_salt(j: int) -> str:
     """Salt for the j-th MinHash permutation; md5(salt || shingle)."""

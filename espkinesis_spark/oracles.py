@@ -1128,6 +1128,38 @@ GROUP BY source""",
     "ex_semdedup": _semdedup_sql(),
     "ex_pagerank": _pagerank_sql(),
     "ex_label_prop": _label_prop_sql(),
+    # z-normalized subsequence search: folds are sequential left-to-right
+    # in both engines (list_reduce == F.aggregate with 0.0 init, since
+    # 0.0 + x1 == x1 exactly), so distances agree bit-for-bit pre-round
+    "ex_ts_similarity": f"""
+        WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                   FROM events),
+        w AS (SELECT user_id, event_id AS start_event_id,
+                     list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND {C.TSS_W - 1} FOLLOWING) AS arr
+              FROM e),
+        f AS (SELECT * FROM w WHERE len(arr) = {C.TSS_W}),
+        z AS (SELECT user_id, start_event_id, arr,
+                     list_reduce(arr, (a, b) -> a + b) / {C.TSS_W}.0 AS m,
+                     list_reduce(list_transform(arr, x -> x * x),
+                                 (a, b) -> a + b) / {C.TSS_W}.0 AS ex2
+              FROM f),
+        zz AS (SELECT user_id, start_event_id,
+                      CASE WHEN sqrt(greatest(ex2 - m * m, 0.0)) = 0.0
+                           THEN list_transform(arr, x -> 0.0)
+                           ELSE list_transform(arr,
+                                x -> (x - m) / sqrt(greatest(ex2 - m * m, 0.0)))
+                      END AS zarr
+               FROM z),
+        q AS (SELECT zarr AS qz FROM zz WHERE user_id = {C.TSS_QUERY_USER}
+              ORDER BY start_event_id LIMIT 1)
+        SELECT user_id, start_event_id,
+               round(sqrt(list_reduce(list_transform(range(1, {C.TSS_W + 1}),
+                          i -> (zarr[i] - qz[i]) * (zarr[i] - qz[i])),
+                          (a, b) -> a + b)), 6) AS dist
+        FROM zz CROSS JOIN q
+        ORDER BY dist, user_id, start_event_id LIMIT {C.TSS_TOPK}""",
     # fixed-anchor largest-triangle downsampling: same bucket assignment
     # (integer div), 6-dp anchor means, LTTB_AREA_ROUND-dp areas, and the
     # (k1, k2, k3) selection key as the Spark min-struct argmax

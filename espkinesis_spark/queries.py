@@ -1707,6 +1707,70 @@ def ex_downsample(spark, sf_dir):
     )
 
 
+def ex_ts_similarity(spark, sf_dir):
+    """Time-series subsequence similarity search (the EDBT-2019 streaming
+    similarity-search shape): z-normalized Euclidean distance between a
+    query pattern and EVERY W-length sliding window of every user's value
+    series, top-k closest windows. The query pattern is the first window
+    of TSS_QUERY_USER, taken in-plan (1-row broadcast) — no side input.
+
+    Scale shape: windows materialize via ONE user-keyed shuffle (window
+    frame collect over (ts, event_id) order — rows carry W values each,
+    W=16); z-normalization and the distance are per-row array folds
+    (whole-stage codegen, sequential left-to-right in both engines → no
+    float divergence); top-k plans as TakeOrderedAndProject (per-partition
+    top-k + driver k-merge, never a global sort). Degenerate (constant)
+    windows z-map to the zero vector.
+    """
+    w = C.TSS_W
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    wins = (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.collect_list("value").over(win).alias("arr"),
+        )
+        .filter(F.size("arr") == w)
+    )
+
+    def znorm(arr):
+        mean = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.lit(float(w))
+        ex2 = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x) / F.lit(float(w))
+        std = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
+        return F.when(std == 0.0, F.transform(arr, lambda x: F.lit(0.0))).otherwise(
+            F.transform(arr, lambda x: (x - mean) / std)
+        )
+
+    q = (
+        wins.filter(F.col("user_id") == C.TSS_QUERY_USER)
+        .orderBy("start_event_id")
+        .limit(1)
+        .select(znorm(F.col("arr")).alias("qz"))
+    )
+    zw = wins.withColumn("zarr", znorm(F.col("arr")))
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("zarr"), F.col("qz"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+        6,
+    )
+    return (
+        zw.crossJoin(F.broadcast(q))
+        .select("user_id", "start_event_id", dist.alias("dist"))
+        .orderBy("dist", "user_id", "start_event_id")
+        .limit(C.TSS_TOPK)
+    )
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1737,20 +1801,20 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-17 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 18-20
+    EVIDENCE FRESHNESS: positions 1-18 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 19-21
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 21-45
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 22-46
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 46-50 pin the five flagship canaries. The r4/r5
-    green entries (dq core included) follow in the tail and rotate back
-    into the window next round.
+    streaming family); 47-50 pin four flagship canaries (dq14, still
+    r5-green, rotated to the tail to make room). The r4/r5 green entries
+    (dq core included) follow in the tail and rotate back in next round.
     """
     return {
-        # --- window 1-17: round-6 additions (unproven must sit here) ---
+        # --- window 1-18: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1768,11 +1832,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_heavy_hitters": ex_heavy_hitters,
         "ex_downsample": ex_downsample,
         "st_quality_gate": st_quality_gate,
-        # --- window 18-20: code/oracle changed this round ---
+        "ex_ts_similarity": ex_ts_similarity,
+        # --- window 19-21: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 21-45: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 22-46: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1798,10 +1863,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 46-50: pinned flagship canaries ---
-        "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14,
+        # --- window 47-50: pinned flagship canaries ---
+        "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
+        "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,

@@ -1058,3 +1058,17 @@ def test_quality_gate_stateless_equals_batch(spark, sf_dir):
         for r in T.quality_gate_stateless(docs).collect()
     }
     assert stateless == batch and len(batch) > 0
+
+
+def test_ts_similarity_self_match_is_zero(spark, sf_dir):
+    """The query window must match itself at distance 0 and rank first;
+    distances are non-negative and sorted ascending."""
+    from espkinesis_spark import queries
+    from espkinesis_spark.functions import common as C
+
+    rows = queries.ex_ts_similarity(spark, sf_dir).collect()
+    assert len(rows) == C.TSS_TOPK
+    first = rows[0]
+    assert first["user_id"] == C.TSS_QUERY_USER and first["dist"] == 0.0
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0.0 for d in dists)

@@ -244,3 +244,14 @@ def test_downsample_has_no_window_over_raw_series(spark, sf_dir):
     assert plan.count("Window") <= 2  # lag/lead over ≤NB anchor rows only
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ts_similarity_topk_avoids_global_sort(spark, sf_dir):
+    """The top-k must plan as TakeOrderedAndProject (per-partition top-k +
+    driver k-merge), the query pattern must broadcast, and the only
+    data-sized shuffle is the user-keyed window partitioning."""
+    from espkinesis_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "ex_ts_similarity"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
