@@ -102,3 +102,48 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_max: str = "1GB",
+    application_side_min: str = "100MB",
+) -> dict[str, str | None]:
+    """Opt-in runtime bloom-filter join pruning for large shuffle joins.
+
+    Catalyst's InjectRuntimeFilter builds a ``bloom_filter_agg`` over the
+    join keys of the FILTERED (creation) side and pushes a
+    ``might_contain`` probe into the big (application) side's scan — at
+    100 TB this drops most fact-table rows BEFORE the shuffle instead of
+    after the join, the single biggest shuffle-volume lever on selective
+    fact-dimension joins that are too large to broadcast. The rule only
+    engages when (a) the join does not broadcast, (b) the creation side
+    carries a selective predicate and its plan estimate is under
+    ``creation_side_max``, and (c) the application side's scan exceeds
+    ``application_side_min`` — thresholds are plan-size estimates, so set
+    ``creation_side_max`` ABOVE the filtered side's estimate (the default
+    10 MB silently disables the rule for dimension tables of any real
+    size; that near-miss is why this helper exists).
+
+    Returns the prior conf values so callers can restore them
+    (``restore_confs``).
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_max,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_min,
+    }
+    prior: dict[str, str | None] = {}
+    for key, want in confs.items():
+        prior[key] = spark.conf.get(key, None)
+        spark.conf.set(key, want)
+    return prior
+
+
+def restore_confs(spark: SparkSession, prior: dict[str, str | None]) -> None:
+    """Restore conf values captured by ``enable_runtime_bloom_filters``."""
+    for key, val in prior.items():
+        if val is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, val)

@@ -255,3 +255,37 @@ def test_ts_similarity_topk_avoids_global_sort(spark, sf_dir):
     plan = physical_plan(_q(spark, sf_dir, "ex_ts_similarity"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_engages_on_selective_shuffle_join(spark, sf_dir):
+    """enable_runtime_bloom_filters must actually inject the runtime
+    filter: bloom_filter_agg on the filtered orders side, might_contain
+    probing the lineitem side, for a non-broadcast selective join. (The
+    stock 10 MB creationSideThreshold silently disables the rule — this
+    pins the tuned thresholds working end-to-end.)"""
+    from espkinesis_spark.plans import physical_plan
+    from espkinesis_spark.session import enable_runtime_bloom_filters, restore_confs
+    from espkinesis_spark.tables import load_table
+
+    prior = enable_runtime_bloom_filters(spark, "1GB", "1KB")
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = physical_plan(j)
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        assert j.count() > 0  # the filtered join still returns rows
+    finally:
+        restore_confs(spark, prior)
+        if prior_bc is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
