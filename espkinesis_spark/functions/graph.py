@@ -73,10 +73,10 @@ def label_propagation(edges: DataFrame, iters: int = C.LPA_ITERS) -> DataFrame:
     id; each round every node adopts the most frequent label among its
     neighbors, ties to the lexicographically-smallest label — a fully
     deterministic trajectory the SQL oracle replays round-by-round (the
-    pagerank/kmeans trick). Isolated-by-direction nodes cannot occur
-    (symmetrization gives every endpoint a neighbor), but the left join +
-    coalesce keeps the op total anyway. Returns (node, community,
-    n_members).
+    pagerank/kmeans trick). Symmetrization makes every node a ``dst`` of
+    at least one edge, so the per-round vote argmax covers EVERY node and
+    no keep-old-label fallback join is needed (the oracle carries the
+    coalesce form; it never fires). Returns (node, community, n_members).
 
     Scale shape: per round, the node-sized label table joins the edge
     table on src (co-partitioned equi-join; AQE broadcasts while it fits)
@@ -89,21 +89,19 @@ def label_propagation(edges: DataFrame, iters: int = C.LPA_ITERS) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     both = both.localCheckpoint(eager=True)
-    nodes = both.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    labels = nodes.select("node", F.col("node").alias("lab"))
+    labels = both.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
     for _ in range(iters):
         votes = (
             both.join(labels, both["src"] == labels["node"])
             .groupBy(F.col("dst").alias("vnode"), "lab")
             .agg(F.count("*").alias("c"))
         )
-        best = (
+        labels = (
             votes.groupBy("vnode")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias("b"))
-            .select("vnode", F.col("b.lab").alias("new_lab"))
-        )
-        labels = nodes.join(best, nodes["node"] == best["vnode"], "left").select(
-            "node", F.coalesce(F.col("new_lab"), F.col("node")).alias("lab")
+            .select(F.col("vnode").alias("node"), F.col("b.lab").alias("lab"))
         )
     sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("n_members"))
     return labels.join(sizes, "lab").select(

@@ -1128,6 +1128,26 @@ GROUP BY source""",
     "ex_semdedup": _semdedup_sql(),
     "ex_pagerank": _pagerank_sql(),
     "ex_label_prop": _label_prop_sql(),
+    # hourly z-score anomaly flags: exact integer sums divided once, so
+    # the z-scores agree bit-for-bit; filter applies to the ROUNDED z
+    "ex_anomaly": """
+        WITH h AS (SELECT event_type,
+                          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS sn,
+                     CAST(sum(n * n) AS BIGINT) AS sn2,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM h GROUP BY 1),
+        j AS (SELECT h.event_type, h.hr, h.n,
+                     sn * 1.0 / c AS m,
+                     sqrt(greatest(sn2 * 1.0 / c - (sn * 1.0 / c) * (sn * 1.0 / c),
+                                   0.0)) AS sd
+              FROM h JOIN s ON s.event_type = h.event_type)
+        SELECT event_type, hr, n, round(m, 4) AS mean_n,
+               round(CASE WHEN sd = 0.0 THEN 0.0 ELSE (n - m) / sd END, 4) AS z
+        FROM j
+        WHERE abs(round(CASE WHEN sd = 0.0 THEN 0.0 ELSE (n - m) / sd END, 4)) > 2.0""",
     # z-normalized subsequence search: folds are sequential left-to-right
     # in both engines (list_reduce == F.aggregate with 0.0 init, since
     # 0.0 + x1 == x1 exactly), so distances agree bit-for-bit pre-round

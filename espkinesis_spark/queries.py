@@ -1771,6 +1771,40 @@ def ex_ts_similarity(spark, sf_dir):
     )
 
 
+def ex_anomaly(spark, sf_dir):
+    """Windowed anomaly detection (the observability query a fleet
+    operator runs on the A6-style liveness stream): hourly event counts
+    per type z-scored against that type's own hourly distribution; hours
+    with |z| > 2 flagged. All statistics are exact-integer sums divided
+    once, so both engines compute bit-identical z-scores; constant series
+    (σ=0) are never flagged. Two partial-aggregating shuffles (the second
+    over type-sized data) + one broadcast join back."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+        F.count("*").cast("long").alias("c"),
+    )
+    mean = F.col("sn") / F.col("c")
+    var = F.col("sn2") / F.col("c") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std == 0.0, F.lit(0.0)).otherwise((F.col("n") - mean) / std)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.round(mean, 4).alias("mean_n"),
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.0)
+    )
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1801,20 +1835,21 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-18 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 19-21
+    EVIDENCE FRESHNESS: positions 1-19 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 20-22
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 22-46
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 23-47
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 47-50 pin four flagship canaries (dq14, still
-    r5-green, rotated to the tail to make room). The r4/r5 green entries
-    (dq core included) follow in the tail and rotate back in next round.
+    streaming family); 48-50 pin three flagship canaries (dq14/dq19,
+    still r5-green, rotated to the tail to make room). The r4/r5 green
+    entries (dq core included) follow in the tail and rotate back in
+    next round.
     """
     return {
-        # --- window 1-18: round-6 additions (unproven must sit here) ---
+        # --- window 1-19: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1833,11 +1868,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_downsample": ex_downsample,
         "st_quality_gate": st_quality_gate,
         "ex_ts_similarity": ex_ts_similarity,
-        # --- window 19-21: code/oracle changed this round ---
+        "ex_anomaly": ex_anomaly,
+        # --- window 20-22: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 22-46: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 23-47: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1863,10 +1899,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 47-50: pinned flagship canaries ---
-        "dq21": dq21, "dq22": dq22, "dq09": dq09, "dq19": dq19,
+        # --- window 48-50: pinned flagship canaries ---
+        "dq21": dq21, "dq22": dq22, "dq09": dq09,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
+        "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,
