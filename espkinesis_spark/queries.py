@@ -1778,7 +1778,10 @@ def ex_anomaly(spark, sf_dir):
     with |z| > 2 flagged. All statistics are exact-integer sums divided
     once, so both engines compute bit-identical z-scores; constant series
     (σ=0) are never flagged. Two partial-aggregating shuffles (the second
-    over type-sized data) + one broadcast join back."""
+    over type-sized data) + one broadcast join back. Scale bound: the
+    int64 Σn² stays exact while per-hour-per-type counts are < ~3e8 over
+    a year of hours; past that, compute the stats over a bounded trailing
+    window or cast the squared term to DECIMAL(38,0)."""
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")

@@ -1072,3 +1072,34 @@ def test_ts_similarity_self_match_is_zero(spark, sf_dir):
     assert first["user_id"] == C.TSS_QUERY_USER and first["dist"] == 0.0
     dists = [r["dist"] for r in rows]
     assert dists == sorted(dists) and all(d >= 0.0 for d in dists)
+
+
+def test_anomaly_flags_injected_spike(spark, tmp_path):
+    """A hand-built series with one spike hour must flag exactly that hour
+    (positive z) and nothing else."""
+    import datetime as dt
+
+    from espkinesis_spark import queries
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for h in range(48):
+        n = 500 if h == 30 else 10  # one spike hour
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, seconds=i), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "sfanom")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = queries.ex_anomaly(spark, sf).collect()
+    assert len(got) == 1
+    (r,) = got
+    assert r["hr"] == base + dt.timedelta(hours=30) and r["n"] == 500 and r["z"] > 2.0
