@@ -1129,7 +1129,9 @@ GROUP BY source""",
     "ex_pagerank": _pagerank_sql(),
     "ex_label_prop": _label_prop_sql(),
     # hourly z-score anomaly flags: exact integer sums divided once, so
-    # the z-scores agree bit-for-bit; filter applies to the ROUNDED z
+    # the z-scores agree bit-for-bit; filter applies to the ROUNDED z.
+    # st_anomaly drains the same hourly table from the stream first, so
+    # both entries share this oracle verbatim (assigned below the dict).
     "ex_anomaly": """
         WITH h AS (SELECT event_type,
                           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
@@ -1384,3 +1386,7 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                round(max(n) * 1.0 / sum(n), 6) AS top_share
         FROM per""",
 }
+
+# the streaming-lambda anomaly entry drains the identical hourly table
+# before flagging, so it shares ex_anomaly's oracle verbatim
+ORACLES["st_anomaly"] = ORACLES["ex_anomaly"]

@@ -1081,6 +1081,14 @@ def st_sliding_counts(spark, sf_dir):
     return jobs.sliding_counts_stream(spark, sf_dir)
 
 
+def st_anomaly(spark, sf_dir):
+    """Streaming lambda: hourly counts maintained online, z-score anomaly
+    flags computed over the drained snapshot."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.anomaly_stream(spark, sf_dir)
+
+
 def st_quality_gate(spark, sf_dir):
     """Streaming quality gate: stateless Gopher-rule filtering of the
     document stream (append mode, zero state)."""
@@ -1786,6 +1794,13 @@ def ex_anomaly(spark, sf_dir):
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(F.count("*").cast("long").alias("n"))
+    return hourly_zscore_flags(hourly)
+
+
+def hourly_zscore_flags(hourly: DataFrame) -> DataFrame:
+    """z-score flagging over an (event_type, hr, n) hourly-count table —
+    shared by the batch (ex_anomaly) and streaming-lambda (st_anomaly)
+    entries. Exact integer sums; flags |round(z, 4)| > 2."""
     stats = hourly.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("sn"),
         F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
@@ -1838,21 +1853,21 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-19 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 20-22
+    EVIDENCE FRESHNESS: positions 1-20 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 21-23
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 23-47
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 24-48
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 48-50 pin three flagship canaries (dq14/dq19,
-    still r5-green, rotated to the tail to make room). The r4/r5 green
-    entries (dq core included) follow in the tail and rotate back in
-    next round.
+    streaming family); 49-50 pin two flagship canaries (dq09/dq14/dq19,
+    still r4/r5-green, rotated to the tail to make room). The r4/r5
+    green entries (dq core included) follow in the tail and rotate back
+    in next round.
     """
     return {
-        # --- window 1-19: round-6 additions (unproven must sit here) ---
+        # --- window 1-20: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1872,11 +1887,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_quality_gate": st_quality_gate,
         "ex_ts_similarity": ex_ts_similarity,
         "ex_anomaly": ex_anomaly,
-        # --- window 20-22: code/oracle changed this round ---
+        "st_anomaly": st_anomaly,
+        # --- window 21-23: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 23-47: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 24-48: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1902,10 +1918,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 48-50: pinned flagship canaries ---
-        "dq21": dq21, "dq22": dq22, "dq09": dq09,
+        # --- window 49-50: pinned flagship canaries ---
+        "dq21": dq21, "dq22": dq22,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
+        "dq09": dq09, "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,

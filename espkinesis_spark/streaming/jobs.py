@@ -191,6 +191,29 @@ def content_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_content_dedup_sink", "append")
 
 
+def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability lambda: hourly per-type event counts
+    maintained incrementally on the stream (complete-mode aggregation —
+    state is one row per (type, hour), calendar-sized, not event-sized),
+    then the z-score flagging applied in BATCH over the drained snapshot.
+    The aggregate-online / analyze-on-snapshot split exists because
+    Structured Streaming forbids the second (stats-over-counts) level of
+    aggregation in one query; the snapshot equals the batch hourly table,
+    so ex_anomaly's oracle is exact."""
+    from espkinesis_spark.queries import hourly_zscore_flags
+
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    counts = _drain_to_memory(agg, "st_anomaly_sink", "complete")
+    # the flagging self-joins the snapshot (stats side + probe side); a
+    # memory-sink view can't appear twice in one plan (conflicting expr
+    # ids), so freeze the calendar-sized table first
+    counts = counts.localCheckpoint(eager=True)
+    return hourly_zscore_flags(counts)
+
+
 def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming document quality gate: the Gopher-style repetition rules
     applied to documents AS THEY ARRIVE, via the stateless projection form
