@@ -1251,6 +1251,24 @@ GROUP BY source""",
                      / count(*), 4) AS retention_rate
         FROM fs LEFT JOIN nh ON nh.user_id = fs.user_id
         GROUP BY fs.cohort""",
+    "ex_retention_matrix": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        fs AS (SELECT user_id, date_trunc('hour', min(ts)) AS cohort
+               FROM e GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM e),
+        po AS (SELECT fs.cohort,
+                      CAST((epoch_us(a.hr) - epoch_us(fs.cohort)) // 3600000000
+                           AS BIGINT) AS off,
+                      CAST(count(*) AS BIGINT) AS active_users
+               FROM a JOIN fs ON fs.user_id = a.user_id
+               WHERE (epoch_us(a.hr) - epoch_us(fs.cohort)) // 3600000000
+                     BETWEEN 0 AND 5
+               GROUP BY 1, 2),
+        sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+               FROM fs GROUP BY 1)
+        SELECT po.cohort, po.off, sz.cohort_size, po.active_users,
+               round(po.active_users * 1.0 / sz.cohort_size, 4) AS rate
+        FROM po JOIN sz ON sz.cohort = po.cohort""",
     "ex_normalize_text": f"""
         SELECT doc_id,
                CAST(length(trim(regexp_replace(

@@ -1823,6 +1823,43 @@ def hourly_zscore_flags(hourly: DataFrame) -> DataFrame:
     )
 
 
+def ex_retention_matrix(spark, sf_dir):
+    """The full cohort-retention matrix (ex_retention generalized): users
+    cohorted by first-seen hour × activity at hour offsets 0..5 — the
+    standard product-analytics triangle chart. Distinct (user, hour)
+    activity collapses map-side BEFORE the cohort join, offsets filter on
+    the hour delta (integer micros arithmetic, no float), and the final
+    rollup is cohort×offset-keyed — ≤6 rows per cohort regardless of
+    event volume."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    offset = (
+        (F.unix_micros("hr") - F.unix_micros("cohort")) / F.lit(3_600_000_000)
+    ).cast("long")
+    per_offset = (
+        active.join(first_seen, "user_id")
+        .select("user_id", "cohort", offset.alias("off"))
+        .filter((F.col("off") >= 0) & (F.col("off") <= 5))
+        .groupBy("cohort", "off")
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return per_offset.join(sizes, "cohort").select(
+        "cohort",
+        "off",
+        "cohort_size",
+        "active_users",
+        F.round(F.col("active_users") / F.col("cohort_size"), 4).alias("rate"),
+    )
+
+
 def ex_key_skew(spark, sf_dir):
     """Key-skew diagnostic over events.user_id: per-key counts reduced to a
     one-row skew summary (max/mean ratio, hottest-key share) — the cheap
@@ -1853,21 +1890,21 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-20 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 21-23
+    EVIDENCE FRESHNESS: positions 1-21 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 22-24
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 24-48
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 25-49
     re-verify the 25 round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family); 49-50 pin two flagship canaries (dq09/dq14/dq19,
-    still r4/r5-green, rotated to the tail to make room). The r4/r5
-    green entries (dq core included) follow in the tail and rotate back
-    in next round.
+    streaming family); position 50 pins the dq21 flagship canary (the
+    other r4/r5-green dq flagships rotated to the tail to make room).
+    The r4/r5 green entries follow in the tail and rotate back in next
+    round.
     """
     return {
-        # --- window 1-20: round-6 additions (unproven must sit here) ---
+        # --- window 1-21: round-6 additions (unproven must sit here) ---
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1888,11 +1925,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ts_similarity": ex_ts_similarity,
         "ex_anomaly": ex_anomaly,
         "st_anomaly": st_anomaly,
-        # --- window 21-23: code/oracle changed this round ---
+        "ex_retention_matrix": ex_retention_matrix,
+        # --- window 22-24: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 24-48: round-2-vintage evidence, code rewritten r3 ---
+        # --- window 25-49: round-2-vintage evidence, code rewritten r3 ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1918,10 +1956,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup": st_dedup,
         "st_ack_tracker": st_ack_tracker,
         "st_content_dedup": st_content_dedup,
-        # --- window 49-50: pinned flagship canaries ---
-        "dq21": dq21, "dq22": dq22,
+        # --- window 50: pinned flagship canary ---
+        "dq21": dq21,
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq09": dq09, "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
+        "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
         "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,
