@@ -3,14 +3,17 @@
 Modules:
     common.py     — shared constants + tokenization used by Spark AND oracles
     text.py       — language-id, quality scoring (stats/entropy/unigram/
-                    bigram LM), token counts, fingerprints, normalization,
-                    vocab, chunking, co-occurrence, BPE train/encode
+                    bigram LM; batch + stateless-streaming gate forms),
+                    token counts, fingerprints, normalization, vocab,
+                    heavy hitters (Misra-Gries + exact verify), chunking,
+                    co-occurrence, BPE train/encode
     dedup.py      — exact, MinHash+LSH, SimHash, n-gram Jaccard near-dup,
                     connected components, span dedup, retention
     similarity.py — cosine top-k (brute force + IVF/LSH scale paths),
                     k-means, SemDeDup, int8 quantization, embedding gramian
     sampling.py   — deterministic splits, stratified + domain-mix sampling
-    graph.py      — PageRank over relational edge tables
+    graph.py      — PageRank + label-propagation communities over
+                    relational edge tables (fixed-budget trajectories)
     multimodal.py — binary-column plumbing with real WAV/BMP codecs
     registry.py   — SQL scalar UDFs + pandas UDF handlers
 """
