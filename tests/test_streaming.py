@@ -386,3 +386,82 @@ def test_keyed_sink_trigger_cadence_modes(spark, tmp_path):
         assert any(p for p in q2.recentProgress)
     finally:
         q2.stop()
+
+
+def test_quality_gate_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The stateless streaming gate replayed in multiple micro-batches
+    must emit exactly the batch gate's passing set (append mode: each doc
+    judged once, in whatever batch it arrives)."""
+    from espkinesis_spark.functions.text import quality_filter, quality_gate_stateless
+    from espkinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_dir = tmp_path_factory.mktemp("qg_chunks")
+    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(3))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "docs"))
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "docs"))
+    )
+    q = (
+        quality_gate_stateless(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qg_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    got = {tuple(r) for r in spark.table("qg_mb").collect()}
+    want = {
+        tuple(r)
+        for r in quality_filter(docs)
+        .filter("keep")
+        .drop("keep")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    assert n_batches > 1, "replay did not actually split into micro-batches"
+
+
+def test_anomaly_stream_snapshot_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming-lambda anomaly entry's drained hourly table must
+    carry state across micro-batches: flags over a 4-batch replay equal
+    the batch flags."""
+    from espkinesis_spark.queries import hourly_zscore_flags
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    chunk_dir = tmp_path_factory.mktemp("an_chunks")
+    ev.withColumn("__c", F.pmod(F.hash("ts"), F.lit(4))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "ev"))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "ev"))
+    )
+    agg = src.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("an_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = spark.table("an_mb").localCheckpoint(eager=True)
+    got = {tuple(r) for r in hourly_zscore_flags(counts).collect()}
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    want = {tuple(r) for r in hourly_zscore_flags(hourly).collect()}
+    assert got == want and len(want) > 0
+    assert len(q.recentProgress) > 1
