@@ -1103,3 +1103,119 @@ def test_anomaly_flags_injected_spike(spark, tmp_path):
     assert len(got) == 1
     (r,) = got
     assert r["hr"] == base + dt.timedelta(hours=30) and r["n"] == 500 and r["z"] > 2.0
+
+
+def test_downsample_matches_python_model(spark, sf_dir):
+    """Independent check against a direct python model (the SQL oracle
+    mirrors the Spark expression tree, so a shared blind spot would pass
+    parity; this model is written from the spec instead)."""
+    import math
+
+    import duckdb
+
+    from espkinesis_spark import queries
+    from espkinesis_spark.functions import common as C
+
+    con = duckdb.connect()
+    pts = con.execute(
+        f"SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS xu, value AS y "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    con.close()
+    nb = C.LTTB_BUCKETS
+    mn = min(p[1] for p in pts)
+    mx = max(p[1] for p in pts)
+    buckets = {}
+    for eid, xu, y in pts:
+        b = min((xu - mn) * nb // max(mx - mn, 1), nb - 1)
+        buckets.setdefault(b, []).append((eid, xu - mn, y))
+    anchors = {
+        b: (
+            round(sum(x for _, x, _ in v) / len(v) / 1e6, 6),
+            round(sum(y for _, _, y in v) / len(v), 6),
+        )
+        for b, v in buckets.items()
+    }
+    order = sorted(buckets)
+    want = {}
+    for i, b in enumerate(order):
+        v = buckets[b]
+        if i == 0:
+            pick = min(v, key=lambda p: (p[1], p[0]))
+            want[b] = (pick[0], 0.0 if i == 0 else None)
+        elif i == len(order) - 1:
+            pick = min(v, key=lambda p: (-p[1], -p[0]))
+            want[b] = (pick[0], 0.0)
+        else:
+            lx, ly = anchors[order[i - 1]]
+            rx, ry = anchors[order[i + 1]]
+            best = None
+            for eid, xus, y in v:
+                px = xus / 1e6
+                area = round(
+                    abs((lx - rx) * (y - ly) - (lx - px) * (ry - ly)) * 0.5,
+                    C.LTTB_AREA_ROUND,
+                )
+                key = (-area, xus, eid)
+                if best is None or key < best[0]:
+                    best = (key, eid, area)
+            want[b] = (best[1], best[2])
+    want[order[0]] = (want[order[0]][0], 0.0)
+
+    got = {
+        r["bucket"]: (r["event_id"], r["area"])
+        for r in queries.ex_downsample(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ts_similarity_matches_python_model(spark, sf_dir):
+    """Direct python model of the z-normalized subsequence search (same
+    independence rationale as the downsample model test)."""
+    import math
+
+    import duckdb
+
+    from espkinesis_spark import queries
+    from espkinesis_spark.functions import common as C
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)), value "
+        f"FROM '{sf_dir}/events.parquet' ORDER BY user_id, 3, event_id"
+    ).fetchall()
+    con.close()
+    w = C.TSS_W
+    series = {}
+    for uid, eid, xu, y in rows:
+        series.setdefault(uid, []).append((eid, y))
+
+    def znorm(vals):
+        m = sum(vals) / w
+        ex2 = sum(x * x for x in vals) / w
+        sd = math.sqrt(max(ex2 - m * m, 0.0))
+        return [0.0] * w if sd == 0.0 else [(x - m) / sd for x in vals]
+
+    wins = []
+    for uid, pts in series.items():
+        for i in range(len(pts) - w + 1):
+            chunk = pts[i : i + w]
+            wins.append((uid, chunk[0][0], znorm([y for _, y in chunk])))
+    qz = min(
+        ((s, z) for u, s, z in wins if u == C.TSS_QUERY_USER), key=lambda t: t[0]
+    )[1]
+    scored = sorted(
+        (
+            round(math.sqrt(sum((a - b) ** 2 for a, b in zip(z, qz))), 6),
+            uid,
+            start,
+        )
+        for uid, start, z in wins
+    )[: C.TSS_TOPK]
+    want = [(u, s, d) for d, u, s in scored]
+
+    got = [
+        (r["user_id"], r["start_event_id"], r["dist"])
+        for r in queries.ex_ts_similarity(spark, sf_dir).collect()
+    ]
+    assert got == want
