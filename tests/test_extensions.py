@@ -1219,3 +1219,46 @@ def test_ts_similarity_matches_python_model(spark, sf_dir):
         for r in queries.ex_ts_similarity(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_retention_matrix_matches_python_model(spark, sf_dir):
+    """Direct python model of the 0..5-offset retention triangle."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from espkinesis_spark import queries
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    con.close()
+    HOUR = 3_600_000_000
+    first = {}
+    active = defaultdict(set)
+    for uid, hr in rows:
+        active[uid].add(hr)
+        first[uid] = min(first.get(uid, hr), hr)
+    per = defaultdict(set)
+    sizes = defaultdict(int)
+    for uid, cohort in first.items():
+        sizes[cohort] += 1
+        for hr in active[uid]:
+            off = (hr - cohort) // HOUR
+            if 0 <= off <= 5:
+                per[(cohort, off)].add(uid)
+    want = {
+        (c, o): (sizes[c], len(u), round(len(u) / sizes[c], 4))
+        for (c, o), u in per.items()
+    }
+    got = {
+        (int(r["cohort"].timestamp() * 1_000_000), r["off"]): (
+            r["cohort_size"],
+            r["active_users"],
+            r["rate"],
+        )
+        for r in queries.ex_retention_matrix(spark, sf_dir).collect()
+    }
+    assert got == want
