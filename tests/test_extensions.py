@@ -1262,3 +1262,24 @@ def test_retention_matrix_matches_python_model(spark, sf_dir):
         for r in queries.ex_retention_matrix(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_label_prop_weighted_overrides_edge_count(spark):
+    """One heavy edge must outvote two unit edges under weight_col; the
+    unweighted call on the same graph keeps count semantics."""
+    from espkinesis_spark.functions import graph
+
+    # b's neighbors: z with weight 10 vs a/c with weight 1 each (iters=1
+    # so initial labels ARE the votes)
+    edges = [("z", "b", 10), ("a", "b", 1), ("c", "b", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    weighted = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(df, iters=1, weight_col="w").collect()
+    }
+    assert weighted["b"] == "z"  # 10 outvotes the 1+1 count majority
+    unweighted = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(df.select("src", "dst"), iters=1).collect()
+    }
+    assert unweighted["b"] == "a"  # z:1, a:1, c:1 → tie → min label
