@@ -663,56 +663,65 @@ def bpe_encode(
     )
 
 
-def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = C.HH_K) -> DataFrame:
-    """Exact corpus heavy hitters (tokens with count > total/k) found via a
-    Misra-Gries candidate pass + an exact verification pass — the two-pass
-    heavy-hitter pattern that stays bounded-memory at any corpus size.
+def frequent_values(df: DataFrame, col: str, k: int = C.HH_K) -> DataFrame:
+    """Exact heavy hitters of ANY string column (values with count >
+    total/k) via a Misra-Gries candidate pass + an exact verification
+    pass — the two-pass heavy-hitter pattern that stays bounded-memory at
+    any data size (the dimension-profiling primitive).
 
     Pass 1 runs an Arrow-batched Misra-Gries summary per partition inside
     ``mapInPandas``: value_counts per batch merged into ≤ k counters, with
     the batched decrement (subtract the (k+1)-th largest count from all,
     drop non-positive) — each unit of decrement drains ≥ k+1 total count,
-    so per-partition undercount ≤ n_p/(k+1) and any token with global
+    so per-partition undercount ≤ n_p/(k+1) and any value with global
     count > total/k MUST survive in at least one partition's summary (the
     merged candidate set is a guaranteed superset of the true heavies).
     Pass 2 broadcast-semi-joins the ≤ partitions·k candidates back onto
-    the token stream and counts them EXACTLY, so the emitted rows are
+    the value stream and counts them EXACTLY, so the emitted rows are
     deterministic regardless of partitioning/batch order; the sketch only
-    bounds the candidate set. Scale shape: two corpus scans, a map-side
-    candidate filter, one token-keyed partial agg over candidates only,
-    one scalar total — no full-vocabulary shuffle at all.
+    bounds the candidate set. Scale shape: two scans, a map-side
+    candidate filter, one value-keyed partial agg over candidates only,
+    one scalar total — no full-cardinality shuffle at all.
     """
     import pandas as pd
 
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    vals = df.select(F.col(col).alias("__v"))
 
     def mg(batches):
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            vc = pdf["token"].value_counts()
+            vc = pdf["__v"].value_counts()
             counters = counters.add(vc, fill_value=0)
             if len(counters) > k:
                 counters = counters.sort_values(ascending=False, kind="stable")
                 counters = counters - counters.iloc[k]
                 counters = counters[counters > 0]
-        yield pd.DataFrame({"token": counters.index.astype(str)})
+        yield pd.DataFrame({"__v": counters.index.astype(str)})
 
-    cand = tok.mapInPandas(mg, "token string").distinct()
-    tot = tok.agg(F.count("*").cast("long").alias("total"))
+    cand = vals.mapInPandas(mg, "__v string").distinct()
+    tot = vals.agg(F.count("*").cast("long").alias("total"))
     exact = (
-        tok.join(F.broadcast(cand), "token")
-        .groupBy("token")
+        vals.join(F.broadcast(cand), "__v")
+        .groupBy("__v")
         .agg(F.count("*").cast("long").alias("n"))
     )
     return (
         exact.crossJoin(F.broadcast(tot))
         .filter(F.col("n") * k > F.col("total"))
         .select(
-            "token",
+            F.col("__v").alias(col),
             "n",
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+def heavy_hitters(df: DataFrame, text_col: str = "text", k: int = C.HH_K) -> DataFrame:
+    """Exact corpus token heavy hitters: tokenize, then frequent_values
+    over the exploded token stream (see frequent_values for the
+    Misra-Gries candidate + exact-verify design and its guarantees)."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return frequent_values(tok, "token", k)
 
 
 def quality_gate_stateless(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1283,3 +1283,26 @@ def test_label_prop_weighted_overrides_edge_count(spark):
         for r in graph.label_propagation(df.select("src", "dst"), iters=1).collect()
     }
     assert unweighted["b"] == "a"  # z:1, a:1, c:1 → tie → min label
+
+
+def test_frequent_values_profiles_plain_column(spark, sf_dir):
+    """frequent_values over events.event_type equals the exact
+    count > total/k filter computed by a plain groupBy."""
+    from espkinesis_spark.functions import text as T
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 6
+    got = {
+        (r["event_type"], r["n"])
+        for r in T.frequent_values(ev, "event_type", k=k).collect()
+    }
+    total = ev.count()
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+        if r["n"] * k > total
+    }
+    assert got == want and len(want) > 0
