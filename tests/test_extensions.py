@@ -1306,3 +1306,53 @@ def test_frequent_values_profiles_plain_column(spark, sf_dir):
         if r["n"] * k > total
     }
     assert got == want and len(want) > 0
+
+
+def test_mg_batched_decrement_superset_property():
+    """Pure-python property check of the Misra-Gries batched-decrement
+    variant the frequent_values kernel runs per partition: for random
+    streams, random partitionings, random batch splits, and random k, the
+    MERGED candidate set must contain every value with global count >
+    total/k (the guarantee the exact second pass relies on)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def mg_partition(batches, k):
+        counters = Counter()
+        for batch in batches:
+            counters.update(batch)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count from all, drop <= 0
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = Counter(
+                    {v: c - kth for v, c in counters.items() if c - kth > 0}
+                )
+        return set(counters)
+
+    vals = st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=400)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals,
+        st.integers(min_value=1, max_value=8),  # partitions
+        st.integers(min_value=1, max_value=5),  # batches per partition
+        st.integers(min_value=1, max_value=10),  # k
+        st.randoms(),
+    )
+    def run(stream, n_parts, n_batches, k, rnd):
+        rnd.shuffle(stream)
+        parts = [stream[i::n_parts] for i in range(n_parts)]
+        merged = set()
+        for p in parts:
+            if not p:
+                continue
+            size = max(1, len(p) // n_batches)
+            batches = [p[i : i + size] for i in range(0, len(p), size)]
+            merged |= mg_partition(batches, k)
+        total = len(stream)
+        heavies = {v for v, c in Counter(stream).items() if c * k > total}
+        assert heavies <= merged, (sorted(heavies - merged), k, total)
+
+    run()
