@@ -16,4 +16,6 @@ Modules:
                     relational edge tables (fixed-budget trajectories)
     multimodal.py — binary-column plumbing with real WAV/BMP codecs
     registry.py   — SQL scalar UDFs + pandas UDF handlers
+    quantiles.py  — exact distributed quantiles via mergeable summaries
+                    (summarize → bound → exact select; no global sort)
 """

@@ -153,6 +153,14 @@ SPAN_ORD_BASE = 1_000_000
 # so both engines converge identically.
 LPA_ITERS = 3
 
+# exact sketch-narrowed quantiles: per-partition summary size (order
+# statistics per partition) and the reported percentile levels. The
+# output is EXACT for any SKQ_SUMMARY >= 2 — the summary only bounds the
+# candidate interval (rank slack <= 2n/SKQ_SUMMARY rows), so the constant
+# trades pass-2 interval size against summary size, never correctness.
+SKQ_SUMMARY = 64
+SKQ_PCTS = (1, 25, 50, 75, 99)
+
 # heavy hitters: Misra-Gries candidate capacity per partition; the exact
 # second pass keeps tokens whose TRUE count exceeds total/HH_K, so the
 # output is exact (the sketch only bounds the candidate set).

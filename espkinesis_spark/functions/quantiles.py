@@ -1,0 +1,229 @@
+"""Exact distributed quantiles via mergeable per-partition summaries.
+
+The naive exact quantile is a global sort — a full shuffle of every row,
+the single most expensive plan shape at 100 TB. The classic alternative
+(`percentile_approx`, already exposed as ``ex_approx_quantile``) is
+mergeable and cheap but APPROXIMATE: its answer depends on the sketch
+accuracy, so it can't back a parity gate or a billing-grade percentile.
+
+``sketch_quantiles`` gets EXACT answers with no global sort using the
+two-phase summarize-then-select pattern (the same candidate-narrowing
+idea as the Misra-Gries + exact-verify heavy hitters in
+``text.frequent_values``):
+
+1. **Summarize** — one scan; each partition sorts its own values (the
+   work a sort-shuffle would do anyway, minus the exchange) and emits
+   ``SKQ_SUMMARY`` exact order statistics as weighted blocks
+   ``(v_lo, v_hi, w)``: ``w`` rows of the partition lie in
+   ``(v_lo, v_hi]``. Summary size is O(partitions x SKQ_SUMMARY) rows —
+   data-size independent.
+2. **Bound** — over the summary only: a block holds the partition rows
+   with sorted rank in ``(c_prev, c]``; their VALUES satisfy
+   ``v_lo <= x <= v_hi`` (closed on the left — ties on the boundary
+   value spill into the block). So ``count(x <= v)`` is bracketed by
+   ``lower(v) = sum(w | v_hi <= v)`` (those blocks lie entirely at or
+   below ``v``) and ``upper(v) = sum(w | v_lo <= v)`` (a block whose
+   ``v_lo`` exceeds ``v`` lies entirely above it; the comparison must be
+   NON-strict or boundary ties undercount). For target rank ``r`` the
+   true quantile then
+   sits in ``(lo, hi]`` with ``lo = max{v : upper(v) < r}`` (possibly
+   none) and ``hi = min{v : lower(v) >= r}`` (always exists: the global
+   max has ``lower = n``). Each partition contributes at most
+   ``n_p/SKQ_SUMMARY`` rows of rank slack per boundary, so the interval
+   spans <= 2n/SKQ_SUMMARY rows — a 1/64th slice at the default.
+3. **Select** — one exact pass: count ``x <= lo`` (conditional sums, one
+   scalar row), then group the interval rows by value and take the first
+   value whose cumulative count reaches ``r``. The output is the exact
+   order statistic — independent of partitioning, batch order, and
+   SKQ_SUMMARY (the sketch only narrows the interval).
+
+Scale shape: two single-column scans + one summary-sized window + one
+interval-sized aggregation. No full-data exchange at all, versus the
+global sort's shuffle of every row. The interval filter and conditional
+sums push down to the parquet scan. The bound windows run on a single
+partition BY DESIGN — they see O(partitions x SKQ_SUMMARY) rows, never
+data-sized (at extreme partition counts, shrink SKQ_SUMMARY or add one
+intermediate merge pass; the blocks are mergeable by construction).
+
+Rank convention: ``r(pct) = ceil(pct * n / 100)`` computed in INTEGER
+arithmetic (``(pct*n + 99) div 100``) so both engines agree exactly —
+``ceil(0.01 * n)`` in doubles is off-by-one bait. NULLs are excluded
+(documented; mirror with ``WHERE x IS NOT NULL``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from espkinesis_spark.functions import common as C
+
+_BLOCK_SCHEMA = "v_lo double, v_hi double, w long"
+
+
+def _partition_blocks(s: int):
+    """mapInPandas kernel: sort the partition's values, emit ``s`` exact
+    order-statistic blocks. Runs once per partition (the iterator spans
+    the whole partition); memory is the partition's value column — the
+    same footprint the sort-exchange alternative needs per task."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        chunks = [pdf["__x"].dropna().to_numpy(dtype="float64") for pdf in batches]
+        vals = np.concatenate(chunks) if chunks else np.empty(0)
+        n = len(vals)
+        if n == 0:
+            return
+        vals.sort(kind="stable")
+        # ranks ceil(j*n/s), j=1..s — always ends at n; dedupe for n < s
+        ranks = np.unique(-(-np.arange(1, s + 1) * n // s))
+        v_hi = vals[ranks - 1]
+        v_lo = np.concatenate(([np.nan], v_hi[:-1]))
+        w = np.diff(np.concatenate(([0], ranks)))
+        yield pd.DataFrame({"v_lo": v_lo, "v_hi": v_hi, "w": w.astype("int64")})
+
+    return kernel
+
+
+def sketch_quantiles(
+    df: DataFrame,
+    col: str,
+    pcts: Sequence[int] = C.SKQ_PCTS,
+    s: int = C.SKQ_SUMMARY,
+) -> DataFrame:
+    """Exact percentiles of ``df[col]`` (one row per pct) without a
+    global sort — see the module docstring for the algorithm and scale
+    argument. Output: ``pct, n, target_rank, value`` with ``value`` the
+    exact ``target_rank``-th smallest non-null input value."""
+    vals = df.select(F.col(col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    blocks = vals.mapInPandas(_partition_blocks(s), _BLOCK_SCHEMA)
+
+    # --- bound phase: summary-sized only ------------------------------
+    # lower(v_hi): RANGE frame includes cross-partition ties on v_hi
+    w_lower = Window.orderBy("v_hi").rangeBetween(Window.unboundedPreceding, 0)
+    lower = (
+        blocks.withColumn("lower_cnt", F.sum("w").over(w_lower))
+        .groupBy("v_hi")
+        .agg(F.max("lower_cnt").alias("lower_cnt"))
+    )
+    # upper(v) = sum(w | v_lo <= v): merge-sort block starts (kind=0)
+    # BEFORE candidates (kind=1) at equal value, take the running w sum —
+    # a block whose v_lo equals the candidate must be included (boundary
+    # ties spill into the block: values are closed on the left). NULL
+    # v_lo (partition min block) sorts first and is always included.
+    cand = lower.select(
+        F.col("v_hi").alias("val"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("w"),
+    )
+    starts = (
+        blocks.groupBy(F.col("v_lo").alias("val"))
+        .agg(F.sum("w").alias("w"))
+        .select("val", F.lit(0).alias("kind"), "w")
+    )
+    w_upper = Window.orderBy(
+        F.col("val").asc_nulls_first(), "kind"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    upper = (
+        cand.unionByName(starts)
+        .withColumn("upper_cnt", F.sum(F.coalesce("w", F.lit(0))).over(w_upper))
+        .filter(F.col("kind") == 1)
+        .groupBy(F.col("val").alias("v_hi"))
+        .agg(F.min("upper_cnt").alias("upper_cnt"))
+    )
+    bounds = lower.join(upper, "v_hi")
+    total = blocks.agg(F.sum("w").cast("long").alias("n"))
+    pct_df = total.select(
+        "n", F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct")
+    ).withColumn(
+        "target_rank",
+        ((F.col("pct") * F.col("n") + 99) / 100).cast("long"),
+    )
+    intervals = (
+        bounds.crossJoin(F.broadcast(pct_df))
+        .groupBy("pct", "n", "target_rank")
+        .agg(
+            F.max(
+                F.when(F.col("upper_cnt") < F.col("target_rank"), F.col("v_hi"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("lower_cnt") >= F.col("target_rank"), F.col("v_hi"))
+            ).alias("hi"),
+        )
+    )
+    # bounded build-side collect: one row per pct (like the centroid /
+    # query-side collects in similarity.py — never data-sized)
+    ivs = [r for r in intervals.collect() if r["n"]]
+    if not ivs:  # empty/all-null input: empty result, stable schema
+        return df.sparkSession.createDataFrame(
+            [], "pct int, n long, target_rank long, value double"
+        )
+
+    # --- select phase: one exact pass ---------------------------------
+    # offsets: exact count(x <= lo) per pct, one conditional-sum row
+    off_exprs = []
+    for r in ivs:
+        cond = (
+            F.lit(0)
+            if r["lo"] is None
+            else F.when(F.col("__x") <= F.lit(r["lo"]), 1).otherwise(0)
+        )
+        off_exprs.append(F.sum(cond).cast("long").alias(f"off_{r['pct']}"))
+    off_row = vals.agg(*off_exprs).collect()[0]
+    offsets = {r["pct"]: off_row[f"off_{r['pct']}"] for r in ivs}
+
+    # interval rows, tagged with every pct whose interval they fall in
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    (
+                        F.lit(True)
+                        if r["lo"] is None
+                        else F.col("__x") > F.lit(r["lo"])
+                    )
+                    & (F.col("__x") <= F.lit(r["hi"])),
+                    F.lit(int(r["pct"])),
+                )
+                for r in ivs
+            ]
+        )
+    )
+    in_iv = (
+        vals.withColumn("pcts", tags)
+        .filter(F.size("pcts") > 0)
+        .select("__x", F.explode("pcts").alias("pct"))
+        .groupBy("pct", "__x")
+        .agg(F.count("*").alias("c"))
+    )
+    w_sel = Window.partitionBy("pct").orderBy("__x").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    need = F.create_map(
+        *[x for r in ivs for x in (F.lit(int(r["pct"])), F.lit(int(r["target_rank"])))]
+    )
+    off_map = F.create_map(
+        *[x for r in ivs for x in (F.lit(int(r["pct"])), F.lit(int(offsets[r["pct"]])))]
+    )
+    meta = {int(r["pct"]): (int(r["n"]), int(r["target_rank"])) for r in ivs}
+    n_map = F.create_map(
+        *[x for p, (n, _) in meta.items() for x in (F.lit(p), F.lit(n))]
+    )
+    sel = (
+        in_iv.withColumn("cum", F.sum("c").over(w_sel))
+        .withColumn("rank_in_iv", need[F.col("pct")] - off_map[F.col("pct")])
+        .filter(F.col("cum") >= F.col("rank_in_iv"))
+        .groupBy("pct")
+        .agg(F.min("__x").alias("value"))
+    )
+    return sel.select(
+        "pct",
+        n_map[F.col("pct")].cast("long").alias("n"),
+        need[F.col("pct")].cast("long").alias("target_rank"),
+        "value",
+    )

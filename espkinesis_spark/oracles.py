@@ -1229,6 +1229,29 @@ GROUP BY source""",
         g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
         SELECT token, n, round(n * 1.0 / total, 6) AS share
         FROM g CROSS JOIN tot WHERE n * {C.HH_K} > total""",
+    # the streaming leg maintains the same counts complete-mode; the
+    # drained snapshot equals the batch table, so the oracle is identical
+    "st_heavy_hitters": f"""
+        WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+        g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
+        SELECT token, n, round(n * 1.0 / total, 6) AS share
+        FROM g CROSS JOIN tot WHERE n * {C.HH_K} > total""",
+    # exact order statistics — the Spark side's summaries only narrow the
+    # candidate interval, so the plain sorted-rank answer is the oracle.
+    # target_rank = ceil(pct*n/100) in INTEGER arithmetic on both engines
+    # (double ceil(0.01*n) is off-by-one bait).
+    "ex_sketch_quantile": f"""
+        WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        p(pct) AS (VALUES {', '.join(f'({int(p)})' for p in C.SKQ_PCTS)}),
+        r AS (SELECT pct, nn.n,
+                     CAST((pct * nn.n + 99) // 100 AS BIGINT) AS target_rank
+              FROM p CROSS JOIN nn),
+        s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+        SELECT r.pct, r.n, r.target_rank, s.x AS value
+        FROM r JOIN s ON s.rn = r.target_rank""",
     "ex_funnel": """
         WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         fc AS (SELECT user_id, min(ts) AS c_ts FROM e WHERE event_type = 'click' GROUP BY 1),

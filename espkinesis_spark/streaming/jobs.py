@@ -243,6 +243,38 @@ def vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_vocab_sink", "complete")
 
 
+def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: running token counts maintained
+    complete-mode on the document stream (vocab-sized state, exactly the
+    st_vocab shape), then the exact share filter (count·k > total) applied
+    over the drained snapshot. The snapshot counts equal the batch counts,
+    so this shares ex_heavy_hitters' exact oracle — the streaming leg of
+    the Misra-Gries batch op (which bounds candidate memory instead of
+    keeping the full vocab; pick per deployment by vocab size). The
+    total-vs-counts comparison self-joins the snapshot, so it is frozen
+    with localCheckpoint first (a memory-sink view cannot appear twice in
+    one plan — the st_anomaly hazard)."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions.text import tokens
+
+    src = _documents_stream(spark, sf_dir)
+    agg = (
+        src.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    counts = _drain_to_memory(agg, "st_heavy_hitters_sink", "complete")
+    counts = counts.localCheckpoint(eager=True)
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * C.HH_K > F.col("total"))
+        .select(
+            "token", "n", F.round(F.col("n") / F.col("total"), 6).alias("share")
+        )
+    )
+
+
 def ack_tracker_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A2 as a driver query: a deterministic ack stream derived from the
     events table (mac keyed by user_id % 8, ok unless event_id % 3 == 0)

@@ -1356,3 +1356,100 @@ def test_mg_batched_decrement_superset_property():
         assert heavies <= merged, (sorted(heavies - merged), k, total)
 
     run()
+
+
+def test_sketch_quantiles_exact_and_partition_invariant(spark):
+    """sketch_quantiles equals the numpy order statistic for every pct,
+    for adversarial data (heavy ties, nulls, tiny partitions) and for
+    EVERY partitioning and summary size — the sketch narrows the
+    interval, it must never reach the result."""
+    import numpy as np
+
+    from espkinesis_spark.functions.quantiles import sketch_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 4003
+    vals = np.round(rng.lognormal(2.0, 1.2, n), 2)
+    vals[: n // 5] = np.round(vals[: n // 5])  # heavy ties
+    srt = np.sort(vals)
+    rows = [(float(v),) for v in vals] + [(None,)] * 5
+    base = spark.createDataFrame(rows, "x double")
+    for parts, s in [(1, 64), (7, 64), (32, 2), (32, 8)]:
+        got = {
+            r["pct"]: r
+            for r in sketch_quantiles(
+                base.repartition(parts), "x", s=s
+            ).collect()
+        }
+        for pct in C.SKQ_PCTS:
+            rk = (pct * n + 99) // 100
+            assert got[pct]["n"] == n
+            assert got[pct]["target_rank"] == rk
+            assert got[pct]["value"] == srt[rk - 1], (parts, s, pct)
+
+
+def test_sketch_quantiles_empty_and_degenerate(spark):
+    from espkinesis_spark.functions.quantiles import sketch_quantiles
+
+    empty = spark.createDataFrame([(None,)] * 4, "x double")
+    assert sketch_quantiles(empty, "x").collect() == []
+    one = spark.createDataFrame([(42.0,)], "x double").repartition(8)
+    out = sketch_quantiles(one, "x").collect()
+    assert {r["value"] for r in out} == {42.0}
+    assert {r["target_rank"] for r in out} == {1}
+
+
+def test_sketch_quantile_bound_property():
+    """Pure-python mirror of the summarize/bound phases: for random
+    streams, partitionings, and summary sizes, the derived (lo, hi]
+    interval must contain the true order statistic and the claimed rank
+    bracket must hold — the guarantee the exact select pass relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def blocks_for(part, s):
+        part = sorted(part)
+        n = len(part)
+        ranks = sorted({-(-j * n // s) for j in range(1, s + 1)})
+        out, prev_v, prev_c = [], None, 0
+        for r in ranks:
+            out.append((prev_v, part[r - 1], r - prev_c))
+            prev_v, prev_c = part[r - 1], r
+        return out
+
+    vals = st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=300
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals,
+        st.integers(min_value=1, max_value=6),  # partitions
+        st.integers(min_value=2, max_value=9),  # summary size
+        st.integers(min_value=1, max_value=100),  # pct
+        st.randoms(),
+    )
+    def run(stream, n_parts, s, pct, rnd):
+        rnd.shuffle(stream)
+        parts = [p for p in (stream[i::n_parts] for i in range(n_parts)) if p]
+        blocks = [b for p in parts for b in blocks_for(p, s)]
+        n = len(stream)
+        rk = (pct * n + 99) // 100
+        cands = sorted({hi for _, hi, _ in blocks})
+        lower = {
+            v: sum(w for _, hi, w in blocks if hi <= v) for v in cands
+        }
+        upper = {
+            v: sum(w for lo, _, w in blocks if lo is None or lo <= v)
+            for v in cands
+        }
+        lo = max((v for v in cands if upper[v] < rk), default=None)
+        hi = min(v for v in cands if lower[v] >= rk)
+        true = sorted(stream)[rk - 1]
+        assert (lo is None or true > lo) and true <= hi
+        # exact select inside the interval reproduces the order statistic
+        offset = 0 if lo is None else sum(1 for x in stream if x <= lo)
+        iv = sorted(x for x in stream if (lo is None or x > lo) and x <= hi)
+        assert iv[rk - offset - 1] == true
+
+    run()

@@ -465,3 +465,48 @@ def test_anomaly_stream_snapshot_equals_batch(spark, sf_dir, tmp_path_factory):
     want = {tuple(r) for r in hourly_zscore_flags(hourly).collect()}
     assert got == want and len(want) > 0
     assert len(q.recentProgress) > 1
+
+
+def test_heavy_hitters_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming heavy hitters replayed across micro-batches: the
+    complete-mode token counts must accumulate across batches so the
+    snapshot filter equals the batch ex_heavy_hitters output exactly."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions.text import heavy_hitters, tokens
+    from espkinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_dir = tmp_path_factory.mktemp("hh_chunks")
+    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(3))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "docs"))
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "docs"))
+    )
+    agg = (
+        src.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hh_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1, "replay did not split into micro-batches"
+    counts = spark.table("hh_mb").localCheckpoint(eager=True)
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    got = {
+        (r["token"], r["n"])
+        for r in counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * C.HH_K > F.col("total"))
+        .collect()
+    }
+    want = {(r["token"], r["n"]) for r in heavy_hitters(docs).collect()}
+    assert got == want and len(want) > 0
