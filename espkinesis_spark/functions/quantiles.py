@@ -177,7 +177,18 @@ def sketch_quantiles(
     off_row = vals.agg(*off_exprs).collect()[0]
     offsets = {r["pct"]: off_row[f"off_{r['pct']}"] for r in ivs}
 
-    # interval rows, tagged with every pct whose interval they fall in
+    # interval rows, tagged with every pct whose interval they fall in.
+    # The coarse plain-boolean OR of the ranges goes in FIRST: unlike the
+    # array-lambda tag expression it translates to parquet PushedFilters,
+    # so row groups wholly outside every interval never leave disk.
+    coarse = None
+    for r in ivs:
+        rng = (
+            F.col("__x") <= F.lit(r["hi"])
+            if r["lo"] is None
+            else (F.col("__x") > F.lit(r["lo"])) & (F.col("__x") <= F.lit(r["hi"]))
+        )
+        coarse = rng if coarse is None else (coarse | rng)
     tags = F.array_compact(
         F.array(
             *[
@@ -195,7 +206,8 @@ def sketch_quantiles(
         )
     )
     in_iv = (
-        vals.withColumn("pcts", tags)
+        vals.filter(coarse)
+        .withColumn("pcts", tags)
         .filter(F.size("pcts") > 0)
         .select("__x", F.explode("pcts").alias("pct"))
         .groupBy("pct", "__x")

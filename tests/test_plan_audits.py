@@ -289,3 +289,22 @@ def test_runtime_bloom_filter_engages_on_selective_shuffle_join(spark, sf_dir):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+
+
+def test_sketch_quantile_select_pass_pushes_intervals(spark, sf_dir):
+    """The exact select pass must reach the parquet scan as a
+    single-column read with the candidate-interval ranges in
+    PushedFilters (row groups wholly outside every interval skip disk),
+    and its shuffles are interval-sized (value agg + per-pct window),
+    never data-sized."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_sketch_quantile")
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan  # summaries are Arrow-batched
+    assert "CartesianProduct" not in plan
+    (cols,) = scan_columns(df)
+    assert cols == {"l_extendedprice"}
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThan(l_extendedprice" in pushed
+    assert "LessThanOrEqual(l_extendedprice" in pushed
