@@ -1,0 +1,75 @@
+"""Regenerate the 30x scale-ladder replica dataset at /tmp/espk_scale30.
+
+The ladder (NOTES.md) measures wall-time ratios of the heaviest registry
+entries at 30x the sf0.1 data to verify linear-or-sublinear scaling.
+/tmp is routinely cleared between sessions, so the recipe lives here.
+
+Replica discipline (keeps measured work honest at 30x):
+- keys are SHIFTED per replica (ids stay unique; joins/groupBys grow
+  linearly instead of colliding 30 copies onto one key),
+- document texts get a UNIQUE per-replica suffix (near-dup candidate
+  pairs stay linear — verbatim copies would make minhash quadratic),
+- lineitem prices are perturbed per replica (quantile/stat distributions
+  widen instead of degenerating to 30 identical multisets),
+- event timestamps are KEPT (calendar-sized aggregations must stay
+  calendar-sized — that is their scale claim).
+
+Usage: python tools/make_scale30.py [SRC_SF_DIR] [OUT_DIR] [REPLICAS]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/espk_scale30"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    copies = {
+        "lineitem": f"""
+            SELECT l_orderkey + r.i * 10000000 AS l_orderkey,
+                   l_partkey + r.i * 1000000 AS l_partkey,
+                   l_suppkey + r.i * 100000 AS l_suppkey,
+                   l_linenumber, l_quantity,
+                   round(l_extendedprice * (1.0 + (r.i % 7) * 0.0013), 2)
+                       AS l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{src}/lineitem.parquet', range({reps}) r(i)""",
+        "orders": f"""
+            SELECT o_orderkey + r.i * 10000000 AS o_orderkey,
+                   o_custkey + r.i * 1000000 AS o_custkey,
+                   o_orderstatus,
+                   round(o_totalprice * (1.0 + (r.i % 7) * 0.0013), 2)
+                       AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM '{src}/orders.parquet', range({reps}) r(i)""",
+        "documents": f"""
+            SELECT doc_id + r.i * 1000000 AS doc_id,
+                   text || ' replica' || CAST(r.i AS VARCHAR) AS text,
+                   lang, source, n_chars + 9 AS n_chars
+            FROM '{src}/documents.parquet', range({reps}) r(i)""",
+        "embeddings": f"""
+            SELECT vec_id + r.i * 1000000 AS vec_id, embedding, label
+            FROM '{src}/embeddings.parquet', range({reps}) r(i)""",
+        "events": f"""
+            SELECT event_id + r.i * 10000000 AS event_id, ts,
+                   user_id + r.i * 100000 AS user_id,
+                   event_type, value, props
+            FROM '{src}/events.parquet', range({reps}) r(i)""",
+    }
+    for table, sql in copies.items():
+        con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
