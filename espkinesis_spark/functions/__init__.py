@@ -18,4 +18,6 @@ Modules:
     registry.py   — SQL scalar UDFs + pandas UDF handlers
     quantiles.py  — exact distributed quantiles via mergeable summaries
                     (summarize → bound → exact select; no global sort)
+    timeseries.py — canonical sequential LTTB downsampling (per-series
+                    chains via applyInPandas, engine-exact floats)
 """

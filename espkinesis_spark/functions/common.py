@@ -173,6 +173,11 @@ HH_K = 100
 LTTB_BUCKETS = 48
 LTTB_AREA_ROUND = 4  # round triangle areas before argmax (engine-portable)
 
+# canonical (sequential, chained-anchor) LTTB: buckets per series. The
+# oracle unrolls the chain step-by-step (buckets-2 interior steps), so
+# keep it small; the per-series kernel itself takes any bucket count.
+LTTB_SEQ_BUCKETS = 12
+
 # time-series subsequence similarity search (EDBT-2019 streaming-similarity
 # shape): z-normalized Euclidean distance between a query pattern and every
 # W-length per-user sliding window, top-k closest. The query pattern is the

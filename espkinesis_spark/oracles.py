@@ -1431,3 +1431,78 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
 # the streaming-lambda anomaly entry drains the identical hourly table
 # before flagging, so it shares ex_anomaly's oracle verbatim
 ORACLES["st_anomaly"] = ORACLES["ex_anomaly"]
+
+
+def _lttb_seq_sql() -> str:
+    """Canonical sequential LTTB, chain unrolled step-by-step (the
+    kmeans/pagerank/BPE trajectory-replay pattern). Float discipline
+    mirrors functions/timeseries.py exactly: integer-relative x, the
+    sign-aware half-away y-millis formula written out (never round()),
+    anchors as CAST(sum(int) AS DOUBLE)/count/scale, and the area
+    expression in the same operation order — every compared double is
+    bit-identical cross-engine, ties break on exact ints (x, id)."""
+    ib = C.LTTB_SEQ_BUCKETS - 2
+    area = (
+        "abs((a{k}.ax - {nx}) * (c.py - a{k}.ay)"
+        " - (a{k}.ax - c.px) * ({ny} - a{k}.ay)) * 0.5"
+    )
+    parts = [
+        """e AS (SELECT event_type AS s, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS xa, value AS y
+                 FROM events),
+        o AS (SELECT s, event_id, xa, y,
+                     row_number() OVER (PARTITION BY s ORDER BY xa, event_id) AS rn,
+                     count(*) OVER (PARTITION BY s) AS n,
+                     min(xa) OVER (PARTITION BY s) AS x0
+              FROM e),
+        p AS (SELECT s, event_id, xa, rn, n, xa - x0 AS xr,
+                     CAST(CASE WHEN y >= 0 THEN floor(y * 1000.0 + 0.5)
+                               ELSE -floor(-y * 1000.0 + 0.5) END AS BIGINT) AS ymil
+              FROM o),
+        c AS (SELECT s, event_id, xa, xr, ymil,
+                     CAST(xr AS DOUBLE) / 1000000.0 AS px,
+                     CAST(ymil AS DOUBLE) / 1000.0 AS py,
+                     CAST(((rn - 2) * {ib}) // (n - 2) AS BIGINT) AS b
+              FROM p WHERE rn > 1 AND rn < n),
+        m AS (SELECT s, b,
+                     CAST(CAST(sum(xr) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS mx,
+                     CAST(CAST(sum(ymil) AS BIGINT) AS DOUBLE) / count(*) / 1000.0 AS my
+              FROM c GROUP BY s, b),
+        fp AS (SELECT s, event_id, xa,
+                      CAST(xr AS DOUBLE) / 1000000.0 AS px,
+                      CAST(ymil AS DOUBLE) / 1000.0 AS py
+               FROM p WHERE rn = 1),
+        lp AS (SELECT s, event_id, xa,
+                      CAST(xr AS DOUBLE) / 1000000.0 AS px,
+                      CAST(ymil AS DOUBLE) / 1000.0 AS py
+               FROM p WHERE rn = n),
+        a0 AS (SELECT s, px AS ax, py AS ay FROM fp)""".format(ib=ib)
+    ]
+    for k in range(ib):
+        if k < ib - 1:
+            join = f"JOIN m ON m.s = c.s AND m.b = {k + 1}"
+            nx, ny = "m.mx", "m.my"
+        else:
+            join = "JOIN lp ON lp.s = c.s"
+            nx, ny = "lp.px", "lp.py"
+        a = area.format(k=k, nx=nx, ny=ny)
+        parts.append(
+            f"""sel{k} AS (SELECT c.s, c.event_id, c.xa, c.px, c.py
+                 FROM c JOIN a{k} ON a{k}.s = c.s {join}
+                 WHERE c.b = {k}
+                 QUALIFY row_number() OVER (PARTITION BY c.s
+                     ORDER BY {a} DESC, c.xa, c.event_id) = 1)"""
+        )
+        parts.append(f"a{k + 1} AS (SELECT s, px AS ax, py AS ay FROM sel{k})")
+    selects = [
+        "SELECT s AS series, 0 AS step, event_id, xa AS x_us, py AS y FROM fp"
+    ]
+    for k in range(ib):
+        selects.append(
+            f"SELECT s, {k + 1}, event_id, xa, py FROM sel{k}"
+        )
+    selects.append(f"SELECT s, {ib + 1}, event_id, xa, py FROM lp")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["ex_downsample_seq"] = _lttb_seq_sql()

@@ -1742,6 +1742,23 @@ def ex_downsample(spark, sf_dir):
     )
 
 
+def ex_downsample_seq(spark, sf_dir):
+    """CANONICAL sequential LTTB (chained anchors — each bucket's left
+    anchor is the previous bucket's SELECTED point), one chain per
+    event-type series via applyInPandas: per-series parallelism is the
+    scale shape (millions of series, one task each), complementing
+    ex_downsample's distributable fixed-anchor variant for the
+    single-giant-series case. Engine-exact floats: integer-derived
+    coordinates and exact-integer-sum anchors make every compared double
+    bit-identical with the oracle's unrolled step replay (see
+    functions/timeseries.py)."""
+    from espkinesis_spark.functions import timeseries
+
+    return timeseries.lttb_sequential(
+        _t(spark, sf_dir, "events"), series_col="event_type"
+    )
+
+
 def ex_ts_similarity(spark, sf_dir):
     """Time-series subsequence similarity search (the EDBT-2019 streaming
     similarity-search shape): z-normalized Euclidean distance between a
@@ -1917,22 +1934,24 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-23 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 24-26
+    EVIDENCE FRESHNESS: positions 1-24 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 25-27
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 27-50
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 28-50
     re-verify the round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family). The dq21 canary and ex_token_count (the lowest-risk
-    vintage entry, a pure built-in projection) sit at the tail head; the
-    r4/r5 green entries follow and rotate back in next round.
+    streaming family). The dq21 canary plus ex_token_count and
+    ex_text_stats (the lowest-risk vintage entries — pure built-in
+    projections) sit at the tail head; the r4/r5 green entries follow
+    and rotate back in next round.
     """
     return {
-        # --- window 1-23: round-6 additions (unproven must sit here) ---
+        # --- window 1-24: round-6 additions (unproven must sit here) ---
         "ex_sketch_quantile": ex_sketch_quantile,
         "st_heavy_hitters": st_heavy_hitters,
+        "ex_downsample_seq": ex_downsample_seq,
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1954,11 +1973,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_anomaly": ex_anomaly,
         "st_anomaly": st_anomaly,
         "ex_retention_matrix": ex_retention_matrix,
-        # --- window 24-26: code/oracle changed this round ---
+        # --- window 25-27: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 27-50: round-2-vintage evidence, code rewritten r3.
+        # --- window 28-50: round-2-vintage evidence, code rewritten r3.
         # Two late additions squeezed the window: the dq21 canary and
         # ex_token_count (pure built-in projection, untouched since r2 —
         # the lowest-risk vintage entry) rotate to the tail head so the
@@ -1972,7 +1991,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_lang_id": ex_lang_id,
-        "ex_text_stats": ex_text_stats,
         "ex_fingerprint": ex_fingerprint,
         "ex_udf_surface": ex_udf_surface,
         "ex_tfidf": ex_tfidf,
@@ -1990,6 +2008,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: r4/r5-green entries (rotate into the window next round) ---
         "dq21": dq21,
         "ex_token_count": ex_token_count,
+        "ex_text_stats": ex_text_stats,
         "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,

@@ -1453,3 +1453,80 @@ def test_sketch_quantile_bound_property():
         assert iv[rk - offset - 1] == true
 
     run()
+
+
+def test_lttb_sequential_matches_pure_python_model(spark, sf_dir):
+    """Canonical LTTB vs an independent pure-python (no numpy) replay of
+    the algorithm — scalar loops instead of vectorized kernels, so a
+    vectorization or bucketing bug in either side breaks the match.
+    Both sides are IEEE doubles with the same operation order, so the
+    comparison is exact, no tolerance."""
+    import math
+
+    from espkinesis_spark.functions.timeseries import lttb_sequential
+    from espkinesis_spark.tables import load_table
+
+    B = C.LTTB_SEQ_BUCKETS
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["series"], r["step"]): (r["event_id"], r["x_us"], r["y"])
+        for r in lttb_sequential(ev, series_col="event_type").collect()
+    }
+
+    rows = ev.select("event_type", "event_id", F.unix_micros("ts").alias("x"), "value").collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append((r["x"], r["event_id"], r["value"]))
+    want = {}
+    for s, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        x0 = pts[0][0]
+        xr = [p[0] - x0 for p in pts]
+        ymil = [
+            math.floor(p[2] * 1000.0 + 0.5)
+            if p[2] >= 0
+            else -math.floor(-p[2] * 1000.0 + 0.5)
+            for p in pts
+        ]
+        px = [v / 1e6 for v in xr]
+        py = [v / 1e3 for v in ymil]
+        ib, m = B - 2, n - 2
+        buckets = [[] for _ in range(ib)]
+        for r_i in range(m):
+            buckets[r_i * ib // m].append(r_i + 1)
+        anchors = []
+        for k in range(ib):
+            sx = sum(xr[i] for i in buckets[k])
+            sy = sum(ymil[i] for i in buckets[k])
+            c = len(buckets[k])
+            anchors.append((float(sx) / c / 1e6, float(sy) / c / 1e3))
+        want[(s, 0)] = (pts[0][1], pts[0][0], py[0])
+        ax, ay = px[0], py[0]
+        for k in range(ib):
+            nx, ny = anchors[k + 1] if k < ib - 1 else (px[n - 1], py[n - 1])
+            best, best_a = None, -1.0
+            for i in buckets[k]:
+                a = abs((ax - nx) * (py[i] - ay) - (ax - px[i]) * (ny - ay)) * 0.5
+                if a > best_a:
+                    best, best_a = i, a
+            want[(s, k + 1)] = (pts[best][1], pts[best][0], py[best])
+            ax, ay = px[best], py[best]
+        want[(s, B - 1)] = (pts[n - 1][1], pts[n - 1][0], py[n - 1])
+    assert got == want
+
+
+def test_lttb_sequential_short_series_emitted_whole(spark):
+    from espkinesis_spark.functions.timeseries import lttb_sequential
+
+    rows = [("a", i, 1704067200000000 + i * 1_000_000, float(i)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, us long, value double"
+    ).select(
+        "event_type", "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"), "value",
+    )
+    out = lttb_sequential(df, series_col="event_type").collect()
+    assert [(r["step"], r["event_id"]) for r in sorted(out, key=lambda r: r["step"])] == [
+        (i, i) for i in range(5)
+    ]
