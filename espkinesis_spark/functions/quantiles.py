@@ -141,8 +141,11 @@ def sketch_quantiles(
     pct_df = total.select(
         "n", F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct")
     ).withColumn(
+        # INTEGER div, matching the oracle's `//` — double division then
+        # truncation goes off-by-one once n is large enough that the
+        # ~1e-16 relative error crosses the fractional gap
         "target_rank",
-        ((F.col("pct") * F.col("n") + 99) / 100).cast("long"),
+        F.expr("(pct * n + 99) div 100").cast("long"),
     )
     intervals = (
         bounds.crossJoin(F.broadcast(pct_df))

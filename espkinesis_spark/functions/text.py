@@ -705,11 +705,22 @@ def frequent_values(df: DataFrame, col: str, k: int = C.HH_K) -> DataFrame:
         .groupBy("__v")
         .agg(F.count("*").cast("long").alias("n"))
     )
+    return exact_share_filter(exact.withColumnRenamed("__v", col), tot, col, k)
+
+
+def exact_share_filter(
+    counts: DataFrame, total: DataFrame, value_col: str, k: int
+) -> DataFrame:
+    """The heavy-hitter emission convention, in ONE place so the batch
+    (frequent_values) and streaming (jobs.heavy_hitters_stream) legs can
+    never drift from their shared oracle: keep rows of ``counts``
+    (``value_col``, ``n``) whose exact count exceeds total/k, with the
+    share rounded to 6 dp. ``total`` is a one-row (``total``) frame."""
     return (
-        exact.crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("n") * k > F.col("total"))
         .select(
-            F.col("__v").alias(col),
+            value_col,
             "n",
             F.round(F.col("n") / F.col("total"), 6).alias("share"),
         )

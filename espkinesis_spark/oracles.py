@@ -1229,14 +1229,6 @@ GROUP BY source""",
         g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
         SELECT token, n, round(n * 1.0 / total, 6) AS share
         FROM g CROSS JOIN tot WHERE n * {C.HH_K} > total""",
-    # the streaming leg maintains the same counts complete-mode; the
-    # drained snapshot equals the batch table, so the oracle is identical
-    "st_heavy_hitters": f"""
-        WITH t AS (SELECT unnest({_TOKS.format(t='text')}) AS token FROM documents),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
-        g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
-        SELECT token, n, round(n * 1.0 / total, 6) AS share
-        FROM g CROSS JOIN tot WHERE n * {C.HH_K} > total""",
     # exact order statistics — the Spark side's summaries only narrow the
     # candidate interval, so the plain sorted-rank answer is the oracle.
     # target_rank = ceil(pct*n/100) in INTEGER arithmetic on both engines
@@ -1431,6 +1423,10 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
 # the streaming-lambda anomaly entry drains the identical hourly table
 # before flagging, so it shares ex_anomaly's oracle verbatim
 ORACLES["st_anomaly"] = ORACLES["ex_anomaly"]
+
+# streaming heavy hitters maintains the same token counts complete-mode;
+# the drained snapshot equals the batch table, so one oracle serves both
+ORACLES["st_heavy_hitters"] = ORACLES["ex_heavy_hitters"]
 
 
 def _lttb_seq_sql() -> str:

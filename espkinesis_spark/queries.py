@@ -1978,10 +1978,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
         # --- window 28-50: round-2-vintage evidence, code rewritten r3.
-        # Two late additions squeezed the window: the dq21 canary and
-        # ex_token_count (pure built-in projection, untouched since r2 —
-        # the lowest-risk vintage entry) rotate to the tail head so the
-        # r3-rewritten kernels and the streaming family all stay in. ---
+        # Three late additions squeezed the window: the dq21 canary,
+        # ex_token_count, and ex_text_stats (pure built-in projections,
+        # untouched since r2 — the lowest-risk vintage entries) rotate to
+        # the tail head so the r3-rewritten kernels and the streaming
+        # family all stay in. ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,

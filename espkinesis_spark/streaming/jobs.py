@@ -255,7 +255,7 @@ def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with localCheckpoint first (a memory-sink view cannot appear twice in
     one plan — the st_anomaly hazard)."""
     from espkinesis_spark.functions import common as C
-    from espkinesis_spark.functions.text import tokens
+    from espkinesis_spark.functions.text import exact_share_filter, tokens
 
     src = _documents_stream(spark, sf_dir)
     agg = (
@@ -266,13 +266,7 @@ def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = _drain_to_memory(agg, "st_heavy_hitters_sink", "complete")
     counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(F.sum("n").cast("long").alias("total"))
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .filter(F.col("n") * C.HH_K > F.col("total"))
-        .select(
-            "token", "n", F.round(F.col("n") / F.col("total"), 6).alias("share")
-        )
-    )
+    return exact_share_filter(counts, tot, "token", C.HH_K)
 
 
 def ack_tracker_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

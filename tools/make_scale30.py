@@ -7,8 +7,17 @@ entries at 30x the sf0.1 data to verify linear-or-sublinear scaling.
 Replica discipline (keeps measured work honest at 30x):
 - keys are SHIFTED per replica (ids stay unique; joins/groupBys grow
   linearly instead of colliding 30 copies onto one key),
-- document texts get a UNIQUE per-replica suffix (near-dup candidate
-  pairs stay linear — verbatim copies would make minhash quadratic),
+- document texts get per-(doc, replica) filler whose length is
+  PROPORTIONAL to the document (~2/3 extra words), drawn as a
+  pseudo-random WALK over a BOUNDED 65k-word vocabulary: the word
+  3-gram shingle sets are then unique per (doc, replica) so
+  cross-replica Jaccard drops below the dedup threshold and near-dup
+  candidate pairs stay LINEAR in replicas (a short constant suffix
+  leaves the 30 copies mutual near-dups — replicas²/2 candidate pairs,
+  quadratic), while the corpus VOCABULARY stays bounded like natural
+  text (per-doc-unique filler words would grow the vocab linearly with
+  the corpus, which Heaps' law says never happens — and which silently
+  turns every vocab-sized-state claim into corpus-sized state),
 - lineitem prices are perturbed per replica (quantile/stat distributions
   widen instead of degenerating to 30 identical multisets),
 - event timestamps are KEPT (calendar-sized aggregations must stay
@@ -52,10 +61,19 @@ def main() -> None:
                    o_orderdate, o_orderpriority
             FROM '{src}/orders.parquet', range({reps}) r(i)""",
         "documents": f"""
-            SELECT doc_id + r.i * 1000000 AS doc_id,
-                   text || ' replica' || CAST(r.i AS VARCHAR) AS text,
-                   lang, source, n_chars + 9 AS n_chars
-            FROM '{src}/documents.parquet', range({reps}) r(i)""",
+            SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+              SELECT doc_id + r.i * 1000000 AS doc_id,
+                     text || ' ' || array_to_string(list_transform(
+                         range(greatest(n_chars // 8, 2)),
+                         j -> substr(md5(CAST(
+                             (doc_id * 131 + r.i * 7919 + j * (doc_id % 97 + 2))
+                             % 65536 AS VARCHAR)), 1, 6)
+                     ), ' ') AS text,
+                     lang, source
+              FROM '{src}/documents.parquet', range({reps}) r(i)
+            )""",
         "embeddings": f"""
             SELECT vec_id + r.i * 1000000 AS vec_id, embedding, label
             FROM '{src}/embeddings.parquet', range({reps}) r(i)""",

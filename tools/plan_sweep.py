@@ -30,7 +30,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark()
     cartesian, row_python, single = [], [], []
-    skipped = []
+    skipped, broken = [], []
     for name, fn in queries.registry().items():
         if name.startswith("st_"):
             skipped.append(name)
@@ -39,6 +39,7 @@ def main() -> None:
             plan = physical_plan(fn(spark, sf_dir))
         except Exception as exc:  # a broken entry is its own red flag
             print(f"ERROR {name}: {exc}")
+            broken.append(name)
             continue
         if "CartesianProduct" in plan:
             cartesian.append(name)
@@ -50,6 +51,7 @@ def main() -> None:
     print(f"row_at_a_time_python ({len(row_python)}): {row_python}")
     print(f"single_partition ({len(single)}): {single}")
     print(f"skipped_streaming ({len(skipped)})")
+    assert not broken, f"entries failed to build a plan: {broken}"
     assert not cartesian, "CartesianProduct found"
     assert not row_python, "row-at-a-time Python found"
     print("SWEEP CLEAN (single-partition hits above are for review)")
