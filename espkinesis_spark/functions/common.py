@@ -153,6 +153,14 @@ SPAN_ORD_BASE = 1_000_000
 # so both engines converge identically.
 LPA_ITERS = 3
 
+# hashed-feature linear quality model: feature-hash modulus and the
+# multiplicative-hash weight derivation (weights are a DETERMINISTIC
+# placeholder table — a trained fasttext/logreg weight vector plugs into
+# the identical plumbing; all arithmetic stays in exact integers until
+# one final division so both engines score bit-identically)
+QM_MOD = 1_000_003  # prime: weight-table size / integer-weight modulus
+QM_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
+
 # exact sketch-narrowed quantiles: per-partition summary size (order
 # statistics per partition) and the reported percentile levels. The
 # output is EXACT for any SKQ_SUMMARY >= 2 — the summary only bounds the

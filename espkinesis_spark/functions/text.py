@@ -201,6 +201,49 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_model_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality scoring — the hashed-feature linear classifier
+    pass (the fasttext/logreg scorer every modern curation pipeline runs
+    after the rule-based gates). Each token feature-hashes to a bucket in
+    [0, QM_MOD) (md5 60-bit prefix, the sampling.hash_bucket convention)
+    and looks up an integer weight in [-QM_MOD/2, QM_MOD/2); the document
+    score is the mean weight. The weight table here is a DETERMINISTIC
+    multiplicative-hash placeholder (no trained model ships in-repo) —
+    a real trained vector is a broadcast map lookup in the identical
+    plumbing, which is the point: scoring is a ZERO-SHUFFLE projection
+    (tokenize → per-token hash/lookup → array fold), so it runs at
+    ingest rate at any corpus size and composes with the streaming gate.
+
+    Float discipline (see functions/timeseries.py): the per-token weights
+    are exact INTEGERS summed with an exact integer fold; the only float
+    op is one final division pair, so both engines emit bit-identical
+    scores — no rounding tolerance. DuckDB mirrors the sum with
+    unnest + SUM(BIGINT): different plan, same exact integer.
+    """
+    toks = tokens(F.col(text_col))
+    t = df.withColumn("__toks", toks)  # materialize before the lambda fan-out
+    w = lambda tok: (  # noqa: E731 — weight of one token, exact ints
+        (
+            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+            % C.QM_MOD
+            * C.QM_MULT
+        )
+        % C.QM_MOD
+        - (C.QM_MOD - 1) // 2
+    ).cast("long")
+    w_sum = F.aggregate(
+        F.col("__toks"), F.lit(0).cast("long"), lambda acc, x: acc + w(x)
+    )
+    n = F.size("__toks").cast("long")
+    return t.filter(n > 0).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (w_sum.cast("double") / F.lit(float(C.QM_MOD)) / n.cast("double")).alias(
+            "model_score"
+        ),
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition-aware quality gate (Gopher-style rules): duplicate-token
     fraction, top-token share, and mean token length, with a boolean

@@ -1229,6 +1229,21 @@ GROUP BY source""",
         g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
         SELECT token, n, round(n * 1.0 / total, 6) AS share
         FROM g CROSS JOIN tot WHERE n * {C.HH_K} > total""",
+    # hashed-feature linear quality model: per-token integer weights
+    # summed exactly (BIGINT), one final division pair — bit-identical to
+    # the Spark array fold with no rounding tolerance
+    "ex_quality_model": f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok
+                   FROM documents),
+        w AS (SELECT doc_id,
+                     ((CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+                       % {C.QM_MOD}) * {C.QM_MULT}) % {C.QM_MOD}
+                     - {(C.QM_MOD - 1) // 2} AS wt
+              FROM t)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) / {float(C.QM_MOD)}
+                   / CAST(count(*) AS DOUBLE) AS model_score
+        FROM w GROUP BY doc_id""",
     # exact order statistics — the Spark side's summaries only narrow the
     # candidate interval, so the plain sorted-rank answer is the oracle.
     # target_rank = ceil(pct*n/100) in INTEGER arithmetic on both engines

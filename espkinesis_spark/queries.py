@@ -1570,6 +1570,14 @@ def ex_sketch_quantile(spark, sf_dir):
     )
 
 
+def ex_quality_model(spark, sf_dir):
+    """Model-based quality scoring: hashed-feature linear classifier over
+    each document's tokens (the fasttext/logreg curation pass), as a
+    zero-shuffle projection with exact-integer weight sums so both
+    engines score bit-identically (see text.quality_model_score)."""
+    return text.quality_model_score(_t(spark, sf_dir, "documents"))
+
+
 def ex_token_entropy(spark, sf_dir):
     """Per-document Shannon entropy of the token distribution (+ the
     ln(n_distinct)-normalized form) — the information-density quality
@@ -1934,24 +1942,25 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-24 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 25-27
+    EVIDENCE FRESHNESS: positions 1-25 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 26-28
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 28-50
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 29-50
     re-verify the round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family). The dq21 canary plus ex_token_count and
-    ex_text_stats (the lowest-risk vintage entries — pure built-in
-    projections) sit at the tail head; the r4/r5 green entries follow
-    and rotate back in next round.
+    streaming family). The dq21 canary plus ex_token_count, ex_text_stats
+    and ex_udf_surface (the lowest-risk vintage entries — pure built-in
+    projections / the r1-green unchanged UDF registry) sit at the tail
+    head; the r4/r5 green entries follow and rotate back in next round.
     """
     return {
-        # --- window 1-24: round-6 additions (unproven must sit here) ---
+        # --- window 1-25: round-6 additions (unproven must sit here) ---
         "ex_sketch_quantile": ex_sketch_quantile,
         "st_heavy_hitters": st_heavy_hitters,
         "ex_downsample_seq": ex_downsample_seq,
+        "ex_quality_model": ex_quality_model,
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1973,16 +1982,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_anomaly": ex_anomaly,
         "st_anomaly": st_anomaly,
         "ex_retention_matrix": ex_retention_matrix,
-        # --- window 25-27: code/oracle changed this round ---
+        # --- window 26-28: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 28-50: round-2-vintage evidence, code rewritten r3.
-        # Three late additions squeezed the window: the dq21 canary,
-        # ex_token_count, and ex_text_stats (pure built-in projections,
-        # untouched since r2 — the lowest-risk vintage entries) rotate to
-        # the tail head so the r3-rewritten kernels and the streaming
-        # family all stay in. ---
+        # --- window 29-50: round-2-vintage evidence, code rewritten r3.
+        # Four late additions squeezed the window: the dq21 canary,
+        # ex_token_count, ex_text_stats, and ex_udf_surface (pure
+        # built-in projections / the r1-green unchanged UDF registry —
+        # the lowest-risk vintage entries) rotate to the tail head so the
+        # r3-rewritten kernels and the streaming family all stay in. ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -1993,7 +2002,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_lsh": ex_ann_lsh,
         "ex_lang_id": ex_lang_id,
         "ex_fingerprint": ex_fingerprint,
-        "ex_udf_surface": ex_udf_surface,
         "ex_tfidf": ex_tfidf,
         "ex_multimodal_meta": ex_multimodal_meta,
         "st_override_asof": st_override_asof,
@@ -2010,6 +2018,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq21": dq21,
         "ex_token_count": ex_token_count,
         "ex_text_stats": ex_text_stats,
+        "ex_udf_surface": ex_udf_surface,
         "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,

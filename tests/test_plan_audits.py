@@ -308,3 +308,14 @@ def test_sketch_quantile_select_pass_pushes_intervals(spark, sf_dir):
     pushed = " ".join(pushed_filters(df))
     assert "GreaterThan(l_extendedprice" in pushed
     assert "LessThanOrEqual(l_extendedprice" in pushed
+
+
+def test_quality_model_is_zero_shuffle(spark, sf_dir):
+    """The model-scoring pass must stay a pure projection (tokenize →
+    per-token hash/weight → array fold): zero exchanges, no Python."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_quality_model")
+    assert exchange_count(df) == 0
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
