@@ -1443,6 +1443,10 @@ ORACLES["st_anomaly"] = ORACLES["ex_anomaly"]
 # the drained snapshot equals the batch table, so one oracle serves both
 ORACLES["st_heavy_hitters"] = ORACLES["ex_heavy_hitters"]
 
+# the streaming model scorer is the identical stateless projection run
+# in append mode, so it shares the batch oracle verbatim
+ORACLES["st_quality_model"] = ORACLES["ex_quality_model"]
+
 
 def _lttb_seq_sql() -> str:
     """Canonical sequential LTTB, chain unrolled step-by-step (the

@@ -1097,6 +1097,15 @@ def st_quality_gate(spark, sf_dir):
     return jobs.quality_gate_stream(spark, sf_dir)
 
 
+def st_quality_model(spark, sf_dir):
+    """Streaming model-based quality scoring (stateless zero-state
+    projection, append mode) — equals batch ex_quality_model, one
+    oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.quality_model_stream(spark, sf_dir)
+
+
 def st_heavy_hitters(spark, sf_dir):
     """Streaming heavy hitters: complete-mode token counts (vocab-sized
     state) + the exact share filter over the drained snapshot — equals
@@ -1942,25 +1951,27 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. After
     round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-25 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 26-28
+    EVIDENCE FRESHNESS: positions 1-26 hold this round's new (unproven)
+    entries — tests/test_registry.py requires unproven ⊆ first-50; 27-29
     re-verify entries whose code or oracle changed this round
     (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 29-50
+    delivery layout changed, ex_dup_spans' ordering kernel changed); 30-50
     re-verify the round-2-vintage entries whose implementations were
     rewritten in round 3 AFTER their last driver row (the blocked-cosine
     path, star connected-components, shared-shingle exchanges, the
-    streaming family). The dq21 canary plus ex_token_count, ex_text_stats
-    and ex_udf_surface (the lowest-risk vintage entries — pure built-in
-    projections / the r1-green unchanged UDF registry) sit at the tail
-    head; the r4/r5 green entries follow and rotate back in next round.
+    streaming family). The dq21 canary plus ex_token_count,
+    ex_text_stats, ex_udf_surface, and ex_lang_id (the lowest-risk
+    vintage entries — pure built-in projections / the r1-green unchanged
+    UDF registry) sit at the tail head; the r4/r5 green entries follow
+    and rotate back in next round.
     """
     return {
-        # --- window 1-25: round-6 additions (unproven must sit here) ---
+        # --- window 1-26: round-6 additions (unproven must sit here) ---
         "ex_sketch_quantile": ex_sketch_quantile,
         "st_heavy_hitters": st_heavy_hitters,
         "ex_downsample_seq": ex_downsample_seq,
         "ex_quality_model": ex_quality_model,
+        "st_quality_model": st_quality_model,
         "ex_bpe_train": ex_bpe_train,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_domain_mix": ex_domain_mix,
@@ -1982,16 +1993,17 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_anomaly": ex_anomaly,
         "st_anomaly": st_anomaly,
         "ex_retention_matrix": ex_retention_matrix,
-        # --- window 26-28: code/oracle changed this round ---
+        # --- window 27-29: code/oracle changed this round ---
         "ex_frame_decode": ex_frame_decode,
         "st_sink_roundtrip": st_sink_roundtrip,
         "ex_dup_spans": ex_dup_spans,
-        # --- window 29-50: round-2-vintage evidence, code rewritten r3.
-        # Four late additions squeezed the window: the dq21 canary,
-        # ex_token_count, ex_text_stats, and ex_udf_surface (pure
-        # built-in projections / the r1-green unchanged UDF registry —
-        # the lowest-risk vintage entries) rotate to the tail head so the
-        # r3-rewritten kernels and the streaming family all stay in. ---
+        # --- window 30-50: round-2-vintage evidence, code rewritten r3.
+        # Five late additions squeezed the window: the dq21 canary,
+        # ex_token_count, ex_text_stats, ex_udf_surface, and ex_lang_id
+        # (pure built-in projections / the r1-green unchanged UDF
+        # registry — the lowest-risk vintage entries) rotate to the tail
+        # head so the r3-rewritten kernels and the streaming family all
+        # stay in. ---
         "ex_dedup_exact": ex_dedup_exact,
         "ex_minhash_sig": ex_minhash_sig,
         "ex_neardup_minhash": ex_neardup_minhash,
@@ -2000,7 +2012,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_topk": ex_ann_topk,
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
-        "ex_lang_id": ex_lang_id,
         "ex_fingerprint": ex_fingerprint,
         "ex_tfidf": ex_tfidf,
         "ex_multimodal_meta": ex_multimodal_meta,
@@ -2019,6 +2030,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_token_count": ex_token_count,
         "ex_text_stats": ex_text_stats,
         "ex_udf_surface": ex_udf_surface,
+        "ex_lang_id": ex_lang_id,
         "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
         "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
         "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,

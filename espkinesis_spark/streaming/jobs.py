@@ -227,6 +227,19 @@ def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_quality_gate_sink", "append")
 
 
+def quality_model_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model-based quality scoring: the hashed-feature linear
+    classifier applied to documents AS THEY ARRIVE — like the rule gate
+    (quality_gate_stream) it is a STATELESS zero-state append-mode
+    projection, so the scorer keeps up at any ingest rate; scores equal
+    the batch pass exactly (exact-integer weight sums), one oracle."""
+    from espkinesis_spark.functions.text import quality_model_score
+
+    src = _documents_stream(spark, sf_dir)
+    out = quality_model_score(src)
+    return _drain_to_memory(out, "st_quality_model_sink", "append")
+
+
 def vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus vocabulary: running token counts maintained
     incrementally as documents arrive (complete-mode aggregation — state is
