@@ -510,3 +510,37 @@ def test_heavy_hitters_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_fa
     }
     want = {(r["token"], r["n"]) for r in heavy_hitters(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_quality_model_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The stateless streaming scorer replayed in multiple micro-batches
+    must emit exactly the batch scores (append mode: each doc scored
+    once, in whatever batch it arrives; scores are exact-integer-derived
+    so equality is exact)."""
+    from espkinesis_spark.functions.text import quality_model_score
+    from espkinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_dir = tmp_path_factory.mktemp("qm_chunks")
+    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(3))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "docs"))
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "docs"))
+    )
+    q = (
+        quality_model_score(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qm_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1, "replay did not split into micro-batches"
+    got = {tuple(r) for r in spark.table("qm_mb").collect()}
+    want = {tuple(r) for r in quality_model_score(docs).collect()}
+    assert got == want and len(want) > 0
