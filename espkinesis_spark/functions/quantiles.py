@@ -9,7 +9,11 @@ accuracy, so it can't back a parity gate or a billing-grade percentile.
 ``sketch_quantiles`` gets EXACT answers with no global sort using the
 two-phase summarize-then-select pattern (the same candidate-narrowing
 idea as the Misra-Gries + exact-verify heavy hitters in
-``text.frequent_values``):
+``text.frequent_values``). The mergeable per-partition summary follows
+the quantile-sketch lineage (Greenwald & Khanna 2001; Karnin, Lang &
+Liberty 2016), specialized: instead of answering from the sketch, the
+sketch's rank brackets only NARROW the search so one cheap exact pass
+can finish the job:
 
 1. **Summarize** — one scan; each partition sorts its own values (the
    work a sort-shuffle would do anyway, minus the exchange) and emits

@@ -203,8 +203,8 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_model_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Model-based quality scoring — the hashed-feature linear classifier
-    pass (the fasttext/logreg scorer every modern curation pipeline runs
-    after the rule-based gates). Each token feature-hashes to a bucket in
+    pass (the fastText-style scorer, Joulin et al. 2016, that modern
+    curation pipelines run after the rule-based gates). Each token feature-hashes to a bucket in
     [0, QM_MOD) (md5 60-bit prefix, the sampling.hash_bucket convention)
     and looks up an integer weight in [-QM_MOD/2, QM_MOD/2); the document
     score is the mean weight. The weight table here is a DETERMINISTIC
