@@ -220,15 +220,15 @@ def quality_model_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     scores — no rounding tolerance. DuckDB mirrors the sum with
     unnest + SUM(BIGINT): different plan, same exact integer.
     """
-    toks = tokens(F.col(text_col))
-    t = df.withColumn("__toks", toks)  # materialize before the lambda fan-out
+    from espkinesis_spark.functions.sampling import hash_bucket
+
+    # empty-string tokens are filtered (the token_entropy convention) so
+    # an empty/whitespace-only doc emits NO row instead of a meaningless
+    # score for the '' pseudo-token; materialize before the lambda fan-out
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    t = df.withColumn("__toks", toks)
     w = lambda tok: (  # noqa: E731 — weight of one token, exact ints
-        (
-            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
-            % C.QM_MOD
-            * C.QM_MULT
-        )
-        % C.QM_MOD
+        hash_bucket(tok, buckets=C.QM_MOD, on_null="null") * C.QM_MULT % C.QM_MOD
         - (C.QM_MOD - 1) // 2
     ).cast("long")
     w_sum = F.aggregate(

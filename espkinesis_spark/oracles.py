@@ -1233,8 +1233,9 @@ GROUP BY source""",
     # summed exactly (BIGINT), one final division pair — bit-identical to
     # the Spark array fold with no rounding tolerance
     "ex_quality_model": f"""
-        WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok
-                   FROM documents),
+        WITH t0 AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok
+                    FROM documents),
+        t AS (SELECT doc_id, tok FROM t0 WHERE length(tok) > 0),
         w AS (SELECT doc_id,
                      ((CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
                        % {C.QM_MOD}) * {C.QM_MULT}) % {C.QM_MOD}

@@ -388,24 +388,33 @@ def test_keyed_sink_trigger_cadence_modes(spark, tmp_path):
         q2.stop()
 
 
-def test_quality_gate_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
-    """The stateless streaming gate replayed in multiple micro-batches
-    must emit exactly the batch gate's passing set (append mode: each doc
-    judged once, in whatever batch it arrives)."""
-    from espkinesis_spark.functions.text import quality_filter, quality_gate_stateless
+def _chunked_doc_stream(spark, sf_dir, tmp_path_factory, label, n_chunks=3):
+    """Shared multi-micro-batch replay scaffolding for the stream-vs-batch
+    document tests: write the documents table chunked by a doc_id hash,
+    return (batch_docs, streaming_source) where the source replays one
+    chunk file per micro-batch under availableNow."""
     from espkinesis_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chunk_dir = tmp_path_factory.mktemp("qg_chunks")
-    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(3))).write.partitionBy(
+    chunk_dir = tmp_path_factory.mktemp(f"{label}_chunks")
+    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(n_chunks))).write.partitionBy(
         "__c"
     ).mode("overwrite").parquet(str(chunk_dir / "docs"))
-
     src = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(chunk_dir / "docs"))
     )
+    return docs, src
+
+
+def test_quality_gate_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The stateless streaming gate replayed in multiple micro-batches
+    must emit exactly the batch gate's passing set (append mode: each doc
+    judged once, in whatever batch it arrives)."""
+    from espkinesis_spark.functions.text import quality_filter, quality_gate_stateless
+
+    docs, src = _chunked_doc_stream(spark, sf_dir, tmp_path_factory, "qg")
     q = (
         quality_gate_stateless(src)
         .writeStream.outputMode("append")
@@ -473,19 +482,8 @@ def test_heavy_hitters_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_fa
     snapshot filter equals the batch ex_heavy_hitters output exactly."""
     from espkinesis_spark.functions import common as C
     from espkinesis_spark.functions.text import heavy_hitters, tokens
-    from espkinesis_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chunk_dir = tmp_path_factory.mktemp("hh_chunks")
-    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(3))).write.partitionBy(
-        "__c"
-    ).mode("overwrite").parquet(str(chunk_dir / "docs"))
-
-    src = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(chunk_dir / "docs"))
-    )
+    docs, src = _chunked_doc_stream(spark, sf_dir, tmp_path_factory, "hh")
     agg = (
         src.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -518,19 +516,8 @@ def test_quality_model_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_fa
     once, in whatever batch it arrives; scores are exact-integer-derived
     so equality is exact)."""
     from espkinesis_spark.functions.text import quality_model_score
-    from espkinesis_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chunk_dir = tmp_path_factory.mktemp("qm_chunks")
-    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(3))).write.partitionBy(
-        "__c"
-    ).mode("overwrite").parquet(str(chunk_dir / "docs"))
-
-    src = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(chunk_dir / "docs"))
-    )
+    docs, src = _chunked_doc_stream(spark, sf_dir, tmp_path_factory, "qm")
     q = (
         quality_model_score(src)
         .writeStream.outputMode("append")
