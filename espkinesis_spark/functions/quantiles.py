@@ -35,11 +35,13 @@ can finish the job:
    max has ``lower = n``). Each partition contributes at most
    ``n_p/SKQ_SUMMARY`` rows of rank slack per boundary, so the interval
    spans <= 2n/SKQ_SUMMARY rows — a 1/64th slice at the default.
-3. **Select** — one exact pass: count ``x <= lo`` (conditional sums, one
-   scalar row), then group the interval rows by value and take the first
-   value whose cumulative count reaches ``r``. The output is the exact
-   order statistic — independent of partitioning, batch order, and
-   SKQ_SUMMARY (the sketch only narrows the interval).
+3. **Select** — one exact pass over ``x <= max(hi)`` (a pushable range):
+   each row is tagged per pct as below-interval (counted under a NULL
+   sentinel — that count IS the exact offset ``count(x <= lo)``) or
+   in-interval (grouped by value); the answer is the first interval
+   value whose offset-adjusted cumulative count reaches ``r``. The
+   output is the exact order statistic — independent of partitioning,
+   batch order, and SKQ_SUMMARY (the sketch only narrows the interval).
 
 Scale shape: two single-column scans + one summary-sized window + one
 interval-sized aggregation. No full-data exchange at all, versus the
@@ -171,74 +173,68 @@ def sketch_quantiles(
             [], "pct int, n long, target_rank long, value double"
         )
 
-    # --- select phase: one exact pass ---------------------------------
-    # offsets: exact count(x <= lo) per pct, one conditional-sum row
-    off_exprs = []
+    # --- select phase: ONE exact pass ---------------------------------
+    # Each scanned row is tagged, per pct, as either an interval row
+    # (grouped by its value) or a below-interval row (grouped under a
+    # NULL-value sentinel whose count IS the exact offset count(x <= lo))
+    # — so the offsets ride the same scan/aggregation as the interval
+    # histogram instead of costing a second full scan. The scan filter
+    # x <= max(hi) is a plain pushable range: rows at or below any lo
+    # still matter (they feed the offsets), so per-interval pruning
+    # tighter than hi_max would be incorrect here.
+    hi_max = max(r["hi"] for r in ivs)
+    entries = []
     for r in ivs:
-        cond = (
-            F.lit(0)
-            if r["lo"] is None
-            else F.when(F.col("__x") <= F.lit(r["lo"]), 1).otherwise(0)
-        )
-        off_exprs.append(F.sum(cond).cast("long").alias(f"off_{r['pct']}"))
-    off_row = vals.agg(*off_exprs).collect()[0]
-    offsets = {r["pct"]: off_row[f"off_{r['pct']}"] for r in ivs}
-
-    # interval rows, tagged with every pct whose interval they fall in.
-    # The coarse plain-boolean OR of the ranges goes in FIRST: unlike the
-    # array-lambda tag expression it translates to parquet PushedFilters,
-    # so row groups wholly outside every interval never leave disk.
-    coarse = None
-    for r in ivs:
-        rng = (
-            F.col("__x") <= F.lit(r["hi"])
-            if r["lo"] is None
-            else (F.col("__x") > F.lit(r["lo"])) & (F.col("__x") <= F.lit(r["hi"]))
-        )
-        coarse = rng if coarse is None else (coarse | rng)
-    tags = F.array_compact(
-        F.array(
-            *[
-                F.when(
-                    (
-                        F.lit(True)
-                        if r["lo"] is None
-                        else F.col("__x") > F.lit(r["lo"])
-                    )
-                    & (F.col("__x") <= F.lit(r["hi"])),
-                    F.lit(int(r["pct"])),
-                )
-                for r in ivs
-            ]
-        )
-    )
-    in_iv = (
-        vals.filter(coarse)
-        .withColumn("pcts", tags)
-        .filter(F.size("pcts") > 0)
-        .select("__x", F.explode("pcts").alias("pct"))
-        .groupBy("pct", "__x")
+        pct = F.lit(int(r["pct"]))
+        in_rng = F.col("__x") <= F.lit(r["hi"])
+        if r["lo"] is None:
+            entry = F.when(
+                in_rng, F.struct(pct.alias("pct"), F.col("__x").alias("v"))
+            )
+        else:
+            entry = F.when(
+                F.col("__x") <= F.lit(r["lo"]),
+                F.struct(pct.alias("pct"), F.lit(None).cast("double").alias("v")),
+            ).when(in_rng, F.struct(pct.alias("pct"), F.col("__x").alias("v")))
+        entries.append(entry)
+    tagged = (
+        vals.filter(F.col("__x") <= F.lit(hi_max))
+        .select(F.explode(F.array_compact(F.array(*entries))).alias("t"))
+        .groupBy(F.col("t.pct").alias("pct"), F.col("t.v").alias("v"))
         .agg(F.count("*").alias("c"))
     )
-    w_sel = Window.partitionBy("pct").orderBy("__x").rangeBetween(
+    # offset and cumulative count as two windows over the SAME aggregated
+    # table (a self-join of `tagged` would duplicate the scan subtree):
+    # the NULL-sentinel row sorts first, contributes its count to `off`
+    # via the whole-partition frame, and is zeroed out of `cum`
+    w_pct = Window.partitionBy("pct")
+    w_sel = Window.partitionBy("pct").orderBy("v").rangeBetween(
         Window.unboundedPreceding, 0
     )
     need = F.create_map(
         *[x for r in ivs for x in (F.lit(int(r["pct"])), F.lit(int(r["target_rank"])))]
     )
-    off_map = F.create_map(
-        *[x for r in ivs for x in (F.lit(int(r["pct"])), F.lit(int(offsets[r["pct"]])))]
-    )
-    meta = {int(r["pct"]): (int(r["n"]), int(r["target_rank"])) for r in ivs}
     n_map = F.create_map(
-        *[x for p, (n, _) in meta.items() for x in (F.lit(p), F.lit(n))]
+        *[x for r in ivs for x in (F.lit(int(r["pct"])), F.lit(int(r["n"])))]
     )
     sel = (
-        in_iv.withColumn("cum", F.sum("c").over(w_sel))
-        .withColumn("rank_in_iv", need[F.col("pct")] - off_map[F.col("pct")])
+        tagged.withColumn(
+            "off", F.max(F.when(F.col("v").isNull(), F.col("c"))).over(w_pct)
+        )
+        .withColumn(
+            "cum",
+            F.sum(
+                F.when(F.col("v").isNotNull(), F.col("c")).otherwise(F.lit(0))
+            ).over(w_sel),
+        )
+        .filter(F.col("v").isNotNull())
+        .withColumn(
+            "rank_in_iv",
+            need[F.col("pct")] - F.coalesce(F.col("off"), F.lit(0)),
+        )
         .filter(F.col("cum") >= F.col("rank_in_iv"))
         .groupBy("pct")
-        .agg(F.min("__x").alias("value"))
+        .agg(F.min("v").alias("value"))
     )
     return sel.select(
         "pct",
