@@ -161,6 +161,13 @@ LPA_ITERS = 3
 QM_MOD = 1_000_003  # prime: weight-table size / integer-weight modulus
 QM_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
 
+# embedding-covariance fixed point: embeddings quantize to integer
+# EG_QUANT-ths (sign-aware half-away, the timeseries convention) so the
+# gramian / sum / count accumulate as EXACT integers in any partition
+# order — the only floats are one final integral-divide-derived 6-dp
+# value per (i, j) cell, bit-identical cross-engine by construction.
+EG_QUANT = 1_000_000
+
 # exact sketch-narrowed quantiles: per-partition summary size (order
 # statistics per partition) and the reported percentile levels. The
 # output is EXACT for any SKQ_SUMMARY >= 2 — the summary only bounds the

@@ -686,8 +686,9 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Distributed covariance of the embedding matrix — the O(n·d²)
     reduction at the heart of PCA / ZCA-whitening over a 100 TB embedding
     store. Returns the upper triangle as scalar rows
-    (dim_i, dim_j, cov) with cov = E[x_i·x_j] − E[x_i]·E[x_j], rounded to
-    6 dp; the d×d eigen-solve that follows is driver-trivial.
+    (dim_i, dim_j, cov) with cov = E[x_i·x_j] − E[x_i]·E[x_j] of the
+    EG_QUANT-fixed-point-quantized embedding, reported to 6 dp; the d×d
+    eigen-solve that follows is driver-trivial.
 
     Scale shape: each Arrow batch reduces to ONE d×d partial gramian
     (numpy ``X.T @ X``) plus the per-dim sums and row count, encoded as
@@ -695,6 +696,20 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     O(batches · d²), independent of n, with map-side partial aggregation
     on (i, j). No explode of the n×d² product space ever materializes
     (the oracle does exactly that, which is fine at oracle scale only).
+
+    Float discipline (the quality_model_score / timeseries rule: derive
+    every compared double from exact integers): float summation is not
+    associative, so a float gramian differs across partitionings in the
+    last ulp and a 6-dp round can split a boundary value — the r6 driver
+    run proved it. Instead each element quantizes to integer EG_QUANT-ths
+    (sign-aware half-away ``floor(|x|·1e6 + 0.5)``), the gramian / sums /
+    count accumulate as exact int64s per batch and exact decimal(38,0)
+    across batches (a partial stays exact while
+    batch_rows · (EG_QUANT·max|x|)² < 2⁶³ — ~10⁵ rows of unit-norm
+    vectors per 10k-row Arrow batch is ~10¹⁷, far inside), and the 6-dp
+    value is produced by ONE integral divide — half-away of
+    num·10⁶ / den with num = n·g − sᵢ·sⱼ and den = n²·EG_QUANT² — so the
+    result is bit-identical for every partitioning and both engines.
     """
     import numpy as np
     import pandas as pd
@@ -704,15 +719,22 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d = x.shape[1]
+            # sign-aware half-away fixed point (the timeseries convention,
+            # written identically in the oracle SQL)
+            q = np.where(
+                x >= 0,
+                np.floor(x * float(C.EG_QUANT) + 0.5),
+                -np.floor(-x * float(C.EG_QUANT) + 0.5),
+            ).astype(np.int64)
+            d = q.shape[1]
             iu = np.triu_indices(d)
             yield pd.DataFrame(
                 {
                     "i": np.concatenate([iu[0], np.arange(d), [-1]]).astype(np.int32),
                     "j": np.concatenate([iu[1], np.full(d, -1), [-1]]).astype(np.int32),
                     "v": np.concatenate(
-                        [(x.T @ x)[iu], x.sum(axis=0), [float(x.shape[0])]]
-                    ),
+                        [(q.T @ q)[iu], q.sum(axis=0), [q.shape[0]]]
+                    ).astype(np.int64),
                 }
             )
 
@@ -721,9 +743,13 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     parts = (
         vecs.select(vec_col)
         .filter(F.col(vec_col).isNotNull())
-        .mapInPandas(run, schema="i int, j int, v double")
+        .mapInPandas(run, schema="i int, j int, v long")
     )
-    agg = parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    # cross-batch accumulation in decimal(38,0): exact integers with no
+    # int64 overflow cliff at cluster scale (sum precision caps at 38)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("v")
+    )
     tot = agg.filter(F.col("i") == -1).select(F.col("v").alias("n"))
     sums = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("d"), F.col("v").alias("s")
@@ -740,10 +766,28 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .select(
             "dim_i",
             "dim_j",
-            F.round(
-                F.col("g") / F.col("n")
-                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")),
-                6,
-            ).alias("cov"),
+            (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("num"),
+            (
+                F.col("n")
+                * F.col("n")
+                * F.lit(C.EG_QUANT * C.EG_QUANT).cast("decimal(38,0)")
+            ).alias("den"),
+        )
+        # ONE integral divide makes the 6-dp value exact: half-away of
+        # num·10⁶/den is floor((2·|num|·10⁶ + den) / (2·den)) with the
+        # sign re-applied; `div` on decimals is Spark's IntegralDivide
+        .select(
+            "dim_i",
+            "dim_j",
+            F.expr(
+                "CASE WHEN num >= 0"
+                " THEN (2 * num * 1000000 + den) div (2 * den)"
+                " ELSE -((-2 * num * 1000000 + den) div (2 * den)) END"
+            ).alias("cov6"),
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            (F.col("cov6").cast("double") / F.lit(1e6)).alias("cov"),
         )
     )

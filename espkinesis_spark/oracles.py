@@ -1343,17 +1343,41 @@ GROUP BY source""",
         FROM pt JOIN tot USING (doc_id)
         GROUP BY pt.doc_id, tot.n, tot.nd""",
     # embed_gram's oracle materializes the full n×d² product space (fine at
-    # oracle scale); the Spark side ships O(batches·d²) partial gramians
-    "ex_embed_gram": """
-        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        cells AS (SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
-                         e[CAST(i AS INT) + 1] AS xi, e[CAST(j AS INT) + 1] AS xj
-                  FROM v, UNNEST(range(len(e))) t1(i), UNNEST(range(len(e))) t2(j)
-                  WHERE j >= i)
-        SELECT dim_i, dim_j,
-               round(sum(xi * xj) / count(*)
-                     - (sum(xi) / count(*)) * (sum(xj) / count(*)), 6) AS cov
-        FROM cells GROUP BY 1, 2""",
+    # oracle scale); the Spark side ships O(batches·d²) partial gramians.
+    # Both engines quantize to integer EG_QUANT-ths (sign-aware half-away),
+    # accumulate exact integers (HUGEINT here, decimal(38,0) there) and
+    # derive the 6-dp value from ONE integral divide — bit-identical in
+    # any partition/summation order (the r6 float-gramian hash fail).
+    "ex_embed_gram": f"""
+        WITH v AS (SELECT row_number() OVER () AS rid,
+                          CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        cells AS (SELECT rid, CAST(i AS INT) AS dim,
+                         CAST(CASE WHEN e[CAST(i AS INT) + 1] >= 0
+                              THEN floor(e[CAST(i AS INT) + 1]
+                                         * {C.EG_QUANT}.0 + 0.5)
+                              ELSE -floor(-e[CAST(i AS INT) + 1]
+                                          * {C.EG_QUANT}.0 + 0.5)
+                              END AS HUGEINT) AS q
+                  FROM v, UNNEST(range(len(e))) t(i)),
+        g AS (SELECT a.dim AS dim_i, b.dim AS dim_j, sum(a.q * b.q) AS g
+              FROM cells a JOIN cells b ON a.rid = b.rid AND b.dim >= a.dim
+              GROUP BY 1, 2),
+        s AS (SELECT dim, sum(q) AS s FROM cells GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v)
+        SELECT g.dim_i, g.dim_j,
+               CAST(CASE WHEN n.n * g.g - si.s * sj.s >= 0
+                    THEN (2 * (n.n * g.g - si.s * sj.s) * 1000000
+                          + n.n * n.n * {C.EG_QUANT * C.EG_QUANT})
+                         // (2 * n.n * n.n * {C.EG_QUANT * C.EG_QUANT})
+                    ELSE -((-2 * (n.n * g.g - si.s * sj.s) * 1000000
+                            + n.n * n.n * {C.EG_QUANT * C.EG_QUANT})
+                           // (2 * n.n * n.n * {C.EG_QUANT * C.EG_QUANT}))
+                    END AS DOUBLE) / 1e6 AS cov
+        FROM g
+        JOIN s si ON si.dim = g.dim_i
+        JOIN s sj ON sj.dim = g.dim_j
+        CROSS JOIN n""",
     "ex_cooccur": f"""
         WITH t AS (SELECT {_TOKS.format(t='text')} AS t FROM documents),
         pr AS (SELECT least(t[CAST(i AS INT)], t[CAST(i AS INT) + CAST(o AS INT)]) AS a,

@@ -621,8 +621,25 @@ def test_embed_gram_matches_numpy(spark, sf_dir):
     cov = (x.T @ x) / n - np.outer(x.mean(axis=0), x.mean(axis=0))
     got = similarity.embed_gram(emb).collect()
     assert len(got) == x.shape[1] * (x.shape[1] + 1) // 2
+    # the operator's value is the covariance of the EG_QUANT-quantized
+    # embedding at 6 dp: within quantization error (~1e-6 per factor) +
+    # half an output ulp of the true float covariance
     for r in got:
-        assert abs(r["cov"] - cov[r["dim_i"], r["dim_j"]]) < 2e-6, r
+        assert abs(r["cov"] - cov[r["dim_i"], r["dim_j"]]) < 5e-6, r
+
+
+def test_embed_gram_partitioning_independent(spark, sf_dir):
+    """The r6 driver hash fail was float-summation-order drift across
+    partitionings. The fixed-point kernel must emit BIT-identical covs
+    for 1, 7, and 32 input partitions — exact equality, no tolerance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def vals(df):
+        return {(r["dim_i"], r["dim_j"]): r["cov"] for r in df.collect()}
+
+    base = vals(similarity.embed_gram(emb.repartition(1)))
+    for p in (7, 32):
+        assert vals(similarity.embed_gram(emb.repartition(p))) == base, p
 
 
 def test_cooccur_constructed(spark):
@@ -914,6 +931,7 @@ def test_embed_gram_skips_null_vectors(spark):
     x = np.array([[1.0, 2.0], [3.0, 4.0]])
     cov = (x.T @ x) / 2 - np.outer(x.mean(axis=0), x.mean(axis=0))
     assert len(got) == 3
+    # integer-valued inputs quantize exactly, so the 6-dp output is exact
     for (i, j), v in got.items():
         assert abs(v - cov[i, j]) < 1e-9
 
