@@ -88,21 +88,30 @@ def main() -> None:
             print(f"rerun of {name} failed: {exc}", file=sys.stderr)
             continue
         rerun[name] = round(time.perf_counter() - start, 4)
-    out = {
+    # Truncation-proofing (VERDICT r6 #4): BENCH_r06 survived only as the
+    # TAIL of the line, losing the head-positioned totals. Emit every
+    # headline scalar FIRST (before the big per-query map) and mirror the
+    # same scalars again AFTER it — whichever end of the line survives a
+    # capture truncation, the summary is recoverable.
+    headline = {
         "metric": "declared_query_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "rerun_top10": rerun,
-        "rerun_top10_first_pass_sec": round(
-            sum(timings[n] for n in rerun), 4
-        ),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "rerun_top10_first_pass_sec": round(sum(timings[n] for n in rerun), 4),
         "rerun_top10_sec": round(sum(rerun.values()), 4),
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
+    out = dict(headline)
+    out["queries"] = timings
+    out["rerun_top10"] = rerun
     if errors:
         out["errors"] = errors
+    out["tail_total_sec"] = total
+    out["tail_n_queries"] = len(timings)
+    out["tail_n_errors"] = len(errors)
     print(json.dumps(out))
 
 

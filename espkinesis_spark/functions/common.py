@@ -161,6 +161,26 @@ LPA_ITERS = 3
 QM_MOD = 1_000_003  # prime: weight-table size / integer-weight modulus
 QM_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
 
+# multimodal perceptual near-dup: the dHash grid (9 cols x 8 rows -> 64
+# gradient bits) sampled at a FIXED character stride over the document
+# prefix (a length-normalized stride would shift every sample when a
+# near-dup edit changes the length, destroying locality), and the audio
+# energy-envelope fingerprint (32 windows of 8 samples -> 31 bits).
+# Hash bits split into HAM_BAND_BITS-wide bands for the LSH candidate
+# join — two near-dups within the Hamming radius share >=1 exact band
+# (pigeonhole: r <= bits - bands*(ceil((r+1)/bands)-1) holds for
+# r < bands). At cluster scale band width trades candidate volume
+# against recall exactly like the SimHash bands in dedup.py.
+IMG_DHASH_COLS = 9
+IMG_DHASH_ROWS = 8
+IMG_STRIDE = 4  # sample every 4th char -> needs 288 chars
+IMG_MIN_CHARS = IMG_DHASH_COLS * IMG_DHASH_ROWS * IMG_STRIDE
+IMG_HAM_MAX = 6
+AUD_FP_SAMPLES = 256
+AUD_FP_WINDOW = 8  # 32 windows -> 31 gradient bits (bit 31 = 0 pad)
+AUD_HAM_MAX = 3
+HAM_BAND_BITS = 16
+
 # embedding-covariance fixed point: embeddings quantize to integer
 # EG_QUANT-ths (sign-aware half-away, the timeseries convention) so the
 # gramian / sum / count accumulate as EXACT integers in any partition

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from espkinesis_spark.functions import common as C
+
 # Integer-exact features only: derived ratios (mean amplitude etc.) belong
 # in engine SQL (F.round is HALF_UP, matching DuckDB's ties-away for
 # positive values) — Python round() is banker's and would drift on ties.
@@ -305,3 +307,207 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, every: int = 3) -> Da
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": sums})
 
     return media.mapInPandas(run, schema="doc_id long, frame_idx long, frame_md5 string")
+
+
+# --- perceptual near-dup (round 7): the multimodal leg of the dedup stack --
+
+
+def _meta(payloads: list[bytes], modality: str) -> dict:
+    import hashlib
+
+    return {
+        "modality": modality,
+        "n_bytes": [len(p) for p in payloads],
+        "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+    }
+
+
+def synthesize_gray_bmp(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a (doc_id, payload, meta) table of REAL 24-bpp BMP containers:
+    a 9x8 grayscale grid whose pixel (y, x) is the codepoint (mod 256) of
+    the document character at FIXED stride ``IMG_STRIDE`` — deterministic
+    ingestion stand-in, so near-dup documents yield near-dup images and
+    the oracle can re-derive every pixel from the text. Documents shorter
+    than the sampled region are skipped (no signal to hash). Pure map,
+    zero shuffle."""
+    cols, rows, stride = C.IMG_DHASH_COLS, C.IMG_DHASH_ROWS, C.IMG_STRIDE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                grid = [
+                    [
+                        (
+                            ord(t[(y * cols + x) * stride]) % 256,
+                        )
+                        * 3
+                        for x in range(cols)
+                    ]
+                    for y in range(rows)
+                ]
+                ids.append(doc_id)
+                payloads.append(encode_bmp(grid))
+            out = {"doc_id": ids, "payload": payloads}
+            out.update(_meta(payloads, "image"))
+            yield pd.DataFrame(out)
+
+    flat = (
+        docs.filter(F.length(text_col) >= C.IMG_MIN_CHARS)
+        .select("doc_id", text_col)
+        .mapInPandas(
+            run,
+            schema="doc_id long, payload binary, modality string, "
+            "n_bytes long, content_md5 string",
+        )
+    )
+    return flat.select(
+        "doc_id", "payload", F.struct("modality", "n_bytes", "content_md5").alias("meta")
+    )
+
+
+def synthesize_tone_wav(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a (doc_id, payload, meta) table of REAL RIFF/WAVE containers
+    whose 8-bit PCM samples are the first ``AUD_FP_SAMPLES`` character
+    codepoints (mod 256) of the document — the audio twin of
+    ``synthesize_gray_bmp`` (fixed-prefix sampling keeps near-dup
+    locality; the oracle re-derives every sample from the text). Pure
+    map, zero shuffle."""
+    n = C.AUD_FP_SAMPLES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                ids.append(doc_id)
+                payloads.append(encode_wav(bytes(ord(c) % 256 for c in t[:n])))
+            out = {"doc_id": ids, "payload": payloads}
+            out.update(_meta(payloads, "audio"))
+            yield pd.DataFrame(out)
+
+    flat = (
+        docs.filter(F.length(text_col) >= n)
+        .select("doc_id", text_col)
+        .mapInPandas(
+            run,
+            schema="doc_id long, payload binary, modality string, "
+            "n_bytes long, content_md5 string",
+        )
+    )
+    return flat.select(
+        "doc_id", "payload", F.struct("modality", "n_bytes", "content_md5").alias("meta")
+    )
+
+
+def _gradient_bands(values: list[int], row_len: int) -> list[int]:
+    """Row-wise gradient bits (v[i] < v[i+1], dHash rule) over a row-major
+    grid, packed little-endian into HAM_BAND_BITS-wide integer bands.
+    Integer-exact everywhere — both engines replay it bit-identically."""
+    bits = []
+    n_rows = len(values) // row_len
+    for y in range(n_rows):
+        row = values[y * row_len : (y + 1) * row_len]
+        bits.extend(1 if row[x] < row[x + 1] else 0 for x in range(row_len - 1))
+    width = C.HAM_BAND_BITS
+    n_bands = (len(bits) + width - 1) // width
+    bands = [0] * n_bands
+    for k, b in enumerate(bits):
+        bands[k // width] |= b << (k % width)
+    return bands
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual dHash over REAL BMP payloads: decode the container
+    (``decode_bmp``), gray = red channel (the synthetic grids are
+    achromatic), then row-wise gradient bits packed into 16-bit bands.
+    Emits (doc_id, band, val) — 4 rows per image, the long-format hash
+    table ``hamming_neardup`` joins on. Arrow-batched map, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, vals = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_bmp(bytes(p))
+                gray = [px[0] for row in d["pixels"] for px in row]
+                for b, v in enumerate(_gradient_bands(gray, d["width"])):
+                    ids.append(doc_id)
+                    bands.append(b)
+                    vals.append(v)
+            yield pd.DataFrame({"doc_id": ids, "band": bands, "val": vals})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, band int, val long"
+    )
+
+
+def audio_envelope_hash(media: DataFrame) -> DataFrame:
+    """Energy-envelope fingerprint over REAL WAV payloads: decode the
+    container (``decode_wav``), sum 8-bit PCM amplitude per
+    ``AUD_FP_WINDOW``-sample window (exact ints), then window-to-window
+    gradient bits packed into 16-bit bands — the spectral-free shape of
+    an acoustic fingerprint (Haitsma-Kalker energy-band signs). Emits
+    (doc_id, band, val), 2 rows per clip. Arrow-batched map, zero
+    shuffle."""
+    w = C.AUD_FP_WINDOW
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, vals = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode_wav(bytes(p))["samples"]
+                env = [sum(s[i : i + w]) for i in range(0, len(s), w)]
+                for b, v in enumerate(_gradient_bands(env, len(env))):
+                    ids.append(doc_id)
+                    bands.append(b)
+                    vals.append(v)
+            yield pd.DataFrame({"doc_id": ids, "band": bands, "val": vals})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, band int, val long"
+    )
+
+
+def hamming_neardup(hashes: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded Hamming near-dup join over a long-format (doc_id, band, val)
+    hash table: candidate pairs share >=1 exact (band, val) — an
+    EQUI-join on the band bucket, never all-pairs (the SimHash-banding
+    shape, dedup.py); exact Hamming distance is then verified from the
+    xor popcount of the two band vectors and filtered to ``max_hamming``.
+
+    Scale: the hash table is a few dozen bytes per document (vs the
+    payload's KBs-MBs), so even the 100 TB corpus's hash side is
+    TB-scale at most; the three joins are all keyed equi-joins that
+    partial-aggregate map-side. Candidate volume is governed by band
+    width (common.HAM_BAND_BITS) exactly as in LSH analysis — widen the
+    bands as the corpus grows to keep random collisions per bucket flat.
+    """
+    a = hashes.select(
+        F.col("doc_id").alias("__ia"), "band", F.col("val").alias("__va")
+    )
+    b = hashes.select(
+        F.col("doc_id").alias("__ib"), "band", F.col("val").alias("__vb")
+    )
+    cand = (
+        a.join(b, "band")
+        .filter((F.col("__ia") < F.col("__ib")) & (F.col("__va") == F.col("__vb")))
+        .select("__ia", "__ib")
+        .distinct()
+    )
+    x = hashes.select(F.col("doc_id").alias("__ia"), "band", F.col("val").alias("__xa"))
+    y = hashes.select(F.col("doc_id").alias("__ib"), "band", F.col("val").alias("__xb"))
+    return (
+        cand.join(x, "__ia")
+        .join(y, ["__ib", "band"])
+        .groupBy("__ia", "__ib")
+        .agg(
+            F.sum(F.bit_count(F.col("__xa").bitwiseXOR(F.col("__xb"))))
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("__ia").alias("doc_id_a"),
+            F.col("__ib").alias("doc_id_b"),
+            "hamming",
+        )
+    )

@@ -893,6 +893,62 @@ ORACLES: dict[str, str] = {
                               ORDER BY i)) AS thumb_md5
         FROM d, UNNEST(range(0, 64)) AS t(i)
         GROUP BY doc_id""",
+    # perceptual near-dup oracles: the engine round-trips through REAL
+    # BMP/WAV containers; the containers are lossless on the synthesized
+    # grids (unit-tested), so the oracle re-derives pixels/samples from
+    # the text and replays the integer-exact bits/bands/Hamming pipeline.
+    "ex_image_neardup": f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
+        px AS (SELECT doc_id, CAST(k AS INT) AS k,
+                      unicode(substr(text,
+                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
+               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
+        bits AS (SELECT a.doc_id,
+                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
+                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
+                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+                 FROM px a JOIN px b
+                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
+                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
+        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
+                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
+                              AS BIGINT) AS val
+                  FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT cand.ia AS doc_id_a, cand.ib AS doc_id_b,
+               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
+        FROM cand
+        JOIN bands x ON x.doc_id = cand.ia
+        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
+        GROUP BY 1, 2
+        HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+    "ex_audio_neardup": f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= {C.AUD_FP_SAMPLES}),
+        w AS (SELECT doc_id, CAST(k AS INT) // {C.AUD_FP_WINDOW} AS win,
+                     sum(unicode(substr(text, CAST(k AS INT) + 1, 1)) % 256) AS e
+              FROM d, UNNEST(range({C.AUD_FP_SAMPLES})) t(k) GROUP BY 1, 2),
+        bits AS (SELECT a.doc_id, a.win AS bitk,
+                        CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+                 FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.win = a.win + 1
+                 WHERE a.win < {C.AUD_FP_SAMPLES // C.AUD_FP_WINDOW} - 1),
+        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
+                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
+                              AS BIGINT) AS val
+                  FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT cand.ia AS doc_id_a, cand.ib AS doc_id_b,
+               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
+        FROM cand
+        JOIN bands x ON x.doc_id = cand.ia
+        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
+        GROUP BY 1, 2
+        HAVING sum(bit_count(xor(x.val, y.val))) <= {C.AUD_HAM_MAX}""",
     # --- round 2 additions ---
     "ex_dedup_clusters": f"""
 WITH RECURSIVE {_SHINGLES},

@@ -423,6 +423,36 @@ def ex_multimodal_resize(spark, sf_dir):
     )
 
 
+def ex_image_neardup(spark, sf_dir):
+    """Perceptual image near-dup (the multimodal leg of the dedup stack):
+    synthesize REAL 24-bpp BMP containers from the documents (9x8 gray
+    grid, fixed-stride prefix sampling so near-dup docs yield near-dup
+    images), dHash each through the real decode path, then a banded
+    Hamming candidate join (16-bit bands — an equi-join, never
+    all-pairs) with exact xor-popcount verification at radius
+    IMG_HAM_MAX. Every step is integer-exact, so the oracle replays the
+    pixel grid, the 64 gradient bits, the bands, and the Hamming filter
+    from the raw text."""
+    media = multimodal.synthesize_gray_bmp(_t(spark, sf_dir, "documents"))
+    return multimodal.hamming_neardup(
+        multimodal.image_dhash(media), max_hamming=C.IMG_HAM_MAX
+    )
+
+
+def ex_audio_neardup(spark, sf_dir):
+    """Acoustic near-dup: synthesize REAL RIFF/WAVE containers from the
+    documents (first AUD_FP_SAMPLES codepoints as 8-bit PCM), fingerprint
+    each clip through the real decode path as energy-envelope gradient
+    signs (Haitsma-Kalker shape: 32 exact-integer window sums -> 31
+    bits), then the same banded Hamming join at radius AUD_HAM_MAX.
+    Integer-exact end to end; the oracle replays windows/bits/bands from
+    the raw text."""
+    media = multimodal.synthesize_tone_wav(_t(spark, sf_dir, "documents"))
+    return multimodal.hamming_neardup(
+        multimodal.audio_envelope_hash(media), max_hamming=C.AUD_HAM_MAX
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational-analytics widening (rollup/pivot/percentiles/window/semi-join) —
 # the aggregation & window surface SURVEY §2.5 notes as absent-but-declared.
@@ -1949,155 +1979,170 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
-    between rounds to earn hard driver evidence for every entry. After
-    round 5 every entry has ≥1 green row, so the round-6 invariant is
-    EVIDENCE FRESHNESS: positions 1-26 hold this round's new (unproven)
-    entries — tests/test_registry.py requires unproven ⊆ first-50; 27-29
-    re-verify entries whose code or oracle changed this round
-    (ex_frame_decode now exercises NULL payloads, st_sink_roundtrip's
-    delivery layout changed, ex_dup_spans' ordering kernel changed); 30-50
-    re-verify the round-2-vintage entries whose implementations were
-    rewritten in round 3 AFTER their last driver row (the blocked-cosine
-    path, star connected-components, shared-shingle exchanges, the
-    streaming family). The dq21 canary plus ex_token_count,
-    ex_text_stats, ex_udf_surface, and ex_lang_id (the lowest-risk
-    vintage entries — pure built-in projections / the r1-green unchanged
-    UDF registry) sit at the tail head; the r4/r5 green entries follow
-    and rotate back in next round.
+    between rounds to earn hard driver evidence for every entry. The
+    round-7 invariant is EVIDENCE FRESHNESS: positions 1-2 hold this
+    round's new entries (tests/test_registry.py requires unproven ⊆
+    first-50); 3 is ex_embed_gram — the one never-green entry (r6 hash
+    fail), whose kernel was rewritten this round to int64 fixed-point;
+    4-7 are the last four round-2-vintage entries; 8 pins the dq21
+    canary; 9-50 are the ENTIRE round-4-vintage cohort (42 entries), so
+    after this round no entry's latest green driver row predates round
+    5. The tail lists the r5-green entries first (the next rotation
+    cohort) and the r6-green entries last.
     """
     return {
-        # --- window 1-26: round-6 additions (unproven must sit here) ---
-        "ex_sketch_quantile": ex_sketch_quantile,
-        "st_heavy_hitters": st_heavy_hitters,
-        "ex_downsample_seq": ex_downsample_seq,
-        "ex_quality_model": ex_quality_model,
-        "st_quality_model": st_quality_model,
-        "ex_bpe_train": ex_bpe_train,
-        "ex_bpe_encode": ex_bpe_encode,
-        "ex_domain_mix": ex_domain_mix,
-        "st_console_roundtrip": st_console_roundtrip,
-        "ex_semdedup": ex_semdedup,
+        # --- window 1-2: round-7 additions (unproven must sit here) ---
+        "ex_image_neardup": ex_image_neardup,
+        "ex_audio_neardup": ex_audio_neardup,
+        # --- window 3: never-green (r6 hash fail) AND kernel rewritten
+        # this round (int64 fixed-point gramian) ---
         "ex_embed_gram": ex_embed_gram,
-        "ex_cooccur": ex_cooccur,
-        "ex_pagerank": ex_pagerank,
-        "ex_token_entropy": ex_token_entropy,
-        "ex_bigram_logprob": ex_bigram_logprob,
-        "ex_normalize_text": ex_normalize_text,
-        "ex_funnel": ex_funnel,
-        "ex_retention": ex_retention,
-        "ex_label_prop": ex_label_prop,
-        "ex_heavy_hitters": ex_heavy_hitters,
-        "ex_downsample": ex_downsample,
-        "st_quality_gate": st_quality_gate,
-        "ex_ts_similarity": ex_ts_similarity,
-        "ex_anomaly": ex_anomaly,
-        "st_anomaly": st_anomaly,
-        "ex_retention_matrix": ex_retention_matrix,
-        # --- window 27-29: code/oracle changed this round ---
-        "ex_frame_decode": ex_frame_decode,
-        "st_sink_roundtrip": st_sink_roundtrip,
-        "ex_dup_spans": ex_dup_spans,
-        # --- window 30-50: round-2-vintage evidence, code rewritten r3.
-        # Five late additions squeezed the window: the dq21 canary,
-        # ex_token_count, ex_text_stats, ex_udf_surface, and ex_lang_id
-        # (pure built-in projections / the r1-green unchanged UDF
-        # registry — the lowest-risk vintage entries) rotate to the tail
-        # head so the r3-rewritten kernels and the streaming family all
-        # stay in. ---
-        "ex_dedup_exact": ex_dedup_exact,
-        "ex_minhash_sig": ex_minhash_sig,
-        "ex_neardup_minhash": ex_neardup_minhash,
-        "ex_simhash": ex_simhash,
-        "ex_neardup_cosine": ex_neardup_cosine,
-        "ex_ann_topk": ex_ann_topk,
-        "ex_ann_ivf": ex_ann_ivf,
-        "ex_ann_lsh": ex_ann_lsh,
-        "ex_fingerprint": ex_fingerprint,
-        "ex_tfidf": ex_tfidf,
-        "ex_multimodal_meta": ex_multimodal_meta,
-        "st_override_asof": st_override_asof,
-        "st_stream_join": st_stream_join,
-        "st_command_plane": st_command_plane,
-        "st_latest_user": st_latest_user,
-        "st_window_counts": st_window_counts,
-        "st_session_window": st_session_window,
-        "st_sliding_counts": st_sliding_counts,
-        "st_dedup": st_dedup,
-        "st_ack_tracker": st_ack_tracker,
-        "st_content_dedup": st_content_dedup,
-        # --- tail: r4/r5-green entries (rotate into the window next round) ---
-        "dq21": dq21,
-        "ex_token_count": ex_token_count,
-        "ex_text_stats": ex_text_stats,
-        "ex_udf_surface": ex_udf_surface,
+        # --- window 4-7: the last round-2-vintage evidence ---
         "ex_lang_id": ex_lang_id,
-        "dq22": dq22, "dq09": dq09, "dq19": dq19, "dq14": dq14, "dq01": dq01, "dq02": dq02, "dq03": dq03, "dq04": dq04,
-        "dq05": dq05, "dq06": dq06, "dq07": dq07, "dq08": dq08,
-        "dq10": dq10, "dq11": dq11, "dq12": dq12, "dq13": dq13, "dq15": dq15,
-        "dq16": dq16, "dq17": dq17, "dq18": dq18, "dq20": dq20, "dq23": dq23,
-        "dq24": dq24, "dq25": dq25,
-        "ex_pivot": ex_pivot,
-        "ex_percentiles": ex_percentiles,
-        "ex_except": ex_except,
-        "ex_semantic_search": ex_semantic_search,
-        "ex_multimodal_frames": ex_multimodal_frames,
-        "ex_fuzzy_match": ex_fuzzy_match,
+        "ex_text_stats": ex_text_stats,
+        "ex_token_count": ex_token_count,
+        "ex_udf_surface": ex_udf_surface,
+        # --- window 8: the dq21 canary (r5-green flagship) ---
+        "dq21": dq21,
+        # --- window 9-50: the full r4-vintage cohort — after this
+        # round no entry's latest green driver row predates r5 ---
+        "dq01": dq01,
+        "dq02": dq02,
+        "dq03": dq03,
+        "dq04": dq04,
+        "dq05": dq05,
+        "dq06": dq06,
+        "dq07": dq07,
+        "dq08": dq08,
+        "dq10": dq10,
+        "dq11": dq11,
+        "dq12": dq12,
+        "dq13": dq13,
+        "dq15": dq15,
+        "dq16": dq16,
+        "dq17": dq17,
+        "dq18": dq18,
+        "dq20": dq20,
+        "dq23": dq23,
+        "dq24": dq24,
+        "dq25": dq25,
         "ex_approx_distinct": ex_approx_distinct,
         "ex_approx_quantile": ex_approx_quantile,
-        "ex_scalar_subquery": ex_scalar_subquery,
-        "ex_histogram": ex_histogram,
-        "ex_scd2_history": ex_scd2_history,
-        "ex_gapfill": ex_gapfill,
-        "ex_dedup_clusters": ex_dedup_clusters,
         "ex_correlated_min": ex_correlated_min,
-        "ex_stratified_sample": ex_stratified_sample,
-        "ex_hash_split": ex_hash_split,
-        "ex_pack_sequences": ex_pack_sequences,
         "ex_decontaminate": ex_decontaminate,
-        "ex_skew_join": ex_skew_join,
+        "ex_dedup_clusters": ex_dedup_clusters,
         "ex_dedup_pipeline": ex_dedup_pipeline,
+        "ex_except": ex_except,
+        "ex_fuzzy_match": ex_fuzzy_match,
+        "ex_gapfill": ex_gapfill,
+        "ex_hash_split": ex_hash_split,
+        "ex_histogram": ex_histogram,
         "ex_multimodal_features": ex_multimodal_features,
+        "ex_multimodal_frames": ex_multimodal_frames,
         "ex_multimodal_resize": ex_multimodal_resize,
-        "ex_neardup_jaccard": ex_neardup_jaccard,
-        "ex_rollup": ex_rollup,
-        "ex_cube": ex_cube,
-        "ex_grouping_sets": ex_grouping_sets,
-        "ex_window_analytics": ex_window_analytics,
-        "ex_semijoin": ex_semijoin,
-        "ex_topk_per_group": ex_topk_per_group,
-        "ex_shipping_priority": ex_shipping_priority,
-        "ex_exists_shipped": ex_exists_shipped,
-        "ex_distinct_agg": ex_distinct_agg,
-        "ex_custdist": ex_custdist,
-        "ex_promo_share": ex_promo_share,
-        "ex_scalar_funcs": ex_scalar_funcs,
-        "ex_date_funcs": ex_date_funcs,
+        "ex_pack_sequences": ex_pack_sequences,
+        "ex_percentiles": ex_percentiles,
+        "ex_pivot": ex_pivot,
+        "ex_scalar_subquery": ex_scalar_subquery,
+        "ex_scd2_history": ex_scd2_history,
+        "ex_semantic_search": ex_semantic_search,
+        "ex_skew_join": ex_skew_join,
+        "ex_stratified_sample": ex_stratified_sample,
+        # --- tail: r5-green entries first (next rotation cohort)... ---
+        "dq09": dq09,
+        "dq14": dq14,
+        "dq19": dq19,
+        "dq22": dq22,
+        "ex_ann_ivf_trained": ex_ann_ivf_trained,
+        "ex_ann_recall": ex_ann_recall,
         "ex_array_agg": ex_array_agg,
-        "ex_unpivot": ex_unpivot,
+        "ex_bitwise": ex_bitwise,
+        "ex_chunk_docs": ex_chunk_docs,
+        "ex_cube": ex_cube,
+        "ex_custdist": ex_custdist,
+        "ex_date_funcs": ex_date_funcs,
+        "ex_dedup_apply": ex_dedup_apply,
+        "ex_dedup_incremental": ex_dedup_incremental,
+        "ex_distinct_agg": ex_distinct_agg,
+        "ex_dq_checks": ex_dq_checks,
+        "ex_embed_quantize": ex_embed_quantize,
+        "ex_exists_shipped": ex_exists_shipped,
+        "ex_group_concat": ex_group_concat,
+        "ex_grouping_sets": ex_grouping_sets,
+        "ex_key_skew": ex_key_skew,
+        "ex_kmeans": ex_kmeans,
+        "ex_label_centroids": ex_label_centroids,
+        "ex_map_funcs": ex_map_funcs,
+        "ex_neardup_jaccard": ex_neardup_jaccard,
+        "ex_null_logic": ex_null_logic,
+        "ex_pii_scrub": ex_pii_scrub,
+        "ex_promo_share": ex_promo_share,
+        "ex_quality_filter": ex_quality_filter,
+        "ex_range_window": ex_range_window,
+        "ex_rank_funcs": ex_rank_funcs,
+        "ex_regex_funcs": ex_regex_funcs,
+        "ex_rollup": ex_rollup,
+        "ex_scalar_funcs": ex_scalar_funcs,
+        "ex_semijoin": ex_semijoin,
+        "ex_sessionize": ex_sessionize,
+        "ex_shipping_priority": ex_shipping_priority,
         "ex_stat_agg": ex_stat_agg,
         "ex_string_funcs2": ex_string_funcs2,
-        "ex_map_funcs": ex_map_funcs,
-        "ex_union_all": ex_union_all,
-        "ex_rank_funcs": ex_rank_funcs,
-        "ex_bitwise": ex_bitwise,
-        "ex_null_logic": ex_null_logic,
-        "ex_group_concat": ex_group_concat,
-        "ex_regex_funcs": ex_regex_funcs,
-        "ex_pii_scrub": ex_pii_scrub,
-        "ex_quality_filter": ex_quality_filter,
-        "ex_vocab": ex_vocab,
-        "ex_dedup_apply": ex_dedup_apply,
-        "ex_ann_recall": ex_ann_recall,
-        "ex_embed_quantize": ex_embed_quantize,
-        "ex_kmeans": ex_kmeans,
-        "ex_key_skew": ex_key_skew,
-        "ex_ann_ivf_trained": ex_ann_ivf_trained,
-        "st_vocab": st_vocab,
-        "ex_chunk_docs": ex_chunk_docs,
+        "ex_topk_per_group": ex_topk_per_group,
         "ex_unigram_logprob": ex_unigram_logprob,
-        "ex_dedup_incremental": ex_dedup_incremental,
-        "ex_dq_checks": ex_dq_checks,
-        "ex_label_centroids": ex_label_centroids,
-        "ex_sessionize": ex_sessionize,
-        "ex_range_window": ex_range_window,
+        "ex_union_all": ex_union_all,
+        "ex_unpivot": ex_unpivot,
+        "ex_vocab": ex_vocab,
+        "ex_window_analytics": ex_window_analytics,
+        "st_vocab": st_vocab,
+        # --- ...then the r6-green entries ---
+        "ex_ann_ivf": ex_ann_ivf,
+        "ex_ann_lsh": ex_ann_lsh,
+        "ex_ann_topk": ex_ann_topk,
+        "ex_anomaly": ex_anomaly,
+        "ex_bigram_logprob": ex_bigram_logprob,
+        "ex_bpe_encode": ex_bpe_encode,
+        "ex_bpe_train": ex_bpe_train,
+        "ex_cooccur": ex_cooccur,
+        "ex_dedup_exact": ex_dedup_exact,
+        "ex_domain_mix": ex_domain_mix,
+        "ex_downsample": ex_downsample,
+        "ex_downsample_seq": ex_downsample_seq,
+        "ex_dup_spans": ex_dup_spans,
+        "ex_fingerprint": ex_fingerprint,
+        "ex_frame_decode": ex_frame_decode,
+        "ex_funnel": ex_funnel,
+        "ex_heavy_hitters": ex_heavy_hitters,
+        "ex_label_prop": ex_label_prop,
+        "ex_minhash_sig": ex_minhash_sig,
+        "ex_multimodal_meta": ex_multimodal_meta,
+        "ex_neardup_cosine": ex_neardup_cosine,
+        "ex_neardup_minhash": ex_neardup_minhash,
+        "ex_normalize_text": ex_normalize_text,
+        "ex_pagerank": ex_pagerank,
+        "ex_quality_model": ex_quality_model,
+        "ex_retention": ex_retention,
+        "ex_retention_matrix": ex_retention_matrix,
+        "ex_semdedup": ex_semdedup,
+        "ex_simhash": ex_simhash,
+        "ex_sketch_quantile": ex_sketch_quantile,
+        "ex_tfidf": ex_tfidf,
+        "ex_token_entropy": ex_token_entropy,
+        "ex_ts_similarity": ex_ts_similarity,
+        "st_ack_tracker": st_ack_tracker,
+        "st_anomaly": st_anomaly,
+        "st_command_plane": st_command_plane,
+        "st_console_roundtrip": st_console_roundtrip,
+        "st_content_dedup": st_content_dedup,
+        "st_dedup": st_dedup,
+        "st_heavy_hitters": st_heavy_hitters,
+        "st_latest_user": st_latest_user,
+        "st_override_asof": st_override_asof,
+        "st_quality_gate": st_quality_gate,
+        "st_quality_model": st_quality_model,
+        "st_session_window": st_session_window,
+        "st_sink_roundtrip": st_sink_roundtrip,
+        "st_sliding_counts": st_sliding_counts,
+        "st_stream_join": st_stream_join,
+        "st_window_counts": st_window_counts,
     }

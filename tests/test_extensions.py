@@ -1548,3 +1548,105 @@ def test_lttb_sequential_short_series_emitted_whole(spark):
     assert [(r["step"], r["event_id"]) for r in sorted(out, key=lambda r: r["step"])] == [
         (i, i) for i in range(5)
     ]
+
+
+# --- round-7 additions: perceptual (image/audio) near-dup -------------------
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_image_neardup_constructed(spark):
+    """Three synthetic docs long enough to image: doc 1 is doc 0 with ONE
+    sampled character bumped (adjacent-gradient flip -> tiny Hamming),
+    doc 2 is unrelated. Only the (0, 1) pair lands within the radius."""
+    import random
+
+    rng = random.Random(7)
+    base = "".join(chr(97 + rng.randrange(26)) for _ in range(C.IMG_MIN_CHARS))
+    # flip the char at sampled position k=5 (pos 5*IMG_STRIDE)
+    p = 5 * C.IMG_STRIDE
+    edited = base[:p] + ("z" if base[p] != "z" else "a") + base[p + 1 :]
+    other = "".join(chr(97 + rng.randrange(26)) for _ in range(C.IMG_MIN_CHARS))
+    media = multimodal.synthesize_gray_bmp(_mk_docs(spark, [base, edited, other]))
+    out = multimodal.hamming_neardup(
+        multimodal.image_dhash(media), max_hamming=C.IMG_HAM_MAX
+    ).collect()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 2
+    assert all(k == (0, 1) for k in pairs)
+
+
+def test_image_dhash_survives_real_container(spark):
+    """The dHash computed through the REAL BMP encode->decode round-trip
+    equals the direct gradient-band formula on the raw grid (the identity
+    the oracle relies on to replay pixels from text)."""
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    assert len(text) >= C.IMG_MIN_CHARS
+    cols, rows, stride = C.IMG_DHASH_COLS, C.IMG_DHASH_ROWS, C.IMG_STRIDE
+    gray = [ord(text[(y * cols + x) * stride]) % 256 for y in range(rows) for x in range(cols)]
+    want = multimodal._gradient_bands(gray, cols)
+    media = multimodal.synthesize_gray_bmp(_mk_docs(spark, [text]))
+    got = {
+        r["band"]: r["val"] for r in multimodal.image_dhash(media).collect()
+    }
+    assert got == dict(enumerate(want))
+
+
+def test_audio_envelope_survives_real_container(spark):
+    """Same identity for the WAV leg: fingerprint through the real RIFF
+    round-trip == direct window-sum gradient bands on the codepoints."""
+    text = "pack my box with five dozen liquor jugs -- " * 8
+    assert len(text) >= C.AUD_FP_SAMPLES
+    w = C.AUD_FP_WINDOW
+    samples = [ord(c) % 256 for c in text[: C.AUD_FP_SAMPLES]]
+    env = [sum(samples[i : i + w]) for i in range(0, len(samples), w)]
+    want = multimodal._gradient_bands(env, len(env))
+    media = multimodal.synthesize_tone_wav(_mk_docs(spark, [text]))
+    got = {
+        r["band"]: r["val"] for r in multimodal.audio_envelope_hash(media).collect()
+    }
+    assert got == dict(enumerate(want))
+
+
+def test_hamming_neardup_matches_bruteforce(spark, sf_dir):
+    """The banded join must emit EXACTLY the all-pairs-hamming<=r pairs
+    that share >=1 band (the LSH candidate contract) — verified against a
+    driver-side brute force over the corpus hash table."""
+    from itertools import combinations
+
+    media = multimodal.synthesize_gray_bmp(load_table(spark, sf_dir, "documents"))
+    hashes = multimodal.image_dhash(media)
+    by_doc = {}
+    for r in hashes.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["val"]
+    want = {}
+    for a, b in combinations(sorted(by_doc), 2):
+        va, vb = by_doc[a], by_doc[b]
+        if not any(va[k] == vb[k] for k in va):
+            continue  # no shared band -> not a candidate
+        ham = sum(bin(va[k] ^ vb[k]).count("1") for k in va)
+        if ham <= C.IMG_HAM_MAX:
+            want[(a, b)] = ham
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in multimodal.hamming_neardup(hashes, C.IMG_HAM_MAX).collect()
+    }
+    assert got == want
+
+
+def test_perceptual_neardup_plans_are_banded(spark, sf_dir):
+    """Both perceptual near-dup plans must be candidate-banded equi-joins
+    over Arrow-batched hash extraction — no CartesianProduct, no
+    row-at-a-time Python."""
+    from espkinesis_spark.plans import physical_plan
+    from espkinesis_spark.queries import registry
+
+    for name in ("ex_image_neardup", "ex_audio_neardup"):
+        plan = physical_plan(registry()[name](spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
