@@ -107,7 +107,13 @@ def sketch_quantiles(
     vals = df.select(F.col(col).cast("double").alias("__x")).filter(
         F.col("__x").isNotNull()
     )
-    blocks = vals.mapInPandas(_partition_blocks(s), _BLOCK_SCHEMA)
+    # Materialize the summary ONCE: three bound-phase consumers (lower /
+    # starts / total) would each re-execute the full-data scan + per-
+    # partition sort otherwise (ADVICE r6). The checkpoint is
+    # O(partitions x SKQ_SUMMARY) rows — cheap at any data size.
+    blocks = vals.mapInPandas(_partition_blocks(s), _BLOCK_SCHEMA).localCheckpoint(
+        eager=True
+    )
 
     # --- bound phase: summary-sized only ------------------------------
     # lower(v_hi): RANGE frame includes cross-partition ties on v_hi

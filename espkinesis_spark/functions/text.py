@@ -748,24 +748,41 @@ def frequent_values(df: DataFrame, col: str, k: int = C.HH_K) -> DataFrame:
         .groupBy("__v")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    return exact_share_filter(exact.withColumnRenamed("__v", col), tot, col, k)
+    return exact_share_filter(exact, tot, col, k, value_source="__v")
 
 
 def exact_share_filter(
-    counts: DataFrame, total: DataFrame, value_col: str, k: int
+    counts: DataFrame,
+    total: DataFrame,
+    value_col: str,
+    k: int,
+    value_source: str | None = None,
 ) -> DataFrame:
     """The heavy-hitter emission convention, in ONE place so the batch
     (frequent_values) and streaming (jobs.heavy_hitters_stream) legs can
     never drift from their shared oracle: keep rows of ``counts``
-    (``value_col``, ``n``) whose exact count exceeds total/k, with the
-    share rounded to 6 dp. ``total`` is a one-row (``total``) frame."""
+    (value column, ``n``) whose exact count exceeds total/k, with the
+    share rounded to 6 dp. ``total`` is a one-row (``total``) frame.
+
+    The value rides under internal sentinels until the final select —
+    ``value_source`` names the column it arrives under (default
+    ``value_col``) — so a profiling column legitimately named ``total``
+    cannot collide with the broadcast total (ADVICE r6). ``n``/``share``
+    are the OUTPUT count/share names, so those two value names are
+    rejected up front instead of emitting an ambiguous schema."""
+    if value_col in ("n", "share"):
+        raise ValueError(
+            f"value_col {value_col!r} collides with the output count/share "
+            "columns — alias the profiled column first"
+        )
     return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("n") * k > F.col("total"))
+        counts.select(F.col(value_source or value_col).alias("__v"), "n")
+        .crossJoin(F.broadcast(total.select(F.col("total").alias("__tot"))))
+        .filter(F.col("n") * k > F.col("__tot"))
         .select(
-            value_col,
+            F.col("__v").alias(value_col),
             "n",
-            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
         )
     )
 

@@ -1650,3 +1650,37 @@ def test_perceptual_neardup_plans_are_banded(spark, sf_dir):
         assert "MapInPandas" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_downsample_seq_oracle_precondition_holds():
+    """The lttb_seq oracle assumes every series has n > LTTB_SEQ_BUCKETS
+    points (the kernel emits short series whole; the unrolled SQL would
+    silently diverge). Assert the precondition over EVERY test corpus so
+    a future short series breaks loudly here, not in a parity diff
+    (ADVICE r6)."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        low = duckdb.sql(
+            f"SELECT min(cnt) FROM (SELECT count(*) AS cnt FROM "
+            f"read_parquet('/root/testdata/sf{sf}/events.parquet') "
+            f"GROUP BY event_type)"
+        ).fetchone()[0]
+        assert low > C.LTTB_SEQ_BUCKETS, (sf, low)
+
+
+def test_frequent_values_collision_column_names(spark):
+    """A profiled column named 'total' must survive the share filter
+    (the value rides under a sentinel, ADVICE r6); 'n'/'share' collide
+    with the OUTPUT schema and must fail loudly, not ambiguously."""
+    import pytest as _pytest
+
+    from espkinesis_spark.functions import text
+
+    df = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)], "total string"
+    )
+    out = text.frequent_values(df, "total", k=5).collect()
+    assert [(r["total"], r["n"], r["share"]) for r in out] == [("a", 9, 0.9)]
+    with _pytest.raises(ValueError, match="collides"):
+        text.frequent_values(df.withColumnRenamed("total", "n"), "n", k=5)

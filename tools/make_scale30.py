@@ -64,15 +64,21 @@ def main() -> None:
             SELECT doc_id, text, lang, source,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM (
-              SELECT doc_id + r.i * 1000000 AS doc_id,
+              -- src_doc_id keeps the filler hash unambiguous: referencing
+              -- `doc_id` here would hit DuckDB lateral alias resolution
+              -- against the shifted `doc_id` alias in the same SELECT
+              -- list (deterministic either way, but version-fragile)
+              SELECT src_doc_id + r.i * 1000000 AS doc_id,
                      text || ' ' || array_to_string(list_transform(
                          range(greatest(n_chars // 8, 2)),
                          j -> substr(md5(CAST(
-                             (doc_id * 131 + r.i * 7919 + j * (doc_id % 97 + 2))
+                             (src_doc_id * 131 + r.i * 7919
+                              + j * (src_doc_id % 97 + 2))
                              % 65536 AS VARCHAR)), 1, 6)
                      ), ' ') AS text,
                      lang, source
-              FROM '{src}/documents.parquet', range({reps}) r(i)
+              FROM (SELECT doc_id AS src_doc_id, text, lang, source, n_chars
+                    FROM '{src}/documents.parquet'), range({reps}) r(i)
             )""",
         "embeddings": f"""
             SELECT vec_id + r.i * 1000000 AS vec_id, embedding, label
