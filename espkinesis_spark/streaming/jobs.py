@@ -84,6 +84,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_ts(raw, ts_dtype)
 
 
+# Executed micro-batch physical plans, keyed by query name — recorded at
+# every drain site so tools/plan_sweep.py's streaming leg can apply the
+# same red-flag greps the batch entries get (a streaming DataFrame's plan
+# only materializes once a query runs, so the sweep can't explain() the
+# unstarted frame).
+LAST_STREAM_PLANS: dict[str, str] = {}
+
+
+def _record_stream_plan(query) -> None:
+    """Capture the LAST executed micro-batch's physical plan (best-effort:
+    plan capture must never fail the job itself)."""
+    try:
+        LAST_STREAM_PLANS[query.name] = query._jsq.explainInternal(False)
+    except Exception:  # noqa: BLE001 — diagnostics only
+        pass
+
+
 def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     spark = df.sparkSession
     for q in spark.streams.active:
@@ -108,6 +125,7 @@ def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
+        _record_stream_plan(query)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -503,6 +521,7 @@ def sink_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="st_sink_roundtrip",
     )
     query.awaitTermination()
+    _record_stream_plan(query)
     return _read_back_batches(
         spark, out_dir, data_dir, lambda dirs: spark.read.parquet(*dirs)
     )
@@ -530,6 +549,7 @@ def console_roundtrip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=os.path.join(out_dir, "ckpt"),
     )
     query.awaitTermination()
+    _record_stream_plan(query)
 
     def read_docs(dirs):
         return (
