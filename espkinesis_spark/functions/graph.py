@@ -44,7 +44,13 @@ def pagerank(
     dst_nodes = edges.select(F.col("dst").alias("node"))
     nodes = src_nodes.union(dst_nodes).distinct().localCheckpoint(eager=True)
     n = float(nodes.count())
-    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    # node-sized and consumed once per round: materialize once instead of
+    # re-aggregating the edge table every iteration (30x ladder r7)
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("double").alias("od"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), 9).alias("r"))
     teleport = F.lit(1.0 - damping) / F.lit(n)
     for _ in range(iters):

@@ -1684,3 +1684,84 @@ def test_frequent_values_collision_column_names(spark):
     assert [(r["total"], r["n"], r["share"]) for r in out] == [("a", 9, 0.9)]
     with _pytest.raises(ValueError, match="collides"):
         text.frequent_values(df.withColumnRenamed("total", "n"), "n", k=5)
+
+
+def test_bpe_deep_merge_budget(spark):
+    """Realistic merge budget (64): the trainer's fold chain (checkpointed
+    every 3 rounds) and the encoder's 64-deep literal-replace chain must
+    both COMPILE and stay bit-exact vs the direct python model — the
+    >30-step codegen hazard watch (VERDICT r6 #6). Corpus is synthetic
+    but pair-rich enough to sustain all 64 merges."""
+    import random
+    from collections import Counter
+
+    from espkinesis_spark.functions import text
+
+    rng = random.Random(42)
+    vocab = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randrange(3, 9)))
+        for _ in range(160)
+    ]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(40)) for _ in range(12)
+    ]
+    merges = 64
+
+    # direct python BPE (same model as TestBpeTrainProperty, plus encode)
+    freqs = Counter(w for t in texts for w in t.split() if w)
+    words = {tuple(w): f for w, f in freqs.items()}
+    traj = []
+    for rank in range(1, merges + 1):
+        pc = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        traj.append((rank, a, b, cnt))
+        new_words = {}
+        for syms, f in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    assert len(traj) == merges, "corpus too small to sustain the budget"
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in text.bpe_train(docs, merges=merges).collect()
+    ]
+    assert got == traj
+
+    # encode under the same budget: python segmentation via sequential
+    # replay of the trajectory per distinct word
+    seg = {}
+    for w in freqs:
+        syms = list(w)
+        for _, a, b, _ in traj:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        seg[w] = len(syms)
+    want_docs = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        n_sub = sum(seg[w] for w in ws)
+        want_docs[i] = (len(ws), n_sub, round(sum(map(len, ws)) / n_sub, 4))
+    got_docs = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["chars_per_subword"])
+        for r in text.bpe_encode(docs, merges=merges).collect()
+    }
+    assert got_docs == want_docs
