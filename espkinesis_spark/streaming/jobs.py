@@ -217,7 +217,19 @@ def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregate-online / analyze-on-snapshot split exists because
     Structured Streaming forbids the second (stats-over-counts) level of
     aggregation in one query; the snapshot equals the batch hourly table,
-    so ex_anomaly's oracle is exact."""
+    so ex_anomaly's oracle is exact.
+
+    State retention bound: complete-mode state here is exactly
+    |event types| x |distinct hours seen| rows (the replay test asserts
+    the state-store row count equals that product's realized size). Event
+    types are a small fixed vocabulary, so state grows only with the
+    CALENDAR — ~9k rows/type/year — not with event volume; a 100 TB/day
+    stream adds zero state beyond its new hours. If the deployment ever
+    needs unbounded-calendar retention, the switch is update mode + a
+    watermark on ``hr`` with the stats window bounded to the trailing N
+    hours; for the z-score-over-observed-history semantics this entry
+    declares, calendar-sized complete mode is the honest minimal state.
+    """
     from espkinesis_spark.queries import hourly_zscore_flags
 
     src = _events_stream(spark, sf_dir)

@@ -474,6 +474,14 @@ def test_anomaly_stream_snapshot_equals_batch(spark, sf_dir, tmp_path_factory):
     want = {tuple(r) for r in hourly_zscore_flags(hourly).collect()}
     assert got == want and len(want) > 0
     assert len(q.recentProgress) > 1
+    # calendar-sized state, asserted: the aggregation's state store holds
+    # exactly one row per observed (event_type, hour) — event volume adds
+    # no state beyond its new hours (jobs.anomaly_stream retention bound)
+    calendar_rows = hourly.count()
+    state_rows = sum(
+        op["numRowsTotal"] for op in q.lastProgress["stateOperators"]
+    )
+    assert state_rows == calendar_rows, (state_rows, calendar_rows)
 
 
 def test_heavy_hitters_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
