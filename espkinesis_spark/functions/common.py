@@ -180,6 +180,12 @@ AUD_FP_SAMPLES = 256
 AUD_FP_WINDOW = 8  # 32 windows -> 31 gradient bits (bit 31 = 0 pad)
 AUD_HAM_MAX = 3
 HAM_BAND_BITS = 16
+# video-shape near-dup: docs sharing >= VID_SHARED_FRAMES distinct
+# sampled-keyframe hashes pair up; hashes in more than VID_FRAME_DF_CAP
+# docs are dropped first (the hot-shingle guard — a boilerplate frame
+# shared by k docs would otherwise emit k^2/2 pairs)
+VID_SHARED_FRAMES = 2
+VID_FRAME_DF_CAP = 64
 
 # embedding-covariance fixed point: embeddings quantize to integer
 # EG_QUANT-ths (sign-aware half-away, the timeseries convention) so the

@@ -511,3 +511,45 @@ def hamming_neardup(hashes: DataFrame, max_hamming: int) -> DataFrame:
             "hamming",
         )
     )
+
+
+def shared_frame_neardup(
+    frames: DataFrame,
+    min_shared: int = C.VID_SHARED_FRAMES,
+    df_cap: int = C.VID_FRAME_DF_CAP,
+) -> DataFrame:
+    """Video-shape near-dup over a sampled-keyframe table (doc_id,
+    frame_idx, frame_md5): documents sharing >= ``min_shared`` DISTINCT
+    frame hashes are near-dup candidates (clips containing the same
+    scenes). Output (doc_id_a, doc_id_b, n_shared).
+
+    Scale shape: the shared-shingle pipeline over frame hashes — distinct
+    per (doc, hash), drop hashes appearing in more than ``df_cap``
+    documents (a boilerplate frame shared by k docs would emit k²/2
+    pairs; the df cap is the same hot-shingle guard the text dedup
+    pipeline uses, and changes semantics only for frames too common to
+    indicate pairwise duplication), then one hash-keyed equi-join and a
+    pair-keyed count — never all-pairs, every stage map-side-partial.
+    """
+    fr = frames.select("doc_id", F.col("frame_md5").alias("h")).distinct()
+    rare = (
+        fr.groupBy("h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("h")
+    )
+    fr = fr.join(rare, "h")
+    a = fr.select(F.col("doc_id").alias("__ia"), "h")
+    b = fr.select(F.col("doc_id").alias("__ib"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            F.col("__ia").alias("doc_id_a"),
+            F.col("__ib").alias("doc_id_b"),
+            "n_shared",
+        )
+    )

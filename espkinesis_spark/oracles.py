@@ -925,6 +925,22 @@ ORACLES: dict[str, str] = {
         JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
         GROUP BY 1, 2
         HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+    "ex_video_neardup": f"""
+        WITH f AS (SELECT doc_id, text,
+            unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+              AS frame_idx
+            FROM documents),
+        fr AS (SELECT DISTINCT doc_id,
+                      md5(substring(text, frame_idx * 64 + 1, 64)) AS h
+               FROM f WHERE frame_idx % 3 = 0),
+        rare AS (SELECT h FROM fr GROUP BY h
+                 HAVING count(*) <= {C.VID_FRAME_DF_CAP})
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fr a JOIN rare USING (h)
+        JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {C.VID_SHARED_FRAMES}""",
     "ex_audio_neardup": f"""
         WITH d AS (SELECT doc_id, text FROM documents
                    WHERE length(text) >= {C.AUD_FP_SAMPLES}),

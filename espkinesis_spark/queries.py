@@ -439,6 +439,20 @@ def ex_image_neardup(spark, sf_dir):
     )
 
 
+def ex_video_neardup(spark, sf_dir):
+    """Video-shape near-dup (shared sampled keyframes): the keyframe
+    table from the frame-sampling stage (every 3rd 64-byte frame, md5 —
+    ex_multimodal_frames' plumbing) pairs documents sharing >=
+    VID_SHARED_FRAMES distinct frame hashes. Hot frames (document
+    frequency > VID_FRAME_DF_CAP) are dropped first — the same
+    hot-shingle guard as the text dedup pipeline — so candidate volume
+    stays linear. One hash-keyed equi-join + one pair-keyed count;
+    payload bytes are ASCII so the oracle computes the identical frames
+    in text space."""
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.shared_frame_neardup(multimodal.sample_frames(media))
+
+
 def ex_audio_neardup(spark, sf_dir):
     """Acoustic near-dup: synthesize REAL RIFF/WAVE containers from the
     documents (first AUD_FP_SAMPLES codepoints as 8-bit PCM), fingerprint
@@ -1980,20 +1994,21 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-7 invariant is EVIDENCE FRESHNESS: positions 1-2 hold this
+    round-7 invariant is EVIDENCE FRESHNESS: positions 1-3 hold this
     round's new entries (tests/test_registry.py requires unproven ⊆
-    first-50); 3 is ex_embed_gram — the one never-green entry (r6 hash
+    first-50); 4 is ex_embed_gram — the one never-green entry (r6 hash
     fail), whose kernel was rewritten this round to int64 fixed-point;
-    4-7 are the last four round-2-vintage entries; 8 pins the dq21
-    canary; 9-50 are the ENTIRE round-4-vintage cohort (42 entries), so
+    5-8 are the last four round-2-vintage entries;
+    9-50 are the ENTIRE round-4-vintage cohort (42 entries), so
     after this round no entry's latest green driver row predates round
     5. The tail lists the r5-green entries first (the next rotation
     cohort) and the r6-green entries last.
     """
     return {
-        # --- window 1-2: round-7 additions (unproven must sit here) ---
+        # --- window 1-3: round-7 additions (unproven must sit here) ---
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,
+        "ex_video_neardup": ex_video_neardup,
         # --- window 3: never-green (r6 hash fail) AND kernel rewritten
         # this round (int64 fixed-point gramian) ---
         "ex_embed_gram": ex_embed_gram,
@@ -2002,8 +2017,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_text_stats": ex_text_stats,
         "ex_token_count": ex_token_count,
         "ex_udf_surface": ex_udf_surface,
-        # --- window 8: the dq21 canary (r5-green flagship) ---
-        "dq21": dq21,
         # --- window 9-50: the full r4-vintage cohort — after this
         # round no entry's latest green driver row predates r5 ---
         "dq01": dq01,
@@ -2048,7 +2061,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_semantic_search": ex_semantic_search,
         "ex_skew_join": ex_skew_join,
         "ex_stratified_sample": ex_stratified_sample,
-        # --- tail: r5-green entries first (next rotation cohort)... ---
+        # --- tail: dq21 canary first (r5-green — evicted for the third
+        # round-7 addition), then r5-green entries (next rotation
+        # cohort)... ---
+        "dq21": dq21,
         "dq09": dq09,
         "dq14": dq14,
         "dq19": dq19,

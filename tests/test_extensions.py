@@ -1645,7 +1645,7 @@ def test_perceptual_neardup_plans_are_banded(spark, sf_dir):
     from espkinesis_spark.plans import physical_plan
     from espkinesis_spark.queries import registry
 
-    for name in ("ex_image_neardup", "ex_audio_neardup"):
+    for name in ("ex_image_neardup", "ex_audio_neardup", "ex_video_neardup"):
         plan = physical_plan(registry()[name](spark, sf_dir))
         assert "MapInPandas" in plan, name
         assert "CartesianProduct" not in plan, name
@@ -1765,3 +1765,36 @@ def test_bpe_deep_merge_budget(spark):
         for r in text.bpe_encode(docs, merges=merges).collect()
     }
     assert got_docs == want_docs
+
+
+def test_shared_frame_neardup_constructed_and_capped(spark):
+    """Hand-built frame tables: docs 0/1 share two distinct frames (pair
+    emitted with n_shared=2, duplicate within-doc frames collapse), docs
+    0/2 share one (below threshold, no pair), and a frame present in
+    MORE than df_cap docs is excluded from pairing (the hot-shingle
+    guard)."""
+    rows = [
+        (0, 0, "fA"), (0, 3, "fB"), (0, 6, "fB"), (0, 9, "fC"),
+        (1, 0, "fA"), (1, 3, "fB"),
+        (2, 0, "fC"),
+    ]
+    frames = spark.createDataFrame(
+        rows, "doc_id long, frame_idx long, frame_md5 string"
+    )
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+        for r in multimodal.shared_frame_neardup(frames, min_shared=2).collect()
+    }
+    assert out == {(0, 1): 2}
+    # hot frame: 'hot' in 3 docs with df_cap=2 -> contributes nothing
+    hot = rows + [(0, 12, "hot"), (1, 6, "hot"), (2, 3, "hot")]
+    frames2 = spark.createDataFrame(
+        hot, "doc_id long, frame_idx long, frame_md5 string"
+    )
+    out2 = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+        for r in multimodal.shared_frame_neardup(
+            frames2, min_shared=2, df_cap=2
+        ).collect()
+    }
+    assert out2 == {(0, 1): 2}
