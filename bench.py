@@ -71,7 +71,6 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - start, 4)
 
-    total = round(sum(timings.values()), 4)
     # Same-artifact noise control (VERDICT r5 #4): the box this bench runs
     # on sometimes carries co-located load that inflates the headline total
     # ~30-40%. Rerun the 10 heaviest queries immediately and record both
@@ -88,31 +87,43 @@ def main() -> None:
             print(f"rerun of {name} failed: {exc}", file=sys.stderr)
             continue
         rerun[name] = round(time.perf_counter() - start, 4)
-    # Truncation-proofing (VERDICT r6 #4): BENCH_r06 survived only as the
-    # TAIL of the line, losing the head-positioned totals. Emit every
-    # headline scalar FIRST (before the big per-query map) and mirror the
-    # same scalars again AFTER it — whichever end of the line survives a
-    # capture truncation, the summary is recoverable.
-    headline = {
+    print(json.dumps(build_output(timings, errors, rerun, sf)))
+
+
+def build_output(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    rerun: dict[str, float],
+    sf: str,
+) -> dict:
+    """Assemble the one-line JSON artifact. Truncation-proofing (VERDICT
+    r6 #4): BENCH_r06 survived only as the TAIL of the line, losing the
+    head-positioned totals. Every headline scalar goes FIRST (before the
+    big per-query map) and the same scalars are mirrored again AFTER it
+    under tail_* keys — whichever end of the line survives a capture
+    truncation, the summary is recoverable."""
+    total = round(sum(timings.values()), 4)
+    out = {
         "metric": "declared_query_total_wall",
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "rerun_top10_first_pass_sec": round(sum(timings[n] for n in rerun), 4),
+        "rerun_top10_first_pass_sec": round(
+            sum(timings[n] for n in rerun), 4
+        ),
         "rerun_top10_sec": round(sum(rerun.values()), 4),
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "queries": timings,
+        "rerun_top10": rerun,
     }
-    out = dict(headline)
-    out["queries"] = timings
-    out["rerun_top10"] = rerun
     if errors:
         out["errors"] = errors
     out["tail_total_sec"] = total
     out["tail_n_queries"] = len(timings)
     out["tail_n_errors"] = len(errors)
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
