@@ -467,19 +467,28 @@ def audio_envelope_hash(media: DataFrame) -> DataFrame:
     )
 
 
-def hamming_neardup(hashes: DataFrame, max_hamming: int) -> DataFrame:
+def hamming_neardup(
+    hashes: DataFrame, max_hamming: int, bucket_bands: int = 1
+) -> DataFrame:
     """Banded Hamming near-dup join over a long-format (doc_id, band, val)
-    hash table: candidate pairs share >=1 exact (band, val) — an
-    EQUI-join on the band bucket, never all-pairs (the SimHash-banding
+    hash table: candidate pairs share >=1 exact band bucket — an
+    EQUI-join on the bucket, never all-pairs (the SimHash-banding
     shape, dedup.py); exact Hamming distance is then verified from the
     xor popcount of the two band vectors and filtered to ``max_hamming``.
 
     Scale: the hash table is a few dozen bytes per document (vs the
     payload's KBs-MBs), so even the 100 TB corpus's hash side is
     TB-scale at most; the three joins are all keyed equi-joins that
-    partial-aggregate map-side. Candidate volume is governed by band
-    width (common.HAM_BAND_BITS) exactly as in LSH analysis — widen the
-    bands as the corpus grows to keep random collisions per bucket flat.
+    partial-aggregate map-side. Candidate volume is governed by the
+    bucket width exactly as in LSH analysis — ``bucket_bands`` groups
+    that many ADJACENT bands into one candidate bucket (effective width
+    bucket_bands × HAM_BAND_BITS bits), the knob to turn as the corpus
+    grows (the 30× ladder read the 16-bit buckets as the growth term at
+    ~77k docs). Recall contract: a pair within radius r is GUARANTEED a
+    shared bucket while r < n_bands/bucket_bands (pigeonhole); beyond
+    that the join is probabilistic-recall LSH, and widening buckets
+    trades recall for candidate volume. The exact verify is unchanged —
+    every emitted pair's Hamming distance is true regardless.
     """
     a = hashes.select(
         F.col("doc_id").alias("__ia"), "band", F.col("val").alias("__va")
@@ -487,12 +496,42 @@ def hamming_neardup(hashes: DataFrame, max_hamming: int) -> DataFrame:
     b = hashes.select(
         F.col("doc_id").alias("__ib"), "band", F.col("val").alias("__vb")
     )
-    cand = (
-        a.join(b, "band")
-        .filter((F.col("__ia") < F.col("__ib")) & (F.col("__va") == F.col("__vb")))
-        .select("__ia", "__ib")
-        .distinct()
-    )
+    if bucket_bands > 1:
+        # one row per (doc, band group): the bucket key is the group's
+        # band values in band order — a deterministic string both sides
+        # build identically (equi-joinable, map-side aggregated)
+        def grouped(df, id_col, val_col):
+            return (
+                df.groupBy(id_col, (F.col("band") / bucket_bands).cast("int").alias("__grp"))
+                .agg(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("band", F.col(val_col).alias("v")))
+                            ),
+                            lambda s: s["v"].cast("string"),
+                        ),
+                    ).alias("__key")
+                )
+            )
+
+        cand = (
+            grouped(a, "__ia", "__va")
+            .join(grouped(b, "__ib", "__vb"), ["__grp", "__key"])
+            .filter(F.col("__ia") < F.col("__ib"))
+            .select("__ia", "__ib")
+            .distinct()
+        )
+    else:
+        cand = (
+            a.join(b, "band")
+            .filter(
+                (F.col("__ia") < F.col("__ib")) & (F.col("__va") == F.col("__vb"))
+            )
+            .select("__ia", "__ib")
+            .distinct()
+        )
     x = hashes.select(F.col("doc_id").alias("__ia"), "band", F.col("val").alias("__xa"))
     y = hashes.select(F.col("doc_id").alias("__ib"), "band", F.col("val").alias("__xb"))
     return (

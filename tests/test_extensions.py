@@ -1798,3 +1798,27 @@ def test_shared_frame_neardup_constructed_and_capped(spark):
         ).collect()
     }
     assert out2 == {(0, 1): 2}
+
+
+def test_hamming_neardup_bucket_bands_knob(spark, sf_dir):
+    """The corpus-scale knob: bucket_bands=2 (32-bit buckets) must emit a
+    SUBSET of the 16-bit-band output with identical verified distances,
+    and must retain every pair whose Hamming distance is inside the
+    pigeonhole guarantee r < n_bands/bucket_bands (here: hamming < 2)."""
+    media = multimodal.synthesize_gray_bmp(load_table(spark, sf_dir, "documents"))
+    hashes = multimodal.image_dhash(media)
+    narrow = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in multimodal.hamming_neardup(hashes, C.IMG_HAM_MAX).collect()
+    }
+    wide = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in multimodal.hamming_neardup(
+            hashes, C.IMG_HAM_MAX, bucket_bands=2
+        ).collect()
+    }
+    assert set(wide) <= set(narrow)
+    assert all(narrow[k] == v for k, v in wide.items())
+    guaranteed = {k for k, v in narrow.items() if v < 2}
+    assert guaranteed <= set(wide)
+    assert len(wide) > 0
