@@ -416,20 +416,44 @@ def _gradient_bands(values: list[int], row_len: int) -> list[int]:
     return bands
 
 
+def _decode_bmp_gray_np(payload: bytes):
+    """Vectorized gray-channel decode of the same 24-bpp BMP container
+    ``decode_bmp`` parses (header offsets, row padding, bottom-up order,
+    red channel) via one ``np.frombuffer`` strided view instead of
+    per-pixel Python tuples — the hot path for corpus-scale hashing
+    (the 30x ladder read the per-pixel loop as the dominant cost).
+    Equivalence with the reference codec is pinned by a test. Returns
+    (gray row-major int array, width)."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    stride = (width * 3 + 3) & ~3
+    buf = np.frombuffer(payload, dtype=np.uint8, count=height * stride, offset=offset)
+    rows = buf.reshape(height, stride)[::-1, : width * 3]  # bottom-up -> top-down
+    return rows[:, 2::3].reshape(-1).astype(np.int64), width  # red channel
+
+
 def image_dhash(media: DataFrame) -> DataFrame:
     """Perceptual dHash over REAL BMP payloads: decode the container
-    (``decode_bmp``), gray = red channel (the synthetic grids are
-    achromatic), then row-wise gradient bits packed into 16-bit bands.
-    Emits (doc_id, band, val) — 4 rows per image, the long-format hash
-    table ``hamming_neardup`` joins on. Arrow-batched map, zero shuffle."""
+    (the vectorized twin of ``decode_bmp``), gray = red channel (the
+    synthetic grids are achromatic), then row-wise gradient bits packed
+    into 16-bit bands. Emits (doc_id, band, val) — 4 rows per image, the
+    long-format hash table ``hamming_neardup`` joins on. Arrow-batched
+    map, zero shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, bands, vals = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_bmp(bytes(p))
-                gray = [px[0] for row in d["pixels"] for px in row]
-                for b, v in enumerate(_gradient_bands(gray, d["width"])):
+                gray, width = _decode_bmp_gray_np(bytes(p))
+                for b, v in enumerate(_gradient_bands(list(gray), width)):
                     ids.append(doc_id)
                     bands.append(b)
                     vals.append(v)
@@ -489,7 +513,15 @@ def hamming_neardup(
     that the join is probabilistic-recall LSH, and widening buckets
     trades recall for candidate volume. The exact verify is unchanged —
     every emitted pair's Hamming distance is true regardless.
+
+    The hash table feeds FOUR plan branches (both candidate sides, both
+    verify sides), so it is materialized once — otherwise the upstream
+    synthesize/decode/hash chain re-executes per branch (measured ~4x the
+    op's whole cost at the 30x ladder). At cluster scale this is the
+    persisted fingerprint table every production dedup pipeline keeps
+    (~40 bytes/doc — orders of magnitude below the payload corpus).
     """
+    hashes = hashes.localCheckpoint(eager=True)
     a = hashes.select(
         F.col("doc_id").alias("__ia"), "band", F.col("val").alias("__va")
     )
@@ -570,7 +602,13 @@ def shared_frame_neardup(
     indicate pairwise duplication), then one hash-keyed equi-join and a
     pair-keyed count — never all-pairs, every stage map-side-partial.
     """
-    fr = frames.select("doc_id", F.col("frame_md5").alias("h")).distinct()
+    # the distinct frame table feeds three branches (df filter + both
+    # pair sides): materialize once, like the hamming_neardup hash table
+    fr = (
+        frames.select("doc_id", F.col("frame_md5").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     rare = (
         fr.groupBy("h")
         .agg(F.count("*").alias("__df"))

@@ -1639,15 +1639,24 @@ def test_hamming_neardup_matches_bruteforce(spark, sf_dir):
 
 
 def test_perceptual_neardup_plans_are_banded(spark, sf_dir):
-    """Both perceptual near-dup plans must be candidate-banded equi-joins
-    over Arrow-batched hash extraction — no CartesianProduct, no
-    row-at-a-time Python."""
+    """The perceptual near-dup plans must be candidate-banded equi-joins
+    — no CartesianProduct, no row-at-a-time Python. The hash/frame
+    extraction itself must be Arrow-batched (MapInPandas) — checked on
+    the extraction frame, since the pair stage reads the MATERIALIZED
+    fingerprint table (localCheckpoint) and its plan shows LogicalRDD."""
     from espkinesis_spark.plans import physical_plan
     from espkinesis_spark.queries import registry
+    from espkinesis_spark.tables import load_table
 
+    docs = load_table(spark, sf_dir, "documents")
+    for extract in (
+        lambda: multimodal.image_dhash(multimodal.synthesize_gray_bmp(docs)),
+        lambda: multimodal.audio_envelope_hash(multimodal.synthesize_tone_wav(docs)),
+        lambda: multimodal.sample_frames(multimodal.attach_binary(docs)),
+    ):
+        assert "MapInPandas" in physical_plan(extract())
     for name in ("ex_image_neardup", "ex_audio_neardup", "ex_video_neardup"):
         plan = physical_plan(registry()[name](spark, sf_dir))
-        assert "MapInPandas" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
 
