@@ -730,19 +730,33 @@ def frequent_values(df: DataFrame, col: str, k: int = C.HH_K) -> DataFrame:
 
     vals = df.select(F.col(col).alias("__v"))
 
+    # the summarize pass also emits each partition's row count as a
+    # NULL-value sentinel row (the sketch_quantiles offset trick), so the
+    # scalar total rides the sketch scan instead of costing the corpus a
+    # third full read — the op is exactly the two scans it claims
     def mg(batches):
         counters = pd.Series(dtype="int64")
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             vc = pdf["__v"].value_counts()
             counters = counters.add(vc, fill_value=0)
             if len(counters) > k:
                 counters = counters.sort_values(ascending=False, kind="stable")
                 counters = counters - counters.iloc[k]
                 counters = counters[counters > 0]
-        yield pd.DataFrame({"__v": counters.index.astype(str)})
+        yield pd.DataFrame(
+            {
+                "__v": list(counters.index.astype(str)) + [None],
+                "__n": [0] * len(counters) + [n_rows],
+            }
+        )
 
-    cand = vals.mapInPandas(mg, "__v string").distinct()
-    tot = vals.agg(F.count("*").cast("long").alias("total"))
+    summary = vals.mapInPandas(mg, "__v string, __n long").localCheckpoint(
+        eager=True
+    )
+    cand = summary.filter(F.col("__v").isNotNull()).select("__v").distinct()
+    tot = summary.agg(F.sum("__n").cast("long").alias("total"))
     exact = (
         vals.join(F.broadcast(cand), "__v")
         .groupBy("__v")
