@@ -682,6 +682,18 @@ def semdedup(
     )
 
 
+def _gram_parts(vecs: DataFrame, vec_col: str, kernel) -> DataFrame:
+    """The Arrow-batched partial-gramian extraction stage of embed_gram,
+    exposed so the plan audit can assert the MapInPandas shape directly
+    (the assembled query reads the MATERIALIZED d²-sized aggregate, so
+    the kernel no longer appears in its final plan)."""
+    return (
+        vecs.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(kernel, schema="i int, j int, v long")
+    )
+
+
 def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Distributed covariance of the embedding matrix — the O(n·d²)
     reduction at the heart of PCA / ZCA-whitening over a 100 TB embedding
@@ -740,15 +752,16 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     # NULL vectors contribute nothing (the SQL mirror's UNNEST over a NULL
     # array yields no rows; an unguarded np.stack would crash instead)
-    parts = (
-        vecs.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .mapInPandas(run, schema="i int, j int, v long")
-    )
+    parts = _gram_parts(vecs, vec_col, run)
     # cross-batch accumulation in decimal(38,0): exact integers with no
-    # int64 overflow cliff at cluster scale (sum precision caps at 38)
-    agg = parts.groupBy("i", "j").agg(
-        F.sum(F.col("v").cast("decimal(38,0)")).alias("v")
+    # int64 overflow cliff at cluster scale (sum precision caps at 38).
+    # The d²-sized aggregate feeds FOUR branches (total, both sum sides,
+    # gramian) — materialize it once or each branch re-runs the corpus
+    # scan + gramian kernel (the multi-branch mapInPandas hazard).
+    agg = (
+        parts.groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .localCheckpoint(eager=True)
     )
     tot = agg.filter(F.col("i") == -1).select(F.col("v").alias("n"))
     sums = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(

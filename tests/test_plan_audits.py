@@ -173,13 +173,19 @@ def test_cooccur_topk_and_broadcast_probes(spark, sf_dir):
 
 def test_embed_gram_ships_partial_gramians(spark, sf_dir):
     """The covariance reduction must run as Arrow-batched partial gramians
-    (MapInPandas) with only d²-sized data past the map — never an explode
-    of the n×d² product space or a corpus-sized sort-merge join."""
+    (MapInPandas, asserted on the extraction stage — the assembled query
+    reads the MATERIALIZED d²-sized aggregate) with only d²-sized data
+    past the map — never an explode of the n×d² product space or a
+    corpus-sized sort-merge join."""
+    from espkinesis_spark.functions import similarity
     from espkinesis_spark.plans import physical_plan
+    from espkinesis_spark.tables import load_table
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = similarity._gram_parts(emb, "embedding", lambda it: it)
+    assert "MapInPandas" in physical_plan(parts)
     df = _q(spark, sf_dir, "ex_embed_gram")
     plan = physical_plan(df)
-    assert "MapInPandas" in plan
     assert "Generate" not in plan, "product space exploded row-wise"
     assert "SortMergeJoin" not in plan, "d2-sized assembly joins must broadcast"
 
