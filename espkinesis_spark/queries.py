@@ -1467,7 +1467,11 @@ def ex_dq_checks(spark, sf_dir):
     duplicates, foreign-key orphans (big-big left-anti joins — the honest
     scale shape; no side is collectable), domain violations, null rates.
     The expectation-suite primitive every ingest pipeline runs before
-    promoting a batch."""
+    promoting a batch. Scan-local checks on the same table FUSE into one
+    conditional aggregate per scan (an expectation suite batches its
+    compatible checks per pass — the fact table is read once for every
+    non-join check, not once per check); only the two orphan checks need
+    their own anti-join branches."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
@@ -1476,11 +1480,31 @@ def ex_dq_checks(spark, sf_dir):
         return df.select(F.lit(name).alias("chk"), F.col("violations"))
 
     v = F.count("*").cast("long").alias("violations")
+    o_local = (
+        o.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("pk"),
+            F.sum((F.col("o_totalprice") <= 0).cast("long")).cast("long").alias("npp"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("orders_pk_dups").alias("chk"),
+                        F.col("pk").alias("violations"),
+                    ),
+                    F.struct(
+                        F.lit("orders_nonpositive_price").alias("chk"),
+                        F.col("npp").alias("violations"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
     return (
-        one("orders_pk_dups", o.agg((F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("violations")))
+        o_local
         .unionAll(one("lineitem_fk_orphans", li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti").agg(v)))
         .unionAll(one("orders_custkey_orphans", o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti").agg(v)))
-        .unionAll(one("orders_nonpositive_price", o.filter(F.col("o_totalprice") <= 0).agg(v)))
         .unionAll(one("customer_null_name", c.filter(F.col("c_name").isNull()).agg(v)))
     )
 
