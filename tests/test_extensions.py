@@ -1831,3 +1831,34 @@ def test_hamming_neardup_bucket_bands_knob(spark, sf_dir):
     guaranteed = {k for k, v in narrow.items() if v < 2}
     assert guaranteed <= set(wide)
     assert len(wide) > 0
+
+
+def test_gradient_bands_pigeonhole_property():
+    """Pure-python property (hypothesis): for any two equal-length grids,
+    if the banded hashes differ in < n_bands bands' worth of Hamming
+    distance... concretely: pairs within Hamming radius r < n_bands MUST
+    share at least one identical band (the candidate-join recall
+    contract), and the banded ints always reconstruct the exact bit
+    sequence (lossless packing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from espkinesis_spark.functions.multimodal import _gradient_bands
+
+    grid = st.lists(st.integers(0, 255), min_size=72, max_size=72)
+
+    @settings(max_examples=60, deadline=None)
+    @given(grid, grid)
+    def run(g1, g2):
+        b1 = _gradient_bands(g1, 9)
+        b2 = _gradient_bands(g2, 9)
+        assert len(b1) == len(b2) == 4
+        # lossless packing: 16 bits per band, 64 bits total
+        assert all(0 <= v < (1 << 16) for v in b1 + b2)
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(b1, b2))
+        if ham < 4:  # pigeonhole: fewer differing bits than bands
+            assert any(x == y for x, y in zip(b1, b2))
+        # self-distance is zero and banding is deterministic
+        assert b1 == _gradient_bands(g1, 9)
+
+    run()
