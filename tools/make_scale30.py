@@ -93,6 +93,38 @@ def main() -> None:
         con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows")
+    make_mm(con, src, f"{out}_mm", reps)
+
+
+def make_mm(con, src: str, out: str, reps: int) -> None:
+    """Perceptual-ladder documents variant (<out>_mm/documents.parquet).
+
+    The image/audio/video fingerprints sample the document PREFIX, so the
+    main recipe's suffix filler leaves every replica a TRUE prefix
+    near-dup of its source — a ladder on it measures output size (true
+    pairs are quadratic in replicas by construction), not throughput.
+    This variant prepends a DISTINCT-LENGTH prefix per replica (length
+    == replica index): no two replicas of a doc sample the same original
+    positions, so true near-dup pairs stay linear. Equal-LENGTH distinct
+    prefixes are NOT enough — all i>=1 replicas would stay mutually
+    aligned and pair up quadratically (measured: 1.2M pairs vs 4.2k)."""
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + r.i * 1000000 AS doc_id,
+                 CASE WHEN r.i = 0 THEN text
+                      ELSE substr(repeat(md5(CAST(r.i * 7919 + doc_id % 97
+                                                  AS VARCHAR)), 2),
+                                  1, CAST(r.i AS INT)) || text END AS text,
+                 lang, source, CAST(length(text) AS BIGINT) AS n_chars
+          FROM '{src}/documents.parquet', range({reps}) r(i)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    n = con.execute(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
+    print(f"mm documents: {n} rows -> {out}")
 
 
 if __name__ == "__main__":
