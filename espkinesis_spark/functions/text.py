@@ -528,7 +528,13 @@ def cooccur(
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("n_pair"))
     )
-    uni = _word_freqs(df, text_col)
+    # pc feeds two branches (its own scalar total + the output) and uni
+    # three (total + both probe sides) — materialize each once or the
+    # pair fan-out / corpus tokenize re-executes per branch (the
+    # multi-branch hazard). Both are count tables (distinct-pair / vocab
+    # sized), exactly what embedding-training pipelines persist.
+    pc = pc.localCheckpoint(eager=True)
+    uni = _word_freqs(df, text_col).localCheckpoint(eager=True)
     n_pairs = pc.agg(F.sum("n_pair").cast("double").alias("np"))
     n_tok = uni.agg(F.sum("freq").cast("double").alias("nt"))
     fa = F.broadcast(uni.select(F.col("w").alias("a"), F.col("freq").alias("ca")))
