@@ -416,7 +416,11 @@ def bigram_logprob(
         .filter((F.length("w1") > 0) & (F.length("w2") > 0))
     )
     lm = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
-    ctx = pairs.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    # the LM table feeds its own context marginal (c1 = Σ_w2 c12) and the
+    # scoring probe — materialize the bigram-vocab-sized table once and
+    # derive ctx from it instead of re-running the corpus fan-out
+    lm = lm.localCheckpoint(eager=True)
+    ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = _word_freqs(df, text_col).agg(F.count("*").cast("double").alias("v"))
     a = F.lit(alpha)
     probs = (
@@ -446,11 +450,13 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     entropy = round(-Σ (c/n)·ln(c/n), 4) and norm_entropy = entropy /
     ln(n_distinct) (NULL when a doc has a single distinct token).
 
-    Scale shape: explode → (doc, token) count → per-doc total joined back
-    on doc_id (co-partitioned — the token counts are already keyed by
-    doc_id, so AQE reuses the partitioning) → one per-doc reduce. Both
+    Scale shape: explode → (doc, token) count → per-doc totals as a
+    WINDOW over the same doc_id-keyed partitioning (no second execution
+    of the count subtree, no join) → one per-doc reduce. Both
     aggregations partial-aggregate map-side; nothing is corpus-global.
     """
+    from pyspark.sql import Window
+
     # empty-string tokens are filtered so an empty/whitespace-only doc
     # emits no row on BOTH engines (Spark splits '' to []; DuckDB's
     # string_split_regex yields [''] — unguarded, parity diverges)
@@ -458,13 +464,17 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.length("tok") > 0)
     per_tok = tok.groupBy("doc_id", "tok").agg(F.count("*").cast("double").alias("c"))
-    totals = per_tok.groupBy("doc_id").agg(
-        F.sum("c").alias("n"), F.count("*").cast("long").alias("n_distinct")
+    w_doc = Window.partitionBy("doc_id")
+    per_tok = per_tok.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(w_doc).alias("n"),
+        F.count("*").over(w_doc).cast("long").alias("n_distinct"),
     )
     p = F.col("c") / F.col("n")
     ent = F.round(-F.sum(p * F.log(p)), 4)
     return (
-        per_tok.join(totals, "doc_id")
+        per_tok
         .groupBy("doc_id")
         .agg(
             F.first("n").cast("long").alias("n_tokens"),
