@@ -344,7 +344,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     text) without any external model dependency.
     """
     tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
-    lm = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    # vocab-sized LM feeds its own total and the probe side — materialize
+    # once so the corpus tokenize runs for train + score only (2 passes)
+    lm = tok.groupBy("tok").agg(
+        F.count("*").cast("double").alias("c")
+    ).localCheckpoint(eager=True)
     total = lm.agg(F.sum("c").alias("t"))
     probs = lm.crossJoin(F.broadcast(total)).select(
         "tok", (F.col("c") / F.col("t")).alias("p")
