@@ -1539,6 +1539,9 @@ ORACLES["st_anomaly"] = ORACLES["ex_anomaly"]
 # streaming heavy hitters maintains the same token counts complete-mode;
 # the drained snapshot equals the batch table, so one oracle serves both
 ORACLES["st_heavy_hitters"] = ORACLES["ex_heavy_hitters"]
+# st_image_neardup fingerprints at ingest and joins over the drained
+# store; the snapshot equals the batch hash table, so the oracle is exact
+ORACLES["st_image_neardup"] = ORACLES["ex_image_neardup"]
 
 # the streaming model scorer is the identical stateless projection run
 # in append mode, so it shares the batch oracle verbatim

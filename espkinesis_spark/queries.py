@@ -1141,6 +1141,18 @@ def st_quality_gate(spark, sf_dir):
     return jobs.quality_gate_stream(spark, sf_dir)
 
 
+def st_image_neardup(spark, sf_dir):
+    """Streaming perceptual image dedup (the production lambda):
+    fingerprints extracted at ingest as a stateless append projection
+    (Arrow kernels on the stream — payloads touched exactly once),
+    banded Hamming join + exact verify over the drained fingerprint
+    store. Snapshot equals the batch hash table; shares
+    ex_image_neardup's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.image_neardup_stream(spark, sf_dir)
+
+
 def st_quality_model(spark, sf_dir):
     """Streaming model-based quality scoring (stateless zero-state
     projection, append mode) — equals batch ex_quality_model, one
@@ -2033,6 +2045,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,
         "ex_video_neardup": ex_video_neardup,
+        "st_image_neardup": st_image_neardup,
         # --- window 3: never-green (r6 hash fail) AND kernel rewritten
         # this round (int64 fixed-point gramian) ---
         "ex_embed_gram": ex_embed_gram,
@@ -2056,7 +2069,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq12": dq12,
         "dq13": dq13,
         "dq15": dq15,
-        "dq16": dq16,
         "dq17": dq17,
         "dq18": dq18,
         "dq20": dq20,
@@ -2088,6 +2100,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: dq21 canary first (r5-green — evicted for the third
         # round-7 addition), then r5-green entries (next rotation
         # cohort)... ---
+        "dq16": dq16,
         "dq21": dq21,
         "dq09": dq09,
         "dq14": dq14,

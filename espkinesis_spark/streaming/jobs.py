@@ -209,6 +209,31 @@ def content_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_content_dedup_sink", "append")
 
 
+def image_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual image dedup — the production lambda: the
+    dHash fingerprint is extracted AT INGEST (synthesize + real-BMP
+    decode + hash as a STATELESS zero-state append projection — Arrow
+    kernels run on the stream, so fingerprinting keeps up at any
+    ingest rate and the corpus payload is touched exactly once), the
+    fingerprint rows land in the store, and the banded Hamming
+    candidate join + exact verify run over the drained fingerprint
+    store (the anomaly/heavy-hitters drain-then-analyze split:
+    Structured Streaming cannot run the self-join + aggregation level
+    in-query). The snapshot equals the batch hash table, so
+    ex_image_neardup's oracle is exact."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions.multimodal import (
+        hamming_neardup,
+        image_dhash,
+        synthesize_gray_bmp,
+    )
+
+    src = _documents_stream(spark, sf_dir)
+    hashes = image_dhash(synthesize_gray_bmp(src))
+    store = _drain_to_memory(hashes, "st_image_neardup_sink", "append")
+    return hamming_neardup(store, max_hamming=C.IMG_HAM_MAX)
+
+
 def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming observability lambda: hourly per-type event counts
     maintained incrementally on the stream (complete-mode aggregation —

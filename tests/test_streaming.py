@@ -539,3 +539,39 @@ def test_quality_model_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_fa
     got = {tuple(r) for r in spark.table("qm_mb").collect()}
     want = {tuple(r) for r in quality_model_score(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_image_neardup_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The fingerprint-at-ingest leg replayed across micro-batches must
+    accumulate exactly the batch hash table (append mode, zero state),
+    so the banded join over the drained store equals the batch op."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions.multimodal import (
+        hamming_neardup,
+        image_dhash,
+        synthesize_gray_bmp,
+    )
+
+    docs, src = _chunked_doc_stream(spark, sf_dir, tmp_path_factory, "imgnd")
+    q = (
+        image_dhash(synthesize_gray_bmp(src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("imgnd_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1  # genuinely multi-batch
+    store = spark.table("imgnd_mb")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in hamming_neardup(store, C.IMG_HAM_MAX).collect()
+    }
+    want = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in hamming_neardup(
+            image_dhash(synthesize_gray_bmp(docs)), C.IMG_HAM_MAX
+        ).collect()
+    }
+    assert got == want and len(want) > 0
