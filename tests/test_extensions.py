@@ -1862,3 +1862,40 @@ def test_gradient_bands_pigeonhole_property():
         assert b1 == _gradient_bands(g1, 9)
 
     run()
+
+
+def test_perceptual_ops_empty_and_short_inputs(spark):
+    """Degenerate inputs: an empty corpus and docs shorter than every
+    sampling region must yield EMPTY near-dup outputs with the stable
+    schema — not a crash in the kernels or the checkpointed join."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    short = spark.createDataFrame(
+        [(1, "tiny"), (2, "also tiny")], "doc_id long, text string"
+    )
+    for docs in (empty, short):
+        img = multimodal.hamming_neardup(
+            multimodal.image_dhash(multimodal.synthesize_gray_bmp(docs)),
+            max_hamming=C.IMG_HAM_MAX,
+        )
+        assert img.columns == ["doc_id_a", "doc_id_b", "hamming"]
+        assert img.count() == 0
+        aud = multimodal.hamming_neardup(
+            multimodal.audio_envelope_hash(multimodal.synthesize_tone_wav(docs)),
+            max_hamming=C.AUD_HAM_MAX,
+        )
+        assert aud.count() == 0
+    frames = multimodal.sample_frames(multimodal.attach_binary(short))
+    vid = multimodal.shared_frame_neardup(frames)
+    assert vid.columns == ["doc_id_a", "doc_id_b", "n_shared"]
+    assert vid.count() == 0
+
+
+def test_embed_gram_all_null_is_empty(spark):
+    """An all-NULL embedding column reduces to an empty covariance table
+    (the oracle's UNNEST-over-NULL yields no rows), schema intact."""
+    vecs = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.embed_gram(vecs)
+    assert out.columns == ["dim_i", "dim_j", "cov"]
+    assert out.count() == 0
