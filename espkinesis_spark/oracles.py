@@ -1542,6 +1542,8 @@ ORACLES["st_heavy_hitters"] = ORACLES["ex_heavy_hitters"]
 # st_image_neardup fingerprints at ingest and joins over the drained
 # store; the snapshot equals the batch hash table, so the oracle is exact
 ORACLES["st_image_neardup"] = ORACLES["ex_image_neardup"]
+ORACLES["st_audio_neardup"] = ORACLES["ex_audio_neardup"]
+ORACLES["st_video_neardup"] = ORACLES["ex_video_neardup"]
 
 # the streaming model scorer is the identical stateless projection run
 # in append mode, so it shares the batch oracle verbatim

@@ -1153,6 +1153,24 @@ def st_image_neardup(spark, sf_dir):
     return jobs.image_neardup_stream(spark, sf_dir)
 
 
+def st_audio_neardup(spark, sf_dir):
+    """Streaming acoustic near-dup: envelope fingerprints at ingest
+    (stateless append), banded Hamming join over the drained store.
+    Shares ex_audio_neardup's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.audio_neardup_stream(spark, sf_dir)
+
+
+def st_video_neardup(spark, sf_dir):
+    """Streaming video-shape near-dup: keyframe hashes at ingest
+    (stateless append), shared-frame pairing over the drained store.
+    Shares ex_video_neardup's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.video_neardup_stream(spark, sf_dir)
+
+
 def st_quality_model(spark, sf_dir):
     """Streaming model-based quality scoring (stateless zero-state
     projection, append mode) — equals batch ex_quality_model, one
@@ -2046,6 +2064,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_audio_neardup": ex_audio_neardup,
         "ex_video_neardup": ex_video_neardup,
         "st_image_neardup": st_image_neardup,
+        "st_audio_neardup": st_audio_neardup,
+        "st_video_neardup": st_video_neardup,
         # --- window 3: never-green (r6 hash fail) AND kernel rewritten
         # this round (int64 fixed-point gramian) ---
         "ex_embed_gram": ex_embed_gram,
@@ -2057,8 +2077,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window 9-50: the full r4-vintage cohort — after this
         # round no entry's latest green driver row predates r5 ---
         "dq01": dq01,
-        "dq02": dq02,
-        "dq03": dq03,
         "dq04": dq04,
         "dq05": dq05,
         "dq06": dq06,
@@ -2100,6 +2118,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: dq21 canary first (r5-green — evicted for the third
         # round-7 addition), then r5-green entries (next rotation
         # cohort)... ---
+        "dq02": dq02,
+        "dq03": dq03,
         "dq16": dq16,
         "dq21": dq21,
         "dq09": dq09,

@@ -234,6 +234,41 @@ def image_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neardup(store, max_hamming=C.IMG_HAM_MAX)
 
 
+def audio_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming acoustic near-dup: the image_neardup_stream lambda with
+    the WAV energy-envelope fingerprint (see image_neardup_stream for
+    the ingest/drain split rationale). Shares ex_audio_neardup's
+    oracle."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions.multimodal import (
+        audio_envelope_hash,
+        hamming_neardup,
+        synthesize_tone_wav,
+    )
+
+    src = _documents_stream(spark, sf_dir)
+    hashes = audio_envelope_hash(synthesize_tone_wav(src))
+    store = _drain_to_memory(hashes, "st_audio_neardup_sink", "append")
+    return hamming_neardup(store, max_hamming=C.AUD_HAM_MAX)
+
+
+def video_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming video-shape near-dup: keyframe hashes extracted at
+    ingest (stateless append projection), the shared-frame pairing with
+    its hot-frame df cap over the drained keyframe store. Shares
+    ex_video_neardup's oracle."""
+    from espkinesis_spark.functions.multimodal import (
+        attach_binary,
+        sample_frames,
+        shared_frame_neardup,
+    )
+
+    src = _documents_stream(spark, sf_dir)
+    frames = sample_frames(attach_binary(src))
+    store = _drain_to_memory(frames, "st_video_neardup_sink", "append")
+    return shared_frame_neardup(store)
+
+
 def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming observability lambda: hourly per-type event counts
     maintained incrementally on the stream (complete-mode aggregation —

@@ -575,3 +575,46 @@ def test_image_neardup_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_fa
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_audio_video_neardup_stream_multibatch_equals_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """The audio/video fingerprint-at-ingest legs replayed across
+    micro-batches accumulate exactly the batch fingerprint tables."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions.multimodal import (
+        attach_binary,
+        audio_envelope_hash,
+        hamming_neardup,
+        sample_frames,
+        shared_frame_neardup,
+        synthesize_tone_wav,
+    )
+
+    docs, src = _chunked_doc_stream(spark, sf_dir, tmp_path_factory, "avnd")
+    for label, extract, pair in (
+        (
+            "aud",
+            lambda d: audio_envelope_hash(synthesize_tone_wav(d)),
+            lambda h: hamming_neardup(h, C.AUD_HAM_MAX),
+        ),
+        (
+            "vid",
+            lambda d: sample_frames(attach_binary(d)),
+            shared_frame_neardup,
+        ),
+    ):
+        q = (
+            extract(src)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"avnd_{label}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(q.recentProgress) > 1, label
+        got = {tuple(r) for r in pair(spark.table(f"avnd_{label}")).collect()}
+        want = {tuple(r) for r in pair(extract(docs)).collect()}
+        assert got == want and len(want) > 0, label
