@@ -167,10 +167,13 @@ QM_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
 # near-dup edit changes the length, destroying locality), and the audio
 # energy-envelope fingerprint (32 windows of 8 samples -> 31 bits).
 # Hash bits split into HAM_BAND_BITS-wide bands for the LSH candidate
-# join — two near-dups within the Hamming radius share >=1 exact band
-# (pigeonhole: r <= bits - bands*(ceil((r+1)/bands)-1) holds for
-# r < bands). At cluster scale band width trades candidate volume
-# against recall exactly like the SimHash bands in dedup.py.
+# join. Recall contract (hamming_neardup docstring has the full form):
+# a pair within radius r is GUARANTEED a shared band only while
+# r < n_bands (pigeonhole); the configured radii sit ABOVE that bound
+# (IMG_HAM_MAX=6 > 3, AUD_HAM_MAX=3 > 1), so candidates in the 4..6 /
+# 2..3 tails are probabilistic-recall LSH, as in any banded scheme.
+# At cluster scale band width trades candidate volume against recall
+# exactly like the SimHash bands in dedup.py.
 IMG_DHASH_COLS = 9
 IMG_DHASH_ROWS = 8
 IMG_STRIDE = 4  # sample every 4th char -> needs 288 chars

@@ -720,8 +720,11 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
     batch_rows · (EG_QUANT·max|x|)² < 2⁶³ — ~10⁵ rows of unit-norm
     vectors per 10k-row Arrow batch is ~10¹⁷, far inside), and the 6-dp
     value is produced by ONE integral divide — half-away of
-    num·10⁶ / den with num = n·g − sᵢ·sⱼ and den = n²·EG_QUANT² — so the
-    result is bit-identical for every partitioning and both engines.
+    num / den2 with num = n·g − sᵢ·sⱼ and den2 = n²·EG_QUANT (the 10⁶
+    output scale cancels one EG_QUANT factor, which requires
+    EG_QUANT == 10⁶; the cancellation keeps every intermediate well
+    under the 38-digit decimal cap to n ≈ 10¹² rows) — so the result is
+    bit-identical for every partitioning and both engines.
     """
     import numpy as np
     import pandas as pd
@@ -780,22 +783,25 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
             "dim_i",
             "dim_j",
             (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).alias("num"),
+            # den2 = n²·EG_QUANT (NOT squared): the target value is
+            # num·10⁶ / (n²·EG_QUANT²) and 10⁶ = EG_QUANT cancels, so the
+            # scaling multiply that would overflow decimal(38,0) around
+            # n ≈ 7e9 rows (review catch) never happens — headroom now
+            # runs to n ≈ 1e12-ish, bounded by num itself
             (
-                F.col("n")
-                * F.col("n")
-                * F.lit(C.EG_QUANT * C.EG_QUANT).cast("decimal(38,0)")
-            ).alias("den"),
+                F.col("n") * F.col("n") * F.lit(C.EG_QUANT).cast("decimal(38,0)")
+            ).alias("den2"),
         )
         # ONE integral divide makes the 6-dp value exact: half-away of
-        # num·10⁶/den is floor((2·|num|·10⁶ + den) / (2·den)) with the
-        # sign re-applied; `div` on decimals is Spark's IntegralDivide
+        # num/den2 is floor((2·|num| + den2) / (2·den2)) with the sign
+        # re-applied; `div` on decimals is Spark's IntegralDivide
         .select(
             "dim_i",
             "dim_j",
             F.expr(
                 "CASE WHEN num >= 0"
-                " THEN (2 * num * 1000000 + den) div (2 * den)"
-                " ELSE -((-2 * num * 1000000 + den) div (2 * den)) END"
+                " THEN (2 * num + den2) div (2 * den2)"
+                " ELSE -((-2 * num + den2) div (2 * den2)) END"
             ).alias("cov6"),
         )
         .select(

@@ -1420,8 +1420,12 @@ GROUP BY source""",
     # accumulate exact integers (HUGEINT here, decimal(38,0) there) and
     # derive the 6-dp value from ONE integral divide — bit-identical in
     # any partition/summation order (the r6 float-gramian hash fail).
+    # The join key is the table's own vec_id (a row_number() OVER () key
+    # relied on identical CTE-scan order across references — review
+    # catch), and the 10⁶ output scale cancels one EG_QUANT factor so no
+    # scaling multiply approaches the 38-digit cap.
     "ex_embed_gram": f"""
-        WITH v AS (SELECT row_number() OVER () AS rid,
+        WITH v AS (SELECT vec_id AS rid,
                           CAST(embedding AS DOUBLE[]) AS e
                    FROM embeddings WHERE embedding IS NOT NULL),
         cells AS (SELECT rid, CAST(i AS INT) AS dim,
@@ -1439,12 +1443,12 @@ GROUP BY source""",
         n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v)
         SELECT g.dim_i, g.dim_j,
                CAST(CASE WHEN n.n * g.g - si.s * sj.s >= 0
-                    THEN (2 * (n.n * g.g - si.s * sj.s) * 1000000
-                          + n.n * n.n * {C.EG_QUANT * C.EG_QUANT})
-                         // (2 * n.n * n.n * {C.EG_QUANT * C.EG_QUANT})
-                    ELSE -((-2 * (n.n * g.g - si.s * sj.s) * 1000000
-                            + n.n * n.n * {C.EG_QUANT * C.EG_QUANT})
-                           // (2 * n.n * n.n * {C.EG_QUANT * C.EG_QUANT}))
+                    THEN (2 * (n.n * g.g - si.s * sj.s)
+                          + n.n * n.n * {C.EG_QUANT})
+                         // (2 * n.n * n.n * {C.EG_QUANT})
+                    ELSE -((-2 * (n.n * g.g - si.s * sj.s)
+                            + n.n * n.n * {C.EG_QUANT})
+                           // (2 * n.n * n.n * {C.EG_QUANT}))
                     END AS DOUBLE) / 1e6 AS cov
         FROM g
         JOIN s si ON si.dim = g.dim_i

@@ -1513,7 +1513,11 @@ def ex_dq_checks(spark, sf_dir):
     o_local = (
         o.agg(
             (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("pk"),
-            F.sum((F.col("o_totalprice") <= 0).cast("long")).cast("long").alias("npp"),
+            # coalesce: SUM over zero rows is NULL where the unfused
+            # filter+count was 0 (empty-table review catch)
+            F.coalesce(
+                F.sum((F.col("o_totalprice") <= 0).cast("long")), F.lit(0)
+            ).cast("long").alias("npp"),
         )
         .select(
             F.explode(
@@ -2048,34 +2052,36 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-7 invariant is EVIDENCE FRESHNESS: positions 1-3 hold this
-    round's new entries (tests/test_registry.py requires unproven ⊆
-    first-50); 4 is ex_embed_gram — the one never-green entry (r6 hash
+    round-7 invariant is EVIDENCE FRESHNESS: positions 1-6 hold this
+    round's six new entries (tests/test_registry.py requires unproven ⊆
+    first-50); 7 is ex_embed_gram — the one never-green entry (r6 hash
     fail), whose kernel was rewritten this round to int64 fixed-point;
-    5-8 are the last four round-2-vintage entries;
-    9-50 are the ENTIRE round-4-vintage cohort (42 entries), so
-    after this round no entry's latest green driver row predates round
-    5. The tail lists the r5-green entries first (the next rotation
-    cohort) and the r6-green entries last.
+    8-11 are the last four round-2-vintage entries; 12-50 are 39 of the
+    42 round-4-vintage entries. The three r4 entries the new ops
+    displaced (dq02, dq03, dq16 — pure-projection lowest-risk) sit at
+    the tail head with dq21 and rotate first in round 8; after this
+    round they are the ONLY entries whose latest green driver row
+    predates round 5. The rest of the tail lists the r5-green entries
+    (the next rotation cohort) and the r6-green entries last.
     """
     return {
-        # --- window 1-3: round-7 additions (unproven must sit here) ---
+        # --- window 1-6: round-7 additions (unproven must sit here) ---
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,
         "ex_video_neardup": ex_video_neardup,
         "st_image_neardup": st_image_neardup,
         "st_audio_neardup": st_audio_neardup,
         "st_video_neardup": st_video_neardup,
-        # --- window 3: never-green (r6 hash fail) AND kernel rewritten
+        # --- window 7: never-green (r6 hash fail) AND kernel rewritten
         # this round (int64 fixed-point gramian) ---
         "ex_embed_gram": ex_embed_gram,
-        # --- window 4-7: the last round-2-vintage evidence ---
+        # --- window 8-11: the last round-2-vintage evidence ---
         "ex_lang_id": ex_lang_id,
         "ex_text_stats": ex_text_stats,
         "ex_token_count": ex_token_count,
         "ex_udf_surface": ex_udf_surface,
-        # --- window 9-50: the full r4-vintage cohort — after this
-        # round no entry's latest green driver row predates r5 ---
+        # --- window 12-50: the r4-vintage cohort (39 of 42 — dq02/dq03/
+        # dq16 were displaced by the new ops and rotate first in r8) ---
         "dq01": dq01,
         "dq04": dq04,
         "dq05": dq05,
@@ -2115,9 +2121,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_semantic_search": ex_semantic_search,
         "ex_skew_join": ex_skew_join,
         "ex_stratified_sample": ex_stratified_sample,
-        # --- tail: dq21 canary first (r5-green — evicted for the third
-        # round-7 addition), then r5-green entries (next rotation
-        # cohort)... ---
+        # --- tail head: the three displaced r4 entries + the dq21
+        # canary (rotate first in r8), then the r5-green entries (next
+        # rotation cohort)... ---
         "dq02": dq02,
         "dq03": dq03,
         "dq16": dq16,

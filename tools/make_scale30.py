@@ -111,16 +111,27 @@ def make_mm(con, src: str, out: str, reps: int) -> None:
     import os
 
     os.makedirs(out, exist_ok=True)
+    # prefix material must cover the longest replica index (repeat count
+    # scales with reps — a fixed repeat(.., 2) saturates at 64 chars and
+    # re-aligns replicas i >= 64, review catch), and n_chars is computed
+    # from the PREFIXED text via a subquery (length(text) in the same
+    # SELECT list binds to the base column under DuckDB lateral-alias
+    # rules — the same ambiguity fixed in the main documents recipe)
+    rep_n = reps // 32 + 2
     con.execute(
         f"""
         COPY (
-          SELECT doc_id + r.i * 1000000 AS doc_id,
-                 CASE WHEN r.i = 0 THEN text
-                      ELSE substr(repeat(md5(CAST(r.i * 7919 + doc_id % 97
-                                                  AS VARCHAR)), 2),
-                                  1, CAST(r.i AS INT)) || text END AS text,
-                 lang, source, CAST(length(text) AS BIGINT) AS n_chars
-          FROM '{src}/documents.parquet', range({reps}) r(i)
+          SELECT doc_id, text, lang, source,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM (
+            SELECT doc_id + r.i * 1000000 AS doc_id,
+                   CASE WHEN r.i = 0 THEN text
+                        ELSE substr(repeat(md5(CAST(r.i * 7919 + doc_id % 97
+                                                    AS VARCHAR)), {rep_n}),
+                                    1, CAST(r.i AS INT)) || text END AS text,
+                   lang, source
+            FROM '{src}/documents.parquet', range({reps}) r(i)
+          )
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
     )
     n = con.execute(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
