@@ -648,3 +648,78 @@ def dup_spans(
         F.sum("__is_cut").cast("long").alias("n_cut"),
         F.round(F.sum("__is_dup") / F.count("*"), 4).alias("dup_ratio"),
     )
+
+
+def dup_spans_apply(
+    docs: DataFrame, span: int = C.SPAN_TOKENS, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring dedup APPLIED (the rewrite ``dup_spans`` only
+    reports): every token covered by a non-first-occurrence span window
+    is removed (Lee et al. 2022's substring dedup cuts the later
+    occurrences; overlapping cut windows merge naturally through the
+    position-set union). Emits one row per document —
+    (doc_id, n_tokens, n_removed, kept_md5) with kept_md5 the md5 of the
+    space-joined SURVIVING tokens in original order (md5('') when a doc
+    is entirely duplicated text) — so the oracle can value-check the
+    exact rewritten content without hauling it.
+
+    Scale shape: the span table and first-occurrence window are exactly
+    ``dup_spans``' one __h-keyed shuffle; the cut-position fan-out is a
+    bounded ×span array explode; removal is one (doc, pos)-keyed
+    LEFT-ANTI equi-join; the rebuild is a single doc_id-keyed
+    aggregation whose per-group payload is one document's tokens (the
+    same per-doc bound every text op here carries). No collects, no
+    windows over the corpus, nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    spans_expr = F.expr(
+        f"transform(sequence(1, size(__toks) - {span} + 1),"
+        f" i -> md5(concat_ws(' ', slice(__toks, i, {span}))))"
+    )
+    base = docs.withColumn("__toks", toks)
+    occ = (
+        base.filter(F.size("__toks") >= span)
+        .select("doc_id", F.posexplode(spans_expr).alias("__p0", "__h"))
+        .select("doc_id", (F.col("__p0") + 1).alias("pos"), "__h")
+    )
+    w = Window.partitionBy("__h")
+    ordv = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+    cuts = occ.select(
+        "doc_id", "pos", (ordv != F.min(ordv).over(w)).alias("__is_cut")
+    ).filter(F.col("__is_cut"))
+    cut_pos = cuts.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + span - 1)).alias("tp"),
+    ).distinct()
+    tok_tbl = base.select(
+        "doc_id", F.posexplode("__toks").alias("__p0", "tok")
+    ).select("doc_id", (F.col("__p0") + 1).alias("tp"), "tok")
+    totals = tok_tbl.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    kept = tok_tbl.join(cut_pos, ["doc_id", "tp"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("__n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        totals.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )

@@ -1193,6 +1193,37 @@ GROUP BY source""",
                    AS BIGINT) AS n_cut,
                round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
         FROM g GROUP BY doc_id""",
+    # dup_spans_apply: same span table / first-occurrence rule as
+    # ex_dup_spans; cut positions fan out ×span, tokens anti-join them,
+    # and the rewritten content is value-checked via an ORDER BY-ed
+    # string_agg md5 (coalesced to md5('') for fully-cut docs, matching
+    # Spark's concat_ws over an empty kept set)
+    "ex_dedup_substring": f"""
+        WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+        sp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                      md5(array_to_string(
+                          list_slice(toks, CAST(i AS INT), CAST(i AS INT) + {C.SPAN_TOKENS - 1}),
+                          ' ')) AS h
+               FROM t, UNNEST(range(1, len(toks) - {C.SPAN_TOKENS} + 2)) AS u(i)
+               WHERE len(toks) >= {C.SPAN_TOKENS}),
+        g AS (SELECT doc_id, pos,
+                     min(doc_id * {C.SPAN_ORD_BASE} + pos) OVER (PARTITION BY h) AS mn
+              FROM sp),
+        cutpos AS (SELECT DISTINCT doc_id, pos + CAST(o AS BIGINT) AS tp
+                   FROM g, UNNEST(range({C.SPAN_TOKENS})) u(o)
+                   WHERE doc_id * {C.SPAN_ORD_BASE} + pos <> mn),
+        tok AS (SELECT doc_id, CAST(i AS BIGINT) AS tp, toks[CAST(i AS INT)] AS tok
+                FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
+        totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+                   FROM tok GROUP BY 1),
+        kept AS (SELECT tok.* FROM tok ANTI JOIN cutpos USING (doc_id, tp)),
+        ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      md5(string_agg(tok, ' ' ORDER BY tp)) AS kept_md5
+               FROM kept GROUP BY 1)
+        SELECT totals.doc_id, totals.n_tokens,
+               totals.n_tokens - coalesce(ka.n_kept, 0) AS n_removed,
+               coalesce(ka.kept_md5, md5('')) AS kept_md5
+        FROM totals LEFT JOIN ka USING (doc_id)""",
     "ex_kmeans": _kmeans_sql(),
     "ex_bpe_train": _bpe_sql(),
     "ex_bpe_encode": _bpe_encode_sql(),

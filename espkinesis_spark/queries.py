@@ -1555,6 +1555,15 @@ def ex_dedup_incremental(spark, sf_dir):
     )
 
 
+def ex_dedup_substring(spark, sf_dir):
+    """Exact-substring dedup APPLIED (Lee et al. 2022's rewrite —
+    ex_dup_spans is the report): tokens covered by non-first-occurrence
+    span windows are removed; emits per-doc surviving-token count and
+    the md5 of the rewritten content. One span-hash-keyed shuffle + one
+    (doc, pos)-keyed anti join + one doc-keyed rebuild."""
+    return dedup.dup_spans_apply(_t(spark, sf_dir, "documents"))
+
+
 def ex_chunk_docs(spark, sf_dir):
     """Overlapping character chunking with offsets + per-chunk md5 (RAG /
     context-window prep). Pure per-row fan-out, no shuffle."""
@@ -2052,38 +2061,38 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-7 invariant is EVIDENCE FRESHNESS: positions 1-6 hold this
-    round's six new entries (tests/test_registry.py requires unproven ⊆
-    first-50); 7 is ex_embed_gram — the one never-green entry (r6 hash
+    round-7 invariant is EVIDENCE FRESHNESS: positions 1-7 hold this
+    round's seven new entries (tests/test_registry.py requires unproven ⊆
+    first-50); 8 is ex_embed_gram — the one never-green entry (r6 hash
     fail), whose kernel was rewritten this round to int64 fixed-point;
-    8-11 are the last four round-2-vintage entries; 12-50 are 39 of the
-    42 round-4-vintage entries. The three r4 entries the new ops
-    displaced (dq02, dq03, dq16 — pure-projection lowest-risk) sit at
+    9-12 are the last four round-2-vintage entries; 13-50 are 38 of the
+    42 round-4-vintage entries. The four r4 entries the new ops
+    displaced (dq02, dq03, dq04, dq16 — pure-projection lowest-risk) sit at
     the tail head with dq21 and rotate first in round 8; after this
     round they are the ONLY entries whose latest green driver row
     predates round 5. The rest of the tail lists the r5-green entries
     (the next rotation cohort) and the r6-green entries last.
     """
     return {
-        # --- window 1-6: round-7 additions (unproven must sit here) ---
+        # --- window 1-7: round-7 additions (unproven must sit here) ---
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,
         "ex_video_neardup": ex_video_neardup,
         "st_image_neardup": st_image_neardup,
         "st_audio_neardup": st_audio_neardup,
         "st_video_neardup": st_video_neardup,
-        # --- window 7: never-green (r6 hash fail) AND kernel rewritten
+        "ex_dedup_substring": ex_dedup_substring,
+        # --- window 8: never-green (r6 hash fail) AND kernel rewritten
         # this round (int64 fixed-point gramian) ---
         "ex_embed_gram": ex_embed_gram,
-        # --- window 8-11: the last round-2-vintage evidence ---
+        # --- window 9-12: the last round-2-vintage evidence ---
         "ex_lang_id": ex_lang_id,
         "ex_text_stats": ex_text_stats,
         "ex_token_count": ex_token_count,
         "ex_udf_surface": ex_udf_surface,
-        # --- window 12-50: the r4-vintage cohort (39 of 42 — dq02/dq03/
-        # dq16 were displaced by the new ops and rotate first in r8) ---
+        # --- window 13-50: the r4-vintage cohort (38 of 42 — dq02/dq03/
+        # dq04/dq16 were displaced by the new ops and rotate first in r8) ---
         "dq01": dq01,
-        "dq04": dq04,
         "dq05": dq05,
         "dq06": dq06,
         "dq07": dq07,
@@ -2121,11 +2130,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_semantic_search": ex_semantic_search,
         "ex_skew_join": ex_skew_join,
         "ex_stratified_sample": ex_stratified_sample,
-        # --- tail head: the three displaced r4 entries + the dq21
+        # --- tail head: the four displaced r4 entries + the dq21
         # canary (rotate first in r8), then the r5-green entries (next
         # rotation cohort)... ---
         "dq02": dq02,
         "dq03": dq03,
+        "dq04": dq04,
         "dq16": dq16,
         "dq21": dq21,
         "dq09": dq09,

@@ -1899,3 +1899,46 @@ def test_embed_gram_all_null_is_empty(spark):
     out = similarity.embed_gram(vecs)
     assert out.columns == ["dim_i", "dim_j", "cov"]
     assert out.count() == 0
+
+
+def test_dup_spans_apply_constructed(spark):
+    """Hand-built corpus with span=3: doc 1 repeats doc 0's opening
+    3-token window (cut; doc 0 keeps it as first occurrence), doc 2 is
+    doc 0 verbatim (every window a later occurrence -> fully cut ->
+    kept_md5 == md5('')), doc 3 is unique. Overlapping cut windows merge
+    through the position-set union, so n_removed counts each token
+    once."""
+    import hashlib
+
+    d0 = "a b c d e f"
+    d1 = "a b c x y z"       # window (a b c) cut -> tokens 1-3 removed
+    d2 = "a b c d e f"       # all 4 windows later occurrences -> all cut
+    d3 = "p q r s t u"
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_md5"])
+        for r in dedup.dup_spans_apply(docs, span=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[0] == (6, 0, md5(d0))
+    assert out[1] == (6, 3, md5("x y z"))
+    assert out[2] == (6, 6, md5(""))
+    assert out[3] == (6, 0, md5(d3))
+
+
+def test_dup_spans_apply_consistent_with_report(spark, sf_dir):
+    """Coherence with the report op: a document reports n_cut > 0 iff the
+    apply leg removed tokens from it, and removals are bounded by
+    n_cut * span (overlap merging can only shrink the union)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = {r["doc_id"]: r["n_cut"] for r in dedup.dup_spans(docs).collect()}
+    app = {
+        r["doc_id"]: r["n_removed"]
+        for r in dedup.dup_spans_apply(docs).collect()
+    }
+    for doc_id, n_cut in rep.items():
+        removed = app[doc_id]
+        assert (removed > 0) == (n_cut > 0), doc_id
+        assert removed <= n_cut * C.SPAN_TOKENS, doc_id
