@@ -693,9 +693,14 @@ def dup_spans_apply(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + span - 1)).alias("tp"),
     ).distinct()
-    tok_tbl = base.select(
-        "doc_id", F.posexplode("__toks").alias("__p0", "tok")
-    ).select("doc_id", (F.col("__p0") + 1).alias("tp"), "tok")
+    # empty-string tokens filtered (the token_entropy convention): an
+    # empty/whitespace-only doc tokenizes to [''] and would otherwise
+    # emit a phantom one-token row — hypothesis mirror caught it
+    tok_tbl = (
+        base.select("doc_id", F.posexplode("__toks").alias("__p0", "tok"))
+        .filter(F.length("tok") > 0)
+        .select("doc_id", (F.col("__p0") + 1).alias("tp"), "tok")
+    )
     totals = tok_tbl.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens")
     )

@@ -1213,7 +1213,8 @@ GROUP BY source""",
                    FROM g, UNNEST(range({C.SPAN_TOKENS})) u(o)
                    WHERE doc_id * {C.SPAN_ORD_BASE} + pos <> mn),
         tok AS (SELECT doc_id, CAST(i AS BIGINT) AS tp, toks[CAST(i AS INT)] AS tok
-                FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
+                FROM t, UNNEST(range(1, len(toks) + 1)) u(i)
+                WHERE length(toks[CAST(i AS INT)]) > 0),
         totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
                    FROM tok GROUP BY 1),
         kept AS (SELECT tok.* FROM tok ANTI JOIN cutpos USING (doc_id, tp)),

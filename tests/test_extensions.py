@@ -1942,3 +1942,60 @@ def test_dup_spans_apply_consistent_with_report(spark, sf_dir):
         removed = app[doc_id]
         assert (removed > 0) == (n_cut > 0), doc_id
         assert removed <= n_cut * C.SPAN_TOKENS, doc_id
+
+
+def test_dup_spans_apply_matches_python_mirror(spark):
+    """Property: the distributed cut/rewrite equals a direct python
+    implementation of the Lee-et-al rule (first occurrence by (doc, pos)
+    kept, every token under any later-occurrence window removed) over
+    random small corpora."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    span = 3
+    word = st.sampled_from(list("abcd"))
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    def mirror(texts):
+        first = {}
+        occs = []
+        for d, t in enumerate(texts):
+            toks = [w for w in t.split() if w]
+            for p in range(len(toks) - span + 1):
+                key = tuple(toks[p : p + span])
+                occs.append((d, p, key))
+                if key not in first or (d, p) < first[key]:
+                    first[key] = (d, p)
+        cut = {}
+        for d, p, key in occs:
+            if first[key] != (d, p):
+                for tp in range(p, p + span):
+                    cut.setdefault(d, set()).add(tp)
+        out = {}
+        for d, t in enumerate(texts):
+            toks = [w for w in t.split() if w]
+            kept = [w for i, w in enumerate(toks) if i not in cut.get(d, set())]
+            out[d] = (
+                len(toks),
+                len(toks) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4))
+    def run(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_md5"])
+            for r in dedup.dup_spans_apply(docs, span=span).collect()
+        }
+        want = {d: v for d, v in mirror(texts).items() if v[0] > 0}
+        # docs tokenizing to zero tokens emit no row (posexplode of [])
+        assert got == want
+
+    run()
