@@ -138,6 +138,12 @@ def decode_bmp(payload: bytes) -> dict:
     compression = struct.unpack("<I", payload[30:34])[0]
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if height <= 0 or width <= 0:
+        # negative height means top-down row order, which neither codec
+        # implements; rejecting here (rather than returning an empty
+        # grid) keeps decode_bmp and _decode_bmp_gray_np pinned
+        # equivalent for ALL inputs (ADVICE r7)
+        raise ValueError(f"unsupported BMP dims (width={width}, height={height})")
     stride = (width * 3 + 3) & ~3
     rows = []
     for y in range(height):
@@ -434,6 +440,10 @@ def _decode_bmp_gray_np(payload: bytes):
     compression = struct.unpack("<I", payload[30:34])[0]
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if height <= 0 or width <= 0:
+        # same contract as decode_bmp: top-down (negative-height) BMPs
+        # are rejected loudly in BOTH codecs (ADVICE r7)
+        raise ValueError(f"unsupported BMP dims (width={width}, height={height})")
     stride = (width * 3 + 3) & ~3
     buf = np.frombuffer(payload, dtype=np.uint8, count=height * stride, offset=offset)
     rows = buf.reshape(height, stride)[::-1, : width * 3]  # bottom-up -> top-down

@@ -741,6 +741,18 @@ def embed_gram(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
                 np.floor(x * float(C.EG_QUANT) + 0.5),
                 -np.floor(-x * float(C.EG_QUANT) + 0.5),
             ).astype(np.int64)
+            # loud overflow guard for the documented precondition
+            # batch_rows · (EG_QUANT·max|x|)² < 2⁶³: a silent int64 wrap
+            # here would surface only as an unexplained driver-hash
+            # divergence (ADVICE r7). float bound check is exact enough —
+            # the margin to 2⁶³ is astronomically wide for real inputs.
+            qmax = float(np.abs(q).max()) if q.size else 0.0
+            if qmax and len(q) * qmax * qmax >= float(2**63):
+                raise ValueError(
+                    "embed_gram int64 batch-gramian would overflow: "
+                    f"batch_rows={len(q)} max|q|={qmax:.3g}; "
+                    "reduce the Arrow batch size or the input magnitude"
+                )
             d = q.shape[1]
             iu = np.triu_indices(d)
             yield pd.DataFrame(

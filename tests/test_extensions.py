@@ -31,6 +31,20 @@ def test_bmp_codec_round_trip():
     assert multimodal.decode_media(payload)["modality"] == "image"
 
 
+def test_bmp_codecs_reject_top_down_height():
+    """Negative (top-down) height is rejected LOUDLY by both codecs so the
+    pinned decode_bmp == _decode_bmp_gray_np contract holds for all
+    inputs (ADVICE r7: the reference codec returned an empty grid while
+    the numpy twin raised from reshape)."""
+    import struct as _struct
+
+    payload = bytearray(multimodal.encode_bmp([[(1, 2, 3), (4, 5, 6)]]))
+    payload[22:26] = _struct.pack("<i", -1)  # height = -1 (top-down)
+    for fn in (multimodal.decode_bmp, multimodal._decode_bmp_gray_np):
+        with pytest.raises(ValueError, match="unsupported BMP dims"):
+            fn(bytes(payload))
+
+
 def test_decode_media_rejects_unknown_and_malformed():
     with pytest.raises(ValueError, match="unknown media container"):
         multimodal.decode_media(b"abc")

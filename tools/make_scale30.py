@@ -124,13 +124,18 @@ def make_mm(con, src: str, out: str, reps: int) -> None:
           SELECT doc_id, text, lang, source,
                  CAST(length(text) AS BIGINT) AS n_chars
           FROM (
-            SELECT doc_id + r.i * 1000000 AS doc_id,
+            -- src_doc_id aliases the base column in a subquery so the
+            -- md5 seed can never bind to the shifted doc_id alias under
+            -- DuckDB lateral-alias rules (same fix as the main recipe)
+            SELECT src_doc_id + r.i * 1000000 AS doc_id,
                    CASE WHEN r.i = 0 THEN text
-                        ELSE substr(repeat(md5(CAST(r.i * 7919 + doc_id % 97
+                        ELSE substr(repeat(md5(CAST(r.i * 7919
+                                                    + src_doc_id % 97
                                                     AS VARCHAR)), {rep_n}),
                                     1, CAST(r.i AS INT)) || text END AS text,
                    lang, source
-            FROM '{src}/documents.parquet', range({reps}) r(i)
+            FROM (SELECT doc_id AS src_doc_id, text, lang, source
+                  FROM '{src}/documents.parquet'), range({reps}) r(i)
           )
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)"""
     )
