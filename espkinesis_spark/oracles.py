@@ -591,6 +591,42 @@ ORACLES: dict[str, str] = {
         EXCEPT SELECT DISTINCT c_custkey AS k FROM customer""",
     "ex_distinct_agg": """SELECT event_type, COUNT(DISTINCT user_id) AS nu,
         COUNT(*) AS n FROM events GROUP BY event_type""",
+    "ex_volume_shipping": """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l.l_shipdate) AS INT) AS l_year,
+        COUNT(*) AS n_lines,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+          AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+          AND n1.n_name <> n2.n_name
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""",
+    # the correlated form the Spark plan decorrelates: an IN over a HAVING
+    # whose threshold is a correlated scalar aggregate (exact-integer
+    # compare — l_quantity is integral, so CAST AS BIGINT is lossless)
+    "ex_part_promotion": """SELECT s_suppkey, s_name,
+        ROUND(s_acctbal, 2) AS acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l1.l_suppkey
+          FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+          WHERE p.p_name LIKE '%red%'
+            AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l1.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l1.l_partkey, l1.l_suppkey
+          HAVING CAST(SUM(CAST(l1.l_quantity AS BIGINT)) AS BIGINT) * 10 >
+            (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT) * 3
+             FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+             WHERE p2.p_name LIKE '%red%'
+               AND l2.l_partkey = l1.l_partkey
+               AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l2.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))""",
     "ex_custdist": """SELECT c_count, COUNT(*) AS custdist FROM (
         SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey

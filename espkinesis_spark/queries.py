@@ -2052,6 +2052,99 @@ def ex_key_skew(spark, sf_dir):
     )
 
 
+def ex_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-style cross-nation volume shipping: revenue between
+    distinct nations of a 4-nation trade bloc (directional pairs) by
+    supplier nation / customer nation / ship year. Join-order + pushdown
+    stress: the nation-name filter is applied to the 25-row dim FIRST and
+    broadcast into supplier and customer, shrinking both to 4/25 of their
+    rows before the one big lineitem⋈orders shuffle — the plan that
+    survives 100 TB (filters at the scans, dims broadcast, a single
+    orderkey-keyed exchange)."""
+    want = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(want))
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def ex_part_promotion(spark, sf_dir):
+    """TPC-H Q20-style nested semi-join with a correlated aggregate
+    (decorrelation stress, the Q20 shape minus the partsupp table —
+    lineitem's (part, supplier) pairs stand in for supply): suppliers
+    who in 1996 shipped a 'red' part and carried MORE THAN 30% of that
+    part's total 1996 volume. Threshold compares exact integers
+    (10·pair_qty > 3·part_qty over bigint sums — l_quantity is integral)
+    so the predicate has no float boundary. The Spark plan decorrelates
+    by hand: ONE lineitem scan into a (l_partkey, l_suppkey) partial-agg
+    shuffle, the per-part total as a WINDOW over that pair table (no
+    second scan, no self-join — the correlated subquery costs one
+    part-keyed exchange of already pair-sized data), then a left-semi
+    into the supplier dim — no per-row subquery anywhere."""
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q"))
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").cast("long").alias("pair_qty")
+    )
+    qual = (
+        pair.withColumn(
+            "part_qty",
+            F.sum("pair_qty").over(Window.partitionBy("l_partkey")).cast("long"),
+        )
+        .filter(F.col("pair_qty") * 10 > F.col("part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -2074,7 +2167,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (the next rotation cohort) and the r6-green entries last.
     """
     return {
-        # --- window 1-7: round-7 additions (unproven must sit here) ---
+        # --- window head: round-8 additions (unproven must sit here) ---
+        "ex_volume_shipping": ex_volume_shipping,
+        "ex_part_promotion": ex_part_promotion,
+        # --- round-7 additions ---
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,
         "ex_video_neardup": ex_video_neardup,
