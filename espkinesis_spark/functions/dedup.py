@@ -547,6 +547,16 @@ def dedup_apply(
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
+    return apply_drop_set(docs, drops, impl)
+
+
+def apply_drop_set(docs: DataFrame, drops: DataFrame, impl: str = "auto") -> DataFrame:
+    """The dedup_apply anti-join stage alone: remove ``drops`` (bare
+    doc_id keys) from ``docs``, routing broadcast-vs-shuffle on the
+    corpus scan's Catalyst size estimate exactly as ``dedup_apply``
+    documents. Shared by every pairs-source (MinHash text, perceptual
+    Hamming, substring) so each modality's dedup ends in the same
+    never-shuffle-the-corpus apply shape."""
     if impl == "auto":
         from espkinesis_spark.plans.audit import plan_size_bytes
 

@@ -961,6 +961,47 @@ ORACLES: dict[str, str] = {
         JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
         GROUP BY 1, 2
         HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+    # the image-neardup hash/band/hamming chain + recursive connected
+    # components + the drop-set anti join (the dedup_apply tail)
+    "ex_image_dedup_apply": f"""
+        WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
+        px AS (SELECT doc_id, CAST(k AS INT) AS k,
+                      unicode(substr(text,
+                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
+               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
+        bits AS (SELECT a.doc_id,
+                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
+                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
+                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+                 FROM px a JOIN px b
+                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
+                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
+        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
+                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
+                              AS BIGINT) AS val
+                  FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+        pairs AS (SELECT cand.ia AS da, cand.ib AS db
+                  FROM cand
+                  JOIN bands x ON x.doc_id = cand.ia
+                  JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
+                  GROUP BY 1, 2
+                  HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+        ),
+        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+        GROUP BY source""",
     "ex_video_neardup": f"""
         WITH f AS (SELECT doc_id, text,
             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))

@@ -439,6 +439,34 @@ def ex_image_neardup(spark, sf_dir):
     )
 
 
+def ex_image_dedup_apply(spark, sf_dir):
+    """Perceptual dedup APPLIED (closes the modality asymmetry — text had
+    pairs → clusters → drop set → surviving corpus, image stopped at
+    pairs): dHash Hamming pairs → large-star/small-star connected
+    components → drop non-canonical members → per-source survivor
+    summary. The corpus scan is never shuffled (dedup_apply's routed
+    anti-join shape); the only non-dim exchanges touch the ~40 B/doc
+    fingerprint table and the pair/cluster frames."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_gray_bmp(docs)
+    pairs = multimodal.hamming_neardup(
+        multimodal.image_dhash(media), max_hamming=C.IMG_HAM_MAX
+    ).select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+    drops = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        dedup.apply_drop_set(docs, drops)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 def ex_video_neardup(spark, sf_dir):
     """Video-shape near-dup (shared sampled keyframes): the keyframe
     table from the frame-sampling stage (every 3rd 64-byte frame, md5 —
@@ -2170,6 +2198,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window head: round-8 additions (unproven must sit here) ---
         "ex_volume_shipping": ex_volume_shipping,
         "ex_part_promotion": ex_part_promotion,
+        "ex_image_dedup_apply": ex_image_dedup_apply,
         # --- round-7 additions ---
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,

@@ -118,6 +118,48 @@ def test_dedup_apply_broadcasts_drop_set(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_image_dedup_apply_never_shuffles_corpus(spark, sf_dir):
+    """The perceptual dedup chain must end in the same routed anti-join
+    shape as the text chain: the surviving-corpus subtraction probes a
+    broadcast drop set (at test scale the corpus estimate routes to
+    broadcast), and the plan has no cartesian anywhere in the
+    pairs→clusters→apply pipeline."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_image_dedup_apply")
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_volume_shipping_pushes_nation_filter_and_broadcasts(spark, sf_dir):
+    """Q7 shape: the nation In-filter reaches BOTH nation scans, the ship
+    window reaches the lineitem scan, and the dim joins broadcast."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_volume_shipping")
+    plan = physical_plan(df)
+    assert plan.count("In(n_name") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_part_promotion_single_lineitem_scan(spark, sf_dir):
+    """Q20 shape: the correlated aggregate decorrelates to a WINDOW over
+    the pair table — exactly ONE lineitem scan (no self-join replay of
+    the corpus), with the promo-name filter pushed to the part scan."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_part_promotion")
+    plan = physical_plan(df)
+    li_scans = sum(
+        1 for ln in plan.splitlines() if "parquet" in ln and "lineitem" in ln
+    )
+    assert li_scans == 1, plan
+    assert "StringContains(p_name,red)" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_chunk_docs_has_zero_shuffle(spark, sf_dir):
     """Chunking is a pure per-row fan-out — no Exchange allowed."""
     df = _q(spark, sf_dir, "ex_chunk_docs")
