@@ -961,6 +961,40 @@ ORACLES: dict[str, str] = {
         JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
         GROUP BY 1, 2
         HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+    # the image-neardup chain with bucket_bands=2 candidates: two adjacent
+    # bands form one bucket keyed by the band-ordered value concatenation
+    # (exactly hamming_neardup's grouped-bucket rule)
+    "ex_image_neardup_wide": f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
+        px AS (SELECT doc_id, CAST(k AS INT) AS k,
+                      unicode(substr(text,
+                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
+               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
+        bits AS (SELECT a.doc_id,
+                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
+                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
+                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+                 FROM px a JOIN px b
+                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
+                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
+        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
+                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
+                              AS BIGINT) AS val
+                  FROM bits GROUP BY 1, 2),
+        gb AS (SELECT doc_id, CAST(band // 2 AS INT) AS grp,
+                      string_agg(CAST(val AS VARCHAR), ',' ORDER BY band) AS key
+               FROM bands GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM gb a JOIN gb b
+                   ON a.grp = b.grp AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT cand.ia AS doc_id_a, cand.ib AS doc_id_b,
+               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
+        FROM cand
+        JOIN bands x ON x.doc_id = cand.ia
+        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
+        GROUP BY 1, 2
+        HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
     # the image-neardup hash/band/hamming chain + recursive connected
     # components + the drop-set anti join (the dedup_apply tail)
     "ex_image_dedup_apply": f"""

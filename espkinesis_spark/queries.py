@@ -467,6 +467,22 @@ def ex_image_dedup_apply(spark, sf_dir):
     )
 
 
+def ex_image_neardup_wide(spark, sf_dir):
+    """The corpus-scale candidate-volume knob exercised end-to-end:
+    ``hamming_neardup(bucket_bands=2)`` groups two adjacent 16-bit bands
+    into one 32-bit candidate bucket, quartering expected candidate
+    volume at the cost of recall beyond Hamming radius
+    n_bands/bucket_bands − 1 (the pigeonhole contract; every emitted
+    pair's distance is still exact). The oracle replays the grouped
+    bucket rule — band-ordered value concatenation per (doc, group) —
+    so the driver hash proves the knob's candidate semantics, not just
+    the shared verify stage."""
+    media = multimodal.synthesize_gray_bmp(_t(spark, sf_dir, "documents"))
+    return multimodal.hamming_neardup(
+        multimodal.image_dhash(media), max_hamming=C.IMG_HAM_MAX, bucket_bands=2
+    )
+
+
 def ex_video_neardup(spark, sf_dir):
     """Video-shape near-dup (shared sampled keyframes): the keyframe
     table from the frame-sampling stage (every 3rd 64-byte frame, md5 —
@@ -2199,6 +2215,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_volume_shipping": ex_volume_shipping,
         "ex_part_promotion": ex_part_promotion,
         "ex_image_dedup_apply": ex_image_dedup_apply,
+        "ex_image_neardup_wide": ex_image_neardup_wide,
         # --- round-7 additions ---
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,
