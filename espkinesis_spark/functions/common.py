@@ -205,6 +205,19 @@ EG_QUANT = 1_000_000
 SKQ_SUMMARY = 64
 SKQ_PCTS = (1, 25, 50, 75, 99)
 
+# mergeable log-bucketed quantile sketch (the HdrHistogram bucketing:
+# bucket = (shift, top) with top carrying the HDR_SUB_BITS+1 leading
+# bits): guaranteed relative error < 2^-HDR_SUB_BITS on the reported
+# bucket lower bound, sketch size <= 64 * 2^(HDR_SUB_BITS+1) buckets
+# regardless of data size, and merge = integer bucket-count addition
+# (associative AND commutative, so the result is bit-identical for every
+# partitioning / micro-batch order — the property float t-digest
+# centroids cannot give, and why this sketch backs the streaming leg).
+HDR_SUB_BITS = 7
+# fixed-point input scale: values quantize to integer 1/HDR_SCALE units
+# (sign-aware half-away, the EG_QUANT convention) before bucketing.
+HDR_SCALE = 100
+
 # heavy hitters: Misra-Gries candidate capacity per partition; the exact
 # second pass keeps tokens whose TRUE count exceeds total/HH_K, so the
 # output is exact (the sketch only bounds the candidate set).

@@ -248,3 +248,102 @@ def sketch_quantiles(
         need[F.col("pct")].cast("long").alias("target_rank"),
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log-bucketed quantile sketch (HdrHistogram bucketing)
+# ---------------------------------------------------------------------------
+#
+# sketch_quantiles above is the right BATCH plan (exact answers, two
+# scans), but its per-partition summaries narrow a second pass — there is
+# no second pass in a streaming job, so the streaming percentile needs a
+# sketch that answers FROM ITSELF and merges across micro-batches. The
+# classic candidates (t-digest, KLL) merge float centroids / sampled
+# levels whose result depends on merge ORDER — a driver-hash gate would
+# read that nondeterminism as corruption. The HdrHistogram bucketing
+# (Tene's High Dynamic Range histogram; the DDSketch log-bucket idea with
+# integer base-2 buckets) gives up nothing we need: the sketch is the
+# bucket-count table itself, merge is integer addition by bucket key
+# (associative + commutative => bit-identical under ANY partitioning or
+# arrival order), the bucket count is bounded (<= 64 shifts x 2^(k+1)
+# tops) regardless of data size, and the reported bucket lower bound
+# carries a GUARANTEED relative error < 2^-HDR_SUB_BITS.
+#
+# Bucketing (for integer x >= 1, k = HDR_SUB_BITS):
+#   m     = bit_length(x) - 1          (msb position)
+#   shift = max(0, m - k)
+#   top   = x >> shift                 (the k+1 leading bits; < 2^(k+1))
+# Buckets are the disjoint ranges [top << shift, (top+1) << shift); the
+# lower bound lb = top << shift is a unique integer sort key. For
+# shift > 0, top >= 2^k, so bucket width 2^shift <= lb / 2^k — any value
+# in the bucket is within relative 2^-k of lb. shift == 0 buckets are
+# EXACT (width 1).
+#
+# Extraction (rank convention identical to sketch_quantiles:
+# r = (pct*n + 99) div 100): cumulative bucket counts in lb order; the
+# answer bucket is the first with cum >= r, and the true r-th order
+# statistic provably lies inside it. Every step is integer arithmetic,
+# so the DuckDB oracle replays it bit-exactly.
+
+
+def hdr_buckets(df: DataFrame, col: str, scale: int = C.HDR_SCALE) -> DataFrame:
+    """The mergeable sketch itself: (shift, top, w) bucket counts of
+    ``df[col]`` quantized to integer 1/scale units (sign-aware half-away,
+    the repo-wide fixed-point convention). Works unchanged on a streaming
+    frame (stateless projection + one grouped count — complete-mode state
+    is bucket-table-sized, never data-sized). Non-positive quantized
+    values are outside the log-sketch domain and excluded (documented;
+    a production deployment would keep a separate zero/negative counter —
+    the test data is strictly positive)."""
+    k = C.HDR_SUB_BITS
+    x = F.expr(
+        f"CAST(CASE WHEN {col} >= 0 THEN floor({col} * {scale} + 0.5) "
+        f"ELSE -floor(-({col}) * {scale} + 0.5) END AS BIGINT)"
+    )
+    return (
+        df.select(x.alias("__x"))
+        .filter(F.col("__x") >= 1)
+        .withColumn("__m", (F.length(F.bin(F.col("__x"))) - 1).cast("int"))
+        .withColumn("shift", F.greatest(F.lit(0), F.col("__m") - F.lit(k)))
+        .withColumn("top", F.expr("shiftright(__x, shift)"))
+        .groupBy("shift", "top")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def hdr_quantiles(buckets: DataFrame, pcts: Sequence[int] = C.SKQ_PCTS) -> DataFrame:
+    """Answer percentiles FROM the sketch: one row per pct with the
+    integer bucket lower bound (guaranteed within relative
+    2^-HDR_SUB_BITS below the true order statistic) and its descaled
+    double. All windows/aggregates run over the bucket table only —
+    sketch-sized by construction, never data-sized (the inherent
+    summary-window SinglePartition, same class as sketch_quantiles'
+    bound phase)."""
+    ordered = buckets.withColumn("lb", F.expr("shiftleft(top, shift)"))
+    w_cum = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ordered.withColumn("cum", F.sum("w").over(w_cum))
+    tot = ordered.agg(F.sum("w").cast("long").alias("n"))
+    pct_df = tot.select(
+        "n", F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct")
+    ).withColumn("target_rank", F.expr("(pct * n + 99) div 100").cast("long"))
+    return (
+        cum.crossJoin(F.broadcast(pct_df))
+        .groupBy("pct", "n", "target_rank")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("target_rank"), F.col("lb"))
+            ).alias("bucket_lb")
+        )
+        .withColumn(
+            "est", (F.col("bucket_lb").cast("double") / F.lit(float(C.HDR_SCALE)))
+        )
+    )
+
+
+def hdr_sketch_quantiles(
+    df: DataFrame, col: str, pcts: Sequence[int] = C.SKQ_PCTS
+) -> DataFrame:
+    """Batch convenience: build the sketch and answer from it in one
+    plan — one scan + one bucket-keyed shuffle (map-side partial) + the
+    sketch-sized extraction."""
+    return hdr_quantiles(hdr_buckets(df, col), pcts)

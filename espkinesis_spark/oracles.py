@@ -1464,6 +1464,35 @@ GROUP BY source""",
     # candidate interval, so the plain sorted-rank answer is the oracle.
     # target_rank = ceil(pct*n/100) in INTEGER arithmetic on both engines
     # (double ceil(0.01*n) is off-by-one bait).
+    # HDR log-bucket sketch: integer quantize -> (shift, top) bucket
+    # counts -> cumulative-rank extraction, all exact integer arithmetic
+    # (bin() is minimal-length in both engines; the only double is the
+    # final descale divide, the same IEEE op on both sides)
+    "ex_hdr_quantile": f"""
+        WITH v AS (SELECT CAST(CASE WHEN value >= 0
+                       THEN floor(value * {C.HDR_SCALE} + 0.5)
+                       ELSE -floor(-(value) * {C.HDR_SCALE} + 0.5) END
+                   AS BIGINT) AS x
+                   FROM events WHERE value IS NOT NULL),
+        pos AS (SELECT x FROM v WHERE x >= 1),
+        bk AS (SELECT greatest(0, length(bin(x)) - 1 - {C.HDR_SUB_BITS}) AS shift,
+                      x >> greatest(0, length(bin(x)) - 1 - {C.HDR_SUB_BITS}) AS top,
+                      count(*) AS w
+               FROM pos GROUP BY 1, 2),
+        ord AS (SELECT (top << shift) AS lb, w FROM bk),
+        cum AS (SELECT lb, sum(w) OVER (ORDER BY lb ROWS UNBOUNDED PRECEDING)
+                       AS cum FROM ord),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS n FROM ord),
+        tr AS (SELECT pct, n,
+                      CAST((pct * n + 99) // 100 AS BIGINT) AS target_rank
+               FROM (SELECT unnest([{", ".join(str(p) for p in C.SKQ_PCTS)}])
+                         AS pct), tot)
+        SELECT tr.pct, tr.n, tr.target_rank,
+               CAST(min(CASE WHEN c.cum >= tr.target_rank THEN c.lb END)
+                    AS BIGINT) AS bucket_lb,
+               CAST(min(CASE WHEN c.cum >= tr.target_rank THEN c.lb END)
+                    AS DOUBLE) / {C.HDR_SCALE} AS est
+        FROM tr, cum c GROUP BY 1, 2, 3""",
     "ex_sketch_quantile": f"""
         WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
                    WHERE l_extendedprice IS NOT NULL),
@@ -1686,6 +1715,10 @@ ORACLES["st_anomaly"] = ORACLES["ex_anomaly"]
 # streaming heavy hitters maintains the same token counts complete-mode;
 # the drained snapshot equals the batch table, so one oracle serves both
 ORACLES["st_heavy_hitters"] = ORACLES["ex_heavy_hitters"]
+# the HDR sketch merges by integer bucket addition, so the drained
+# complete-mode snapshot is bit-identical to the batch sketch for any
+# micro-batch split — one oracle serves both legs
+ORACLES["st_hdr_quantile"] = ORACLES["ex_hdr_quantile"]
 # st_image_neardup fingerprints at ingest and joins over the drained
 # store; the snapshot equals the batch hash table, so the oracle is exact
 ORACLES["st_image_neardup"] = ORACLES["ex_image_neardup"]

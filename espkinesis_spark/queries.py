@@ -1734,6 +1734,33 @@ def ex_sketch_quantile(spark, sf_dir):
     )
 
 
+def ex_hdr_quantile(spark, sf_dir):
+    """MERGEABLE quantile sketch (HdrHistogram log-bucketing) over
+    events.value — the streaming-capable complement to the exact-batch
+    ex_sketch_quantile: bucket counts merge by integer addition (order-
+    independent, bit-identical under any partitioning), sketch size is
+    bounded (<= 64·2^(HDR_SUB_BITS+1) buckets) at any data size, and the
+    reported bucket lower bound is guaranteed within relative
+    2^-HDR_SUB_BITS of the true order statistic. One scan + one
+    bucket-keyed map-side-partial shuffle; extraction is sketch-sized.
+    The oracle replays the integer bucketing/extraction exactly."""
+    from espkinesis_spark.functions import quantiles
+
+    return quantiles.hdr_sketch_quantiles(_t(spark, sf_dir, "events"), "value")
+
+
+def st_hdr_quantile(spark, sf_dir):
+    """Streaming percentiles: the HDR bucket counts maintained
+    complete-mode on the event stream (sketch-sized state — the
+    st_heavy_hitters shape), quantile extraction over the drained
+    snapshot. Merge-by-addition makes the drained sketch equal the batch
+    sketch regardless of micro-batch arrival order, so this shares
+    ex_hdr_quantile's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.hdr_quantile_stream(spark, sf_dir)
+
+
 def ex_quality_model(spark, sf_dir):
     """Model-based quality scoring: hashed-feature linear classifier over
     each document's tokens (the fasttext/logreg curation pass), as a
@@ -2216,6 +2243,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_part_promotion": ex_part_promotion,
         "ex_image_dedup_apply": ex_image_dedup_apply,
         "ex_image_neardup_wide": ex_image_neardup_wide,
+        "ex_hdr_quantile": ex_hdr_quantile,
+        "st_hdr_quantile": st_hdr_quantile,
         # --- round-7 additions ---
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,

@@ -372,6 +372,22 @@ def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_share_filter(counts, tot, "token", C.HH_K)
 
 
+def hdr_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentiles from the mergeable HDR sketch: the bucket
+    counts aggregate complete-mode on the event stream (state is
+    sketch-sized — bounded by the bucket-space constant, never
+    data-sized), then the batch extraction runs over the drained
+    snapshot. Bucket counts merge by integer addition, so the drained
+    sketch is bit-identical to the batch sketch for any micro-batch
+    split — shares ex_hdr_quantile's oracle."""
+    from espkinesis_spark.functions import quantiles
+
+    src = _events_stream(spark, sf_dir)
+    buckets = quantiles.hdr_buckets(src, "value")
+    snap = _drain_to_memory(buckets, "st_hdr_quantile_sink", "complete")
+    return quantiles.hdr_quantiles(snap.localCheckpoint(eager=True))
+
+
 def ack_tracker_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/A2 as a driver query: a deterministic ack stream derived from the
     events table (mac keyed by user_id % 8, ok unless event_id % 3 == 0)

@@ -2013,3 +2013,149 @@ def test_dup_spans_apply_matches_python_mirror(spark):
         assert got == want
 
     run()
+
+
+def _py_hdr_bucket(x: int, k: int) -> tuple[int, int]:
+    shift = max(0, x.bit_length() - 1 - k)
+    return shift, x >> shift
+
+
+def _py_hdr_quantiles(xs: list[int], pcts, k: int):
+    """Direct python model of the HDR sketch + extraction (bucket counts →
+    cumulative rank over lb-ordered buckets)."""
+    from collections import Counter
+
+    counts = Counter(_py_hdr_bucket(x, k) for x in xs)
+    items = sorted((top << shift, w) for (shift, top), w in counts.items())
+    n = sum(w for _, w in items)
+    out = {}
+    for pct in pcts:
+        r = (pct * n + 99) // 100
+        cum = 0
+        for lb, w in items:
+            cum += w
+            if cum >= r:
+                out[pct] = (n, r, lb)
+                break
+    return out
+
+
+def test_hdr_sketch_python_properties():
+    """Hypothesis mirror of the HDR sketch math (no Spark): (1) the merge
+    is exact — extracting from the sum of split sketches equals
+    extracting from the whole; (2) the answer bucket CONTAINS the true
+    target-rank order statistic; (3) the documented relative error bound
+    holds: lb <= x_r and (x_r - lb)·2^k < lb unless the bucket is exact
+    (shift == 0 ⇒ lb == x_r)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from espkinesis_spark.functions import common as C
+
+    k = C.HDR_SUB_BITS
+    pcts = C.SKQ_PCTS
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(1, 1 << 40), min_size=1, max_size=200),
+        st.integers(0, 199),
+    )
+    def run(xs, cut):
+        cut = min(cut, len(xs))
+        a, b = xs[:cut], xs[cut:]
+        whole = _py_hdr_quantiles(xs, pcts, k)
+        # (1) merge = Counter addition: split sketches, add, extract
+        merged = Counter(_py_hdr_bucket(x, k) for x in a)
+        merged.update(_py_hdr_bucket(x, k) for x in b)
+        items = sorted((top << shift, w) for (shift, top), w in merged.items())
+        n = sum(w for _, w in items)
+        for pct in pcts:
+            r = (pct * n + 99) // 100
+            cum = 0
+            for lb, w in items:
+                cum += w
+                if cum >= r:
+                    assert whole[pct] == (n, r, lb)
+                    break
+        # (2)+(3): containment and the relative error bound
+        srt = sorted(xs)
+        for pct in pcts:
+            n_, r, lb = whole[pct]
+            x_r = srt[r - 1]
+            shift, top = _py_hdr_bucket(x_r, k)
+            assert (top << shift) == lb, "answer bucket must contain x_r"
+            assert lb <= x_r
+            if shift == 0:
+                assert lb == x_r
+            else:
+                assert (x_r - lb) * (1 << k) < lb
+
+    run()
+
+
+def test_hdr_sketch_spark_matches_python_model(spark):
+    """The Spark implementation (quantize → bin()-derived buckets →
+    window extraction) equals the direct python model on random inputs,
+    including the fixed-point quantization step."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import quantiles
+
+    k = C.HDR_SUB_BITS
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.integers(1, 10_000_000), min_size=1, max_size=60))
+    def run(cents):
+        df = spark.createDataFrame(
+            [(c / C.HDR_SCALE,) for c in cents], "value double"
+        )
+        got = {
+            r["pct"]: (r["n"], r["target_rank"], r["bucket_lb"], r["est"])
+            for r in quantiles.hdr_sketch_quantiles(df, "value").collect()
+        }
+        # the /100 round-trips exactly for cents in this range under the
+        # half-away quantizer, so the model buckets the raw cents
+        want = _py_hdr_quantiles(cents, C.SKQ_PCTS, k)
+        assert got.keys() == {int(p) for p in C.SKQ_PCTS}
+        for pct, (n, r, lb) in want.items():
+            assert got[pct] == (n, r, lb, lb / C.HDR_SCALE)
+
+    run()
+
+
+def test_hdr_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Mergeability IN the engine: HDR bucket counts maintained across 4
+    replayed micro-batches equal the batch sketch — the complete-mode
+    state is the sketch itself, merged by integer addition."""
+    from pyspark.sql import functions as F
+
+    from espkinesis_spark.functions import quantiles
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    chunk_dir = tmp_path_factory.mktemp("hdr_chunks")
+    ev.withColumn("__c", F.pmod(F.hash("event_id"), F.lit(4))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "ev"))
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "ev"))
+    )
+    q = (
+        quantiles.hdr_buckets(src, "value")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hdr_mb_replay")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1, "replay did not split into micro-batches"
+    got = {tuple(r) for r in spark.table("hdr_mb_replay").collect()}
+    want = {tuple(r) for r in quantiles.hdr_buckets(ev, "value").collect()}
+    assert got == want
