@@ -681,8 +681,18 @@ def dup_spans_apply(
     same per-doc bound every text op here carries). No collects, no
     windows over the corpus, nothing driver-side.
     """
-    from pyspark.sql import Window
+    occ, tok_tbl = dup_spans_tables(docs, span, text_col)
+    return dup_spans_apply_from(occ, tok_tbl, span)
 
+
+def dup_spans_tables(
+    docs: DataFrame, span: int = C.SPAN_TOKENS, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The two narrow extraction tables the substring-dedup analysis runs
+    on, split out so a STREAM can compute them at ingest (both are
+    stateless per-row fan-outs — the payload is touched exactly once):
+    the span-hash occurrence table (doc_id, pos, __h) and the position-
+    indexed token table (doc_id, tp, tok)."""
     toks = tokens(F.col(text_col))
     spans_expr = F.expr(
         f"transform(sequence(1, size(__toks) - {span} + 1),"
@@ -694,6 +704,27 @@ def dup_spans_apply(
         .select("doc_id", F.posexplode(spans_expr).alias("__p0", "__h"))
         .select("doc_id", (F.col("__p0") + 1).alias("pos"), "__h")
     )
+    # empty-string tokens filtered (the token_entropy convention): an
+    # empty/whitespace-only doc tokenizes to [''] and would otherwise
+    # emit a phantom one-token row — hypothesis mirror caught it
+    tok_tbl = (
+        base.select("doc_id", F.posexplode("__toks").alias("__p0", "tok"))
+        .filter(F.length("tok") > 0)
+        .select("doc_id", (F.col("__p0") + 1).alias("tp"), "tok")
+    )
+    return occ, tok_tbl
+
+
+def dup_spans_apply_from(
+    occ: DataFrame, tok_tbl: DataFrame, span: int = C.SPAN_TOKENS
+) -> DataFrame:
+    """The analysis half of ``dup_spans_apply``: first-occurrence window
+    over the span-hash table, overlap-merged cut positions, (doc, pos)
+    anti join, per-doc rebuild. Runs identically over live extraction
+    frames (batch) or drained stores (streaming) — which is WHY the
+    split exists."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("__h")
     ordv = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
     cuts = occ.select(
@@ -703,14 +734,6 @@ def dup_spans_apply(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + span - 1)).alias("tp"),
     ).distinct()
-    # empty-string tokens filtered (the token_entropy convention): an
-    # empty/whitespace-only doc tokenizes to [''] and would otherwise
-    # emit a phantom one-token row — hypothesis mirror caught it
-    tok_tbl = (
-        base.select("doc_id", F.posexplode("__toks").alias("__p0", "tok"))
-        .filter(F.length("tok") > 0)
-        .select("doc_id", (F.col("__p0") + 1).alias("tp"), "tok")
-    )
     totals = tok_tbl.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens")
     )

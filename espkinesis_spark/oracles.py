@@ -1719,6 +1719,9 @@ ORACLES["st_heavy_hitters"] = ORACLES["ex_heavy_hitters"]
 # complete-mode snapshot is bit-identical to the batch sketch for any
 # micro-batch split — one oracle serves both legs
 ORACLES["st_hdr_quantile"] = ORACLES["ex_hdr_quantile"]
+# streaming substring dedup extracts the same two narrow tables at
+# ingest; the drained stores equal the batch extraction, one oracle
+ORACLES["st_dedup_substring"] = ORACLES["ex_dedup_substring"]
 # st_image_neardup fingerprints at ingest and joins over the drained
 # store; the snapshot equals the batch hash table, so the oracle is exact
 ORACLES["st_image_neardup"] = ORACLES["ex_image_neardup"]

@@ -1185,6 +1185,17 @@ def st_quality_gate(spark, sf_dir):
     return jobs.quality_gate_stream(spark, sf_dir)
 
 
+def st_dedup_substring(spark, sf_dir):
+    """Streaming substring dedup: span hashes AND positioned tokens
+    extracted at ingest (stateless append projections — the payload is
+    touched once, on arrival), the cut/rebuild analysis over the drained
+    stores. The drained extraction equals the batch extraction, so this
+    shares ex_dedup_substring's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.dedup_substring_stream(spark, sf_dir)
+
+
 def st_image_neardup(spark, sf_dir):
     """Streaming perceptual image dedup (the production lambda):
     fingerprints extracted at ingest as a stateless append projection
@@ -2245,6 +2256,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_image_neardup_wide": ex_image_neardup_wide,
         "ex_hdr_quantile": ex_hdr_quantile,
         "st_hdr_quantile": st_hdr_quantile,
+        "st_dedup_substring": st_dedup_substring,
         # --- round-7 additions ---
         "ex_image_neardup": ex_image_neardup,
         "ex_audio_neardup": ex_audio_neardup,

@@ -234,6 +234,31 @@ def image_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neardup(store, max_hamming=C.IMG_HAM_MAX)
 
 
+def dedup_substring_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring dedup (the Lee et al. 2022 rewrite as a
+    lambda): BOTH narrow extraction tables — span hashes and positioned
+    tokens — are computed AT INGEST as stateless append projections (the
+    document payload is touched exactly once, on arrival), and the
+    global analysis (first-occurrence window, overlap-merged cuts,
+    anti-join rebuild) runs over the drained stores. The drained tables
+    equal the batch extraction, so ex_dedup_substring's oracle is
+    exact."""
+    from espkinesis_spark.functions import dedup
+
+    src = _documents_stream(spark, sf_dir)
+    occ, tok = dedup.dup_spans_tables(src)
+    # the token store feeds two analysis branches (totals + kept) — a
+    # memory-sink view cannot appear twice in one plan (the st_anomaly
+    # hazard), so freeze both snapshots
+    occ_store = _drain_to_memory(
+        occ, "st_dedup_substring_occ_sink", "append"
+    ).localCheckpoint(eager=True)
+    tok_store = _drain_to_memory(
+        tok, "st_dedup_substring_tok_sink", "append"
+    ).localCheckpoint(eager=True)
+    return dedup.dup_spans_apply_from(occ_store, tok_store)
+
+
 def audio_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming acoustic near-dup: the image_neardup_stream lambda with
     the WAV energy-envelope fingerprint (see image_neardup_stream for
