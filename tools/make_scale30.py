@@ -88,6 +88,25 @@ def main() -> None:
                    user_id + r.i * 100000 AS user_id,
                    event_type, value, props
             FROM '{src}/events.parquet', range({reps}) r(i)""",
+        # dims replicated with the SAME key shifts the fact tables use
+        # (supplier↔l_suppkey 1e5, part↔l_partkey 1e6, customer↔o_custkey
+        # 1e6) so the relational ladder entries keep their real join
+        # selectivity at 30x; nation keys are NOT shifted — the nation
+        # dim is genuinely constant-sized at any SF
+        "supplier": f"""
+            SELECT s_suppkey + r.i * 100000 AS s_suppkey, s_name,
+                   s_nationkey, s_acctbal
+            FROM '{src}/supplier.parquet', range({reps}) r(i)""",
+        "customer": f"""
+            SELECT c_custkey + r.i * 1000000 AS c_custkey, c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM '{src}/customer.parquet', range({reps}) r(i)""",
+        "part": f"""
+            SELECT p_partkey + r.i * 1000000 AS p_partkey, p_name, p_brand,
+                   p_type, p_size, p_retailprice
+            FROM '{src}/part.parquet', range({reps}) r(i)""",
+        "nation": f"SELECT * FROM '{src}/nation.parquet'",
+        "region": f"SELECT * FROM '{src}/region.parquet'",
     }
     for table, sql in copies.items():
         con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
