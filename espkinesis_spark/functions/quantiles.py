@@ -345,5 +345,11 @@ def hdr_sketch_quantiles(
 ) -> DataFrame:
     """Batch convenience: build the sketch and answer from it in one
     plan — one scan + one bucket-keyed shuffle (map-side partial) + the
-    sketch-sized extraction."""
-    return hdr_quantiles(hdr_buckets(df, col), pcts)
+    sketch-sized extraction. The bucket table feeds TWO extraction
+    branches (cumulative ranks + the total), so it is materialized once
+    (sketch-sized — the multi-branch re-execution rule; without it the
+    corpus scan runs twice). The streaming leg gets this for free: its
+    drained snapshot is already frozen."""
+    return hdr_quantiles(
+        hdr_buckets(df, col).localCheckpoint(eager=True), pcts
+    )
