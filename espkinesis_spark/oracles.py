@@ -961,6 +961,71 @@ ORACLES: dict[str, str] = {
         JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
         GROUP BY 1, 2
         HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+    # the audio-neardup chain + recursive connected components + the
+    # drop-set anti join (the same dedup_apply tail as the image chain)
+    "ex_audio_dedup_apply": f"""
+        WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= {C.AUD_FP_SAMPLES}),
+        w AS (SELECT doc_id, CAST(k AS INT) // {C.AUD_FP_WINDOW} AS win,
+                     sum(unicode(substr(text, CAST(k AS INT) + 1, 1)) % 256) AS e
+              FROM d, UNNEST(range({C.AUD_FP_SAMPLES})) t(k) GROUP BY 1, 2),
+        bits AS (SELECT a.doc_id, a.win AS bitk,
+                        CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+                 FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.win = a.win + 1
+                 WHERE a.win < {C.AUD_FP_SAMPLES // C.AUD_FP_WINDOW} - 1),
+        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
+                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
+                              AS BIGINT) AS val
+                  FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+        pairs AS (SELECT cand.ia AS da, cand.ib AS db
+                  FROM cand
+                  JOIN bands x ON x.doc_id = cand.ia
+                  JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
+                  GROUP BY 1, 2
+                  HAVING sum(bit_count(xor(x.val, y.val))) <= {C.AUD_HAM_MAX}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+        ),
+        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+        GROUP BY source""",
+    # the video shared-keyframe chain + the same CC/apply tail
+    "ex_video_dedup_apply": f"""
+        WITH RECURSIVE f AS (SELECT doc_id, text,
+            unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+              AS frame_idx
+            FROM documents),
+        fr AS (SELECT DISTINCT doc_id,
+                      md5(substring(text, frame_idx * 64 + 1, 64)) AS h
+               FROM f WHERE frame_idx % 3 = 0),
+        rare AS (SELECT h FROM fr GROUP BY h
+                 HAVING count(*) <= {C.VID_FRAME_DF_CAP}),
+        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+                  FROM fr a JOIN rare USING (h)
+                  JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2
+                  HAVING count(*) >= {C.VID_SHARED_FRAMES}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+        ),
+        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+        GROUP BY source""",
     # the image-neardup chain with bucket_bands=2 candidates: two adjacent
     # bands form one bucket keyed by the band-ordered value concatenation
     # (exactly hamming_neardup's grouped-bucket rule)

@@ -467,6 +467,56 @@ def ex_image_dedup_apply(spark, sf_dir):
     )
 
 
+def ex_audio_dedup_apply(spark, sf_dir):
+    """Acoustic dedup APPLIED: envelope-fingerprint Hamming pairs →
+    connected components → drop set → per-source survivor summary, the
+    same shared pairs→clusters→apply tail as the image/text chains
+    (``dedup.apply_drop_set``). Corpus scan never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_tone_wav(docs)
+    pairs = multimodal.hamming_neardup(
+        multimodal.audio_envelope_hash(media), max_hamming=C.AUD_HAM_MAX
+    ).select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+    drops = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        dedup.apply_drop_set(docs, drops)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def ex_video_dedup_apply(spark, sf_dir):
+    """Video-shape dedup APPLIED: shared-keyframe pairs → connected
+    components → drop set → per-source survivor summary (the
+    ``apply_drop_set`` tail). Completes the modality symmetry — every
+    near-dup pairs source (text MinHash, substring, image, audio, video)
+    now ends in a deduplicated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = multimodal.shared_frame_neardup(
+        multimodal.sample_frames(multimodal.attach_binary(docs))
+    ).select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+    drops = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        dedup.apply_drop_set(docs, drops)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 def ex_image_neardup_wide(spark, sf_dir):
     """The corpus-scale candidate-volume knob exercised end-to-end:
     ``hamming_neardup(bucket_bands=2)`` groups two adjacent 16-bit bands
@@ -2236,34 +2286,36 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-8 invariant continues EVIDENCE FRESHNESS: positions 1-7 hold
-    this round's seven new entries (tests/test_registry.py requires
-    unproven ⊆ first-50); 8-12 are the only entries whose latest green
+    round-8 invariant continues EVIDENCE FRESHNESS: positions 1-9 hold
+    this round's nine new entries (tests/test_registry.py requires
+    unproven ⊆ first-50); 10-14 are the only entries whose latest green
     predates round 5 (dq02/dq03/dq04/dq16 on r4 evidence, displaced by
-    the r7 additions, plus the dq21 canary); 13-50 are 38 of the 46
-    r5-vintage entries. The 8 remaining r5 entries sit at the tail head
-    and rotate first in round 9 — after this round no entry's latest
-    green predates r5, and only those 8 predate r6. The rest of the
-    tail lists the r6-green entries, then the r7-green entries
+    the r7 additions, plus the dq21 canary); 15-50 are 36 of the 46
+    r5-vintage entries. The 10 remaining r5 entries sit at the tail
+    head and rotate first in round 9 — after this round no entry's
+    latest green predates r5, and only those 10 predate r6. The rest of
+    the tail lists the r6-green entries, then the r7-green entries
     (freshest evidence last).
     """
     return {
-        # --- window 1-7: round-8 additions (unproven must sit here) ---
+        # --- window 1-9: round-8 additions (unproven must sit here) ---
         "ex_volume_shipping": ex_volume_shipping,
         "ex_part_promotion": ex_part_promotion,
         "ex_image_dedup_apply": ex_image_dedup_apply,
+        "ex_audio_dedup_apply": ex_audio_dedup_apply,
+        "ex_video_dedup_apply": ex_video_dedup_apply,
         "ex_image_neardup_wide": ex_image_neardup_wide,
         "ex_hdr_quantile": ex_hdr_quantile,
         "st_hdr_quantile": st_hdr_quantile,
         "st_dedup_substring": st_dedup_substring,
-        # --- window 8-12: the last r4-vintage evidence (displaced in r7)
+        # --- window 10-14: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
         "dq03": dq03,
         "dq04": dq04,
         "dq16": dq16,
         "dq21": dq21,
-        # --- window 13-50: 38 of the 46 r5-vintage entries ---
+        # --- window 15-50: 36 of the 46 r5-vintage entries ---
         "dq09": dq09,
         "dq14": dq14,
         "dq19": dq19,
@@ -2300,10 +2352,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_scalar_funcs": ex_scalar_funcs,
         "ex_semijoin": ex_semijoin,
         "ex_sessionize": ex_sessionize,
+        # --- tail head: the 10 remaining r5-vintage entries (rotate
+        # first in round 9; shipping_priority/stat_agg displaced by the
+        # audio/video apply additions) ---
         "ex_shipping_priority": ex_shipping_priority,
         "ex_stat_agg": ex_stat_agg,
-        # --- tail head: the 8 remaining r5-vintage entries (rotate first
-        # in round 9) ---
         "ex_string_funcs2": ex_string_funcs2,
         "ex_topk_per_group": ex_topk_per_group,
         "ex_unigram_logprob": ex_unigram_logprob,
