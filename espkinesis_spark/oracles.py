@@ -961,6 +961,27 @@ ORACLES: dict[str, str] = {
         JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
         GROUP BY 1, 2
         HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+    # the correlated form the Spark plan decorrelates: one row per sole
+    # late (supplier, order) via EXISTS (another supplier on the order)
+    # AND NOT EXISTS (another LATE supplier on the order); numwait counts
+    # DISTINCT orders so duplicate late lines of one supplier count once
+    "ex_waiting_orders": """
+        SELECT s.s_suppkey, s.s_name,
+               CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS numwait
+        FROM supplier s, lineitem l1, orders o
+        WHERE s.s_suppkey = l1.l_suppkey
+          AND o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate
+                                                + INTERVAL 60 DAY)
+        GROUP BY 1, 2""",
     # the audio-neardup chain + recursive connected components + the
     # drop-set anti join (the same dedup_apply tail as the image chain)
     "ex_audio_dedup_apply": f"""

@@ -517,6 +517,53 @@ def ex_video_dedup_apply(spark, sf_dir):
     )
 
 
+def ex_waiting_orders(spark, sf_dir):
+    """TPC-H Q21-shape: suppliers who SOLELY kept a finished multi-supplier
+    order waiting (shipped > 60 days after the order date while every
+    other supplier on the order shipped on time) — the classic
+    EXISTS + NOT-EXISTS double-correlation stress. The Spark plan
+    decorrelates to two stacked aggregations over ONE orderkey-keyed
+    exchange (per-(order, supplier) late flag, then per-order
+    supplier/late counts — the second agg reuses the first's
+    partitioning since orderkey is its prefix), a filter, and a
+    broadcast supplier-dim probe. No per-row subquery, no self-join of
+    lineitem against itself."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    numwait = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("late_supp").alias("s_suppkey"))
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return numwait.join(F.broadcast(s), "s_suppkey").select(
+        "s_suppkey", "s_name", "numwait"
+    )
+
+
 def ex_image_neardup_wide(spark, sf_dir):
     """The corpus-scale candidate-volume knob exercised end-to-end:
     ``hamming_neardup(bucket_bands=2)`` groups two adjacent 16-bit bands
@@ -2305,6 +2352,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_audio_dedup_apply": ex_audio_dedup_apply,
         "ex_video_dedup_apply": ex_video_dedup_apply,
         "ex_image_neardup_wide": ex_image_neardup_wide,
+        "ex_waiting_orders": ex_waiting_orders,
         "ex_hdr_quantile": ex_hdr_quantile,
         "st_hdr_quantile": st_hdr_quantile,
         "st_dedup_substring": st_dedup_substring,
@@ -2351,10 +2399,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_rollup": ex_rollup,
         "ex_scalar_funcs": ex_scalar_funcs,
         "ex_semijoin": ex_semijoin,
+        # --- tail head: the remaining r5-vintage entries (rotate
+        # first in round 9; displaced by the round-8 additions) ---
         "ex_sessionize": ex_sessionize,
-        # --- tail head: the 10 remaining r5-vintage entries (rotate
-        # first in round 9; shipping_priority/stat_agg displaced by the
-        # audio/video apply additions) ---
         "ex_shipping_priority": ex_shipping_priority,
         "ex_stat_agg": ex_stat_agg,
         "ex_string_funcs2": ex_string_funcs2,

@@ -160,6 +160,22 @@ def test_part_promotion_single_lineitem_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_waiting_orders_decorrelates_without_self_join(spark, sf_dir):
+    """Q21 shape: the EXISTS + NOT-EXISTS pair must decorrelate to the
+    stacked-aggregation plan — exactly ONE lineitem scan (no lineitem
+    self-join replay), no cartesian, supplier dim broadcast."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_waiting_orders")
+    plan = physical_plan(df)
+    li_scans = sum(
+        1 for ln in plan.splitlines() if "parquet" in ln and "lineitem" in ln
+    )
+    assert li_scans == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_chunk_docs_has_zero_shuffle(spark, sf_dir):
     """Chunking is a pure per-row fan-out — no Exchange allowed."""
     df = _q(spark, sf_dir, "ex_chunk_docs")
