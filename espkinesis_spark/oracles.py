@@ -1808,6 +1808,9 @@ ORACLES["st_hdr_quantile"] = ORACLES["ex_hdr_quantile"]
 # streaming substring dedup extracts the same two narrow tables at
 # ingest; the drained stores equal the batch extraction, one oracle
 ORACLES["st_dedup_substring"] = ORACLES["ex_dedup_substring"]
+# the streaming perceptual apply drains the same fingerprint table;
+# clusters/apply over it equal the batch chain — one oracle
+ORACLES["st_image_dedup_apply"] = ORACLES["ex_image_dedup_apply"]
 # st_image_neardup fingerprints at ingest and joins over the drained
 # store; the snapshot equals the batch hash table, so the oracle is exact
 ORACLES["st_image_neardup"] = ORACLES["ex_image_neardup"]

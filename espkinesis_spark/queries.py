@@ -1293,6 +1293,16 @@ def st_dedup_substring(spark, sf_dir):
     return jobs.dedup_substring_stream(spark, sf_dir)
 
 
+def st_image_dedup_apply(spark, sf_dir):
+    """Streaming perceptual dedup APPLIED: fingerprint-at-ingest, then
+    pairs -> clusters -> drop set over the drained store and the routed
+    anti-join against the landed corpus. Shares ex_image_dedup_apply's
+    oracle (the drained hash table equals the batch one)."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.image_dedup_apply_stream(spark, sf_dir)
+
+
 def st_image_neardup(spark, sf_dir):
     """Streaming perceptual image dedup (the production lambda):
     fingerprints extracted at ingest as a stateless append projection
@@ -2356,6 +2366,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_hdr_quantile": ex_hdr_quantile,
         "st_hdr_quantile": st_hdr_quantile,
         "st_dedup_substring": st_dedup_substring,
+        "st_image_dedup_apply": st_image_dedup_apply,
         # --- window 10-14: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
@@ -2398,9 +2409,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_regex_funcs": ex_regex_funcs,
         "ex_rollup": ex_rollup,
         "ex_scalar_funcs": ex_scalar_funcs,
-        "ex_semijoin": ex_semijoin,
         # --- tail head: the remaining r5-vintage entries (rotate
         # first in round 9; displaced by the round-8 additions) ---
+        "ex_semijoin": ex_semijoin,
         "ex_sessionize": ex_sessionize,
         "ex_shipping_priority": ex_shipping_priority,
         "ex_stat_agg": ex_stat_agg,

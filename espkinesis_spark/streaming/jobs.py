@@ -259,6 +259,45 @@ def dedup_substring_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_spans_apply_from(occ_store, tok_store)
 
 
+def image_dedup_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming leg of the CLOSED perceptual dedup chain:
+    fingerprints at ingest (stateless append dHash projection — the
+    st_image_neardup front), then pairs → connected components → drop
+    set over the drained fingerprint store, and the anti-join apply
+    against the landed corpus (the batch documents table — in the
+    lambda, the ingested store itself). The drained hash table equals
+    the batch one, so ex_image_dedup_apply's oracle is exact."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import dedup
+    from espkinesis_spark.functions.multimodal import (
+        hamming_neardup,
+        image_dhash,
+        synthesize_gray_bmp,
+    )
+    from espkinesis_spark.tables import load_table
+
+    src = _documents_stream(spark, sf_dir)
+    hashes = image_dhash(synthesize_gray_bmp(src))
+    store = _drain_to_memory(hashes, "st_image_dedup_apply_sink", "append")
+    pairs = hamming_neardup(store, max_hamming=C.IMG_HAM_MAX).select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    )
+    drops = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.apply_drop_set(docs, drops)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 def audio_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming acoustic near-dup: the image_neardup_stream lambda with
     the WAV energy-envelope fingerprint (see image_neardup_stream for
