@@ -246,6 +246,20 @@ TSS_TOPK = 20
 TSS_QUERY_USER = 0
 
 
+# Okapi BM25 retrieval scoring: classic constants, a fixed deterministic
+# query-term set drawn from the corpus vocabulary, and micro-unit integer
+# score accumulation (each per-(doc, term) contribution is a fixed dag of
+# correctly-rounded float ops over integer inputs + ONE ln — empirically
+# engine-consistent at 6 dp, the ex_tfidf precedent — rounded to int
+# micro-units BEFORE the per-doc sum, so the summation is exact integer
+# arithmetic and partition-order independent).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "merge", "sort")
+BM25_TOPK = 20
+BM25_SCALE = 1_000_000
+
+
 def minhash_salt(j: int) -> str:
     """Salt for the j-th MinHash permutation; md5(salt || shingle)."""
     return f"mh{j:02d}|"

@@ -887,3 +887,90 @@ def quality_gate_stateless(df: DataFrame, text_col: str = "text") -> DataFrame:
         mean_len.alias("mean_len"),
         keep.alias("keep"),
     ).filter("keep").drop("keep")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: tuple[str, ...] = C.BM25_QUERY,
+    k1: float = C.BM25_K1,
+    b: float = C.BM25_B,
+    topk: int = C.BM25_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus for a fixed query-term
+    set (the relevance-scoring pass an LLM curation pipeline runs to
+    mine topical documents). Output: (rnk, doc_id, n_hits, score_micro,
+    score) — score in integer micro-units plus the descaled double.
+
+    Scale shape: the corpus token stream shuffles ONCE on doc_id for
+    document lengths; the query-side tables (per-term document
+    frequencies) are query-sized and broadcast; per-(doc, term) term
+    frequencies group on (doc_id, term) whose leading key matches the
+    dl partitioning; top-k is TakeOrderedAndProject. Nothing
+    corpus-global beyond two scalar reductions (N, total token count).
+
+    Float discipline: every contribution is ONE fixed expression dag
+    over integer inputs (tf, df, dl, N, L) — the divides/multiplies are
+    IEEE exact-rounded and the single ln is engine-consistent at the
+    6 dp rounding (the ex_tfidf precedent); each contribution rounds
+    half-away to int MICRO-UNITS before the per-doc sum, so summation
+    is exact integer arithmetic in any partition order. The oracle
+    replays the identical expression text.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.length("term") > 0)
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    # two scalar reductions (document count + total token count) ride a
+    # single broadcastable 1-row frame
+    scalars = F.broadcast(
+        docs.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
+            tok.agg(F.count("*").cast("long").alias("total_len"))
+        )
+    )
+    qterms = F.array(*[F.lit(t) for t in query])
+    qtok = tok.filter(F.array_contains(qterms, F.col("term")))
+    qdf = F.broadcast(
+        qtok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(qdf, "term")
+        .crossJoin(scalars)
+        .withColumn(
+            "c_micro",
+            F.expr(
+                "CAST(floor("
+                "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+                " / (CAST(df AS DOUBLE) + 0.5))"
+                f" * ((CAST(tf AS DOUBLE) * ({k1!r} + 1.0))"
+                f" / (CAST(tf AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r}"
+                " * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+                " / CAST(total_len AS DOUBLE)))))"
+                f" * {C.BM25_SCALE}.0 + 0.5) AS BIGINT)"
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.sum("c_micro").cast("long").alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    # the row_number window runs AFTER the top-k limit — topk rows only
+    return (
+        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(topk)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id")))
+            .alias("rnk"),
+            "doc_id",
+            "n_hits",
+            "score_micro",
+            (F.col("score_micro").cast("double") / F.lit(float(C.BM25_SCALE))).alias(
+                "score"
+            ),
+        )
+    )

@@ -735,6 +735,35 @@ ORACLES: dict[str, str] = {
     "ex_histogram": """SELECT CAST(FLOOR(value / 100) AS BIGINT) AS bin,
         COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_v
         FROM events GROUP BY bin""",
+    # BM25: identical expression text as the Spark side (single ln at
+    # 6-dp micro-units, integer sum — see text.bm25_topk's discipline)
+    "ex_bm25": f"""
+        WITH tok AS (SELECT doc_id, t AS term FROM (
+                 SELECT doc_id, unnest({_TOKS.format(t='lower(text)')}) AS t
+                 FROM documents) WHERE length(t) > 0),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY 1),
+        sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                          AS n_docs,
+                      (SELECT CAST(count(*) AS BIGINT) FROM tok)
+                          AS total_len),
+        qdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok WHERE term IN ('join', 'merge', 'sort') GROUP BY 1),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE term IN ('join', 'merge', 'sort') GROUP BY 1, 2),
+        contrib AS (SELECT tf.doc_id,
+                CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_len AS DOUBLE))))) * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+            FROM tf JOIN dl USING (doc_id) JOIN qdf USING (term), sc),
+        scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                          CAST(sum(c_micro) AS BIGINT) AS score_micro
+                   FROM contrib GROUP BY 1)
+        SELECT * FROM (
+          SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                     AS rnk,
+                 doc_id, n_hits, score_micro,
+                 CAST(score_micro AS DOUBLE) / 1000000.0
+                     AS score
+          FROM scored) WHERE rnk <= 20""",
     "ex_tfidf": f"""
         WITH tok AS (SELECT doc_id, unnest({_TOKS.format(t='lower(text)')}) AS term
                      FROM documents),

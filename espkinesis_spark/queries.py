@@ -1047,6 +1047,16 @@ def ex_histogram(spark, sf_dir):
     )
 
 
+def ex_bm25(spark, sf_dir):
+    """Okapi BM25 top-k retrieval for a fixed query-term set (the
+    relevance-mining pass of a curation pipeline): one doc_id-keyed token
+    shuffle, query-sized broadcast df table, micro-unit integer score
+    accumulation (exact in any partition order — the single ln rides the
+    ex_tfidf 6-dp precedent), TakeOrderedAndProject top-k. The oracle
+    replays the identical expression text."""
+    return text.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
 def ex_tfidf(spark, sf_dir):
     """TF-IDF top-3 terms per document (doc_id < 50): token explode ->
     per-(doc, term) tf -> document-frequency join -> windowed top-k.
@@ -2367,6 +2377,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_hdr_quantile": st_hdr_quantile,
         "st_dedup_substring": st_dedup_substring,
         "st_image_dedup_apply": st_image_dedup_apply,
+        "ex_bm25": ex_bm25,
         # --- window 10-14: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
@@ -2408,9 +2419,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_rank_funcs": ex_rank_funcs,
         "ex_regex_funcs": ex_regex_funcs,
         "ex_rollup": ex_rollup,
-        "ex_scalar_funcs": ex_scalar_funcs,
         # --- tail head: the remaining r5-vintage entries (rotate
         # first in round 9; displaced by the round-8 additions) ---
+        "ex_scalar_funcs": ex_scalar_funcs,
         "ex_semijoin": ex_semijoin,
         "ex_sessionize": ex_sessionize,
         "ex_shipping_priority": ex_shipping_priority,

@@ -2159,3 +2159,16 @@ def test_hdr_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
     got = {tuple(r) for r in spark.table("hdr_mb_replay").collect()}
     want = {tuple(r) for r in quantiles.hdr_buckets(ev, "value").collect()}
     assert got == want
+
+
+def test_bm25_partition_order_independent(spark, sf_dir):
+    """The micro-unit integer score sum must be bit-identical under any
+    partitioning (the embed_gram lesson: float sums are not)."""
+    from espkinesis_spark.functions import text as T
+    from espkinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {tuple(r) for r in T.bm25_topk(docs).collect()}
+    for parts in (1, 7):
+        got = {tuple(r) for r in T.bm25_topk(docs.repartition(parts)).collect()}
+        assert got == base
