@@ -735,6 +735,26 @@ ORACLES: dict[str, str] = {
     "ex_histogram": """SELECT CAST(FLOOR(value / 100) AS BIGINT) AS bin,
         COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_v
         FROM events GROUP BY bin""",
+    # the correlated-AVG form the Spark plan decorrelates (window over
+    # one scan); revenue in exact integer cents, ONE integral divide
+    "ex_small_qty_revenue": """
+        WITH li AS (SELECT l_partkey,
+                           CAST(l_quantity AS BIGINT) AS q,
+                           CAST(CASE WHEN l_extendedprice >= 0
+                                THEN floor(l_extendedprice * 100 + 0.5)
+                                ELSE -floor(-l_extendedprice * 100 + 0.5) END
+                                AS BIGINT) AS cents
+                    FROM lineitem JOIN part ON p_partkey = l_partkey
+                    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+        small AS (SELECT cents FROM (
+                    SELECT cents, q,
+                           sum(q) OVER (PARTITION BY l_partkey) AS sum_q,
+                           count(*) OVER (PARTITION BY l_partkey) AS cnt
+                    FROM li) WHERE q * 5 * cnt < sum_q)
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST((CAST(sum(cents) AS HUGEINT) * 200 + 700) // 1400
+                    AS BIGINT) / 100.0 AS avg_yearly
+        FROM small""",
     # BM25: identical expression text as the Spark side (single ln at
     # 6-dp micro-units, integer sum — see text.bm25_topk's discipline)
     "ex_bm25": f"""

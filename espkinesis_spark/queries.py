@@ -1047,6 +1047,51 @@ def ex_histogram(spark, sf_dir):
     )
 
 
+def ex_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average order quantity) moved to
+    scheduled deliveries — the correlated-AVG subquery stress. The Spark
+    plan decorrelates to one (partkey) aggregate joined back to the same
+    lineitem scan; the threshold compares EXACT integers
+    (5·cnt·l_quantity < sum_qty ⟺ l_quantity < 0.2·avg — l_quantity is
+    integral), and revenue accumulates as exact integer cents with the
+    repo's single-integral-divide 2-dp rounding, so the scalar output is
+    bit-identical in any partition order."""
+    pp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.expr(
+                "CAST(CASE WHEN l_extendedprice >= 0"
+                " THEN floor(l_extendedprice * 100 + 0.5)"
+                " ELSE -floor(-l_extendedprice * 100 + 0.5) END AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    # per-part stats as a WINDOW over the same scan (the Q20 trick): one
+    # lineitem scan + one partkey exchange, no aggregate-join replay
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li.withColumn("sum_q", F.sum("q").over(w).cast("long"))
+        .withColumn("cnt", F.count("*").over(w).cast("long"))
+        .filter(F.col("q") * 5 * F.col("cnt") < F.col("sum_q"))
+    )
+    return small.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST(CAST((CAST(sum(cents) AS DECIMAL(38,0)) * 200 + 700)"
+            " div 1400 AS BIGINT) AS DOUBLE) / 100.0"
+        ).alias("avg_yearly"),
+    )
+
+
 def ex_bm25(spark, sf_dir):
     """Okapi BM25 top-k retrieval for a fixed query-term set (the
     relevance-mining pass of a curation pipeline): one doc_id-keyed token
@@ -2378,6 +2423,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dedup_substring": st_dedup_substring,
         "st_image_dedup_apply": st_image_dedup_apply,
         "ex_bm25": ex_bm25,
+        "ex_small_qty_revenue": ex_small_qty_revenue,
         # --- window 10-14: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
@@ -2418,9 +2464,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_range_window": ex_range_window,
         "ex_rank_funcs": ex_rank_funcs,
         "ex_regex_funcs": ex_regex_funcs,
-        "ex_rollup": ex_rollup,
         # --- tail head: the remaining r5-vintage entries (rotate
         # first in round 9; displaced by the round-8 additions) ---
+        "ex_rollup": ex_rollup,
         "ex_scalar_funcs": ex_scalar_funcs,
         "ex_semijoin": ex_semijoin,
         "ex_sessionize": ex_sessionize,
