@@ -550,13 +550,16 @@ def dedup_apply(
     return apply_drop_set(docs, drops, impl)
 
 
-def apply_drop_set(docs: DataFrame, drops: DataFrame, impl: str = "auto") -> DataFrame:
+def apply_drop_set(
+    docs: DataFrame, drops: DataFrame, impl: str = "auto", key: str = "doc_id"
+) -> DataFrame:
     """The dedup_apply anti-join stage alone: remove ``drops`` (bare
-    doc_id keys) from ``docs``, routing broadcast-vs-shuffle on the
+    ``key`` ids) from ``docs``, routing broadcast-vs-shuffle on the
     corpus scan's Catalyst size estimate exactly as ``dedup_apply``
     documents. Shared by every pairs-source (MinHash text, perceptual
-    Hamming, substring) so each modality's dedup ends in the same
-    never-shuffle-the-corpus apply shape."""
+    Hamming, substring, SemDeDup embeddings via ``key='vec_id'``) so
+    each modality's dedup ends in the same never-shuffle-the-corpus
+    apply shape."""
     if impl == "auto":
         from espkinesis_spark.plans.audit import plan_size_bytes
 
@@ -567,10 +570,10 @@ def apply_drop_set(docs: DataFrame, drops: DataFrame, impl: str = "auto") -> Dat
             else "shuffle"
         )
     if impl == "broadcast":
-        return docs.join(F.broadcast(drops), "doc_id", "left_anti")
+        return docs.join(F.broadcast(drops), key, "left_anti")
     # hint AGAINST broadcast so AQE keeps the exchange even if the drop
     # set's runtime stats look small mid-query
-    return docs.join(drops.hint("shuffle_hash"), "doc_id", "left_anti")
+    return docs.join(drops.hint("shuffle_hash"), key, "left_anti")
 
 
 def neardup_incremental(

@@ -328,6 +328,31 @@ FROM l{iters} l JOIN sizes s ON s.lab = l.lab"""
     )
 
 
+def _semdedup_apply_sql() -> str:
+    """The semdedup trajectory + drop rule, applied: survivors summarized
+    per label with an exact-integer id checksum."""
+    parts, cur = _kmeans_ctes()
+    parts.append(_kmeans_assign_cte(cur, "af"))
+    parts.append(
+        f"""drops AS (SELECT DISTINCT hi.vec_id
+  FROM af lo JOIN af hi ON lo.centroid_id = hi.centroid_id
+                       AND lo.vec_id < hi.vec_id
+  JOIN v va ON va.vec_id = lo.vec_id
+  JOIN v vb ON vb.vec_id = hi.vec_id
+  WHERE {_cos('va.e', 'vb.e')} >= {C.NEARDUP_COSINE})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids
+FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+GROUP BY label"""
+    )
+
+
 def _ann_ivf_trained_sql() -> str:
     """IVF probe (identical shape to _ann_ivf_sql) over the k-means-trained
     centroid table instead of the vec_id % mod subsample."""
@@ -1476,6 +1501,7 @@ GROUP BY source""",
     "ex_bpe_encode": _bpe_encode_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_semdedup": _semdedup_sql(),
+    "ex_semdedup_apply": _semdedup_apply_sql(),
     "ex_pagerank": _pagerank_sql(),
     "ex_label_prop": _label_prop_sql(),
     # hourly z-score anomaly flags: exact integer sums divided once, so

@@ -1819,6 +1819,28 @@ def ex_domain_mix(spark, sf_dir):
     return sampling.domain_mix(_t(spark, sf_dir, "documents"))
 
 
+def ex_semdedup_apply(spark, sf_dir):
+    """Semantic dedup APPLIED to the embedding corpus (completes the
+    apply symmetry for the embedding modality): SemDeDup keep flags →
+    drop set → the routed anti join (``apply_drop_set(key='vec_id')``)
+    → per-label survivor summary with an exact-integer id checksum. The
+    embedding corpus scan is never shuffled for the subtraction."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    drops = (
+        similarity.semdedup(vecs)
+        .filter(~F.col("keep"))
+        .select("vec_id")
+    )
+    return (
+        dedup.apply_drop_set(vecs, drops, key="vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
 def ex_semdedup(spark, sf_dir):
     """Cluster-partitioned semantic dedup (SemDeDup, Abbas et al. 2023):
     k-means clusters bound the pairwise-cosine candidate space to
@@ -2424,6 +2446,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_image_dedup_apply": st_image_dedup_apply,
         "ex_bm25": ex_bm25,
         "ex_small_qty_revenue": ex_small_qty_revenue,
+        "ex_semdedup_apply": ex_semdedup_apply,
         # --- window 10-14: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
@@ -2463,9 +2486,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_quality_filter": ex_quality_filter,
         "ex_range_window": ex_range_window,
         "ex_rank_funcs": ex_rank_funcs,
-        "ex_regex_funcs": ex_regex_funcs,
         # --- tail head: the remaining r5-vintage entries (rotate
         # first in round 9; displaced by the round-8 additions) ---
+        "ex_regex_funcs": ex_regex_funcs,
         "ex_rollup": ex_rollup,
         "ex_scalar_funcs": ex_scalar_funcs,
         "ex_semijoin": ex_semijoin,
