@@ -760,6 +760,20 @@ ORACLES: dict[str, str] = {
     "ex_histogram": """SELECT CAST(FLOOR(value / 100) AS BIGINT) AS bin,
         COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_v
         FROM events GROUP BY bin""",
+    # Q18-shape: IN over a HAVING aggregate — the decorrelation the Spark
+    # plan turns into a broadcast semi-set probe
+    "ex_large_orders": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               ROUND(o.o_totalprice, 2) AS price,
+               CAST(s.sum_qty AS BIGINT) AS sum_qty
+        FROM orders o
+        JOIN (SELECT l_orderkey,
+                     sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 200) s
+          ON s.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey""",
     # the correlated-AVG form the Spark plan decorrelates (window over
     # one scan); revenue in exact integer cents, ONE integral divide
     "ex_small_qty_revenue": """

@@ -1092,6 +1092,39 @@ def ex_small_qty_revenue(spark, sf_dir):
     )
 
 
+def ex_large_orders(spark, sf_dir):
+    """TPC-H Q18-shape large-volume customers: orders whose total line
+    quantity exceeds 200, with the owning customer. The HAVING semi-set
+    (large-order keys + their exact bigint quantity sums) is a
+    few-rows-per-million aggregate, so it BROADCASTS into the orders
+    probe — the orders and customer scans are never shuffled; the one
+    exchange is the lineitem quantity aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("price"),
+            "sum_qty",
+        )
+    )
+
+
 def ex_bm25(spark, sf_dir):
     """Okapi BM25 top-k retrieval for a fixed query-term set (the
     relevance-mining pass of a curation pipeline): one doc_id-keyed token
@@ -2447,6 +2480,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_bm25": ex_bm25,
         "ex_small_qty_revenue": ex_small_qty_revenue,
         "ex_semdedup_apply": ex_semdedup_apply,
+        "ex_large_orders": ex_large_orders,
         # --- window 10-14: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
@@ -2485,9 +2519,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_promo_share": ex_promo_share,
         "ex_quality_filter": ex_quality_filter,
         "ex_range_window": ex_range_window,
-        "ex_rank_funcs": ex_rank_funcs,
         # --- tail head: the remaining r5-vintage entries (rotate
         # first in round 9; displaced by the round-8 additions) ---
+        "ex_rank_funcs": ex_rank_funcs,
         "ex_regex_funcs": ex_regex_funcs,
         "ex_rollup": ex_rollup,
         "ex_scalar_funcs": ex_scalar_funcs,
