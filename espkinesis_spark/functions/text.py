@@ -917,15 +917,38 @@ def bm25_topk(
     is exact integer arithmetic in any partition order. The oracle
     replays the identical expression text.
     """
-    tok = docs.select(
+    return bm25_from_tokens(bm25_tokens(docs, text_col), query, k1, b, topk)
+
+
+def bm25_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BM25's extraction table — the lowercased (doc_id, term) stream, a
+    stateless per-row fan-out, so a STREAM can compute it at ingest
+    (the dup_spans_tables split)."""
+    return docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     ).filter(F.length("term") > 0)
+
+
+def bm25_from_tokens(
+    tok: DataFrame,
+    query: tuple[str, ...] = C.BM25_QUERY,
+    k1: float = C.BM25_K1,
+    b: float = C.BM25_B,
+    topk: int = C.BM25_TOPK,
+) -> DataFrame:
+    """The scoring half of ``bm25_topk``, running identically over a
+    live extraction frame (batch) or a drained store (streaming). The
+    BM25 corpus is defined as documents with >= 1 token (N and both
+    scalars derive from the per-doc length table — one extra reduction
+    over an already doc-sized frame, no second corpus scan)."""
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    # two scalar reductions (document count + total token count) ride a
-    # single broadcastable 1-row frame
+    # dl feeds the scalar reduction AND the per-doc probe — freeze the
+    # doc-sized table once (the multi-branch rule)
+    dl = dl.localCheckpoint(eager=True)
     scalars = F.broadcast(
-        docs.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
-            tok.agg(F.count("*").cast("long").alias("total_len"))
+        dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
         )
     )
     qterms = F.array(*[F.lit(t) for t in query])

@@ -802,9 +802,9 @@ ORACLES: dict[str, str] = {
                  FROM documents) WHERE length(t) > 0),
         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
                FROM tok GROUP BY 1),
-        sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl)
                           AS n_docs,
-                      (SELECT CAST(count(*) AS BIGINT) FROM tok)
+                      (SELECT CAST(sum(dl) AS BIGINT) FROM dl)
                           AS total_len),
         qdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
                 FROM tok WHERE term IN ('join', 'merge', 'sort') GROUP BY 1),
@@ -1900,6 +1900,8 @@ ORACLES["st_dedup_substring"] = ORACLES["ex_dedup_substring"]
 # the streaming perceptual apply drains the same fingerprint table;
 # clusters/apply over it equal the batch chain — one oracle
 ORACLES["st_image_dedup_apply"] = ORACLES["ex_image_dedup_apply"]
+# streaming BM25 drains the same token extraction; one oracle
+ORACLES["st_bm25"] = ORACLES["ex_bm25"]
 # st_image_neardup fingerprints at ingest and joins over the drained
 # store; the snapshot equals the batch hash table, so the oracle is exact
 ORACLES["st_image_neardup"] = ORACLES["ex_image_neardup"]

@@ -1135,6 +1135,15 @@ def ex_bm25(spark, sf_dir):
     return text.bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def st_bm25(spark, sf_dir):
+    """Streaming BM25: tokens extracted at ingest (stateless append
+    projection), scoring over the drained store. Shares ex_bm25's
+    oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.bm25_stream(spark, sf_dir)
+
+
 def ex_tfidf(spark, sf_dir):
     """TF-IDF top-3 terms per document (doc_id < 50): token explode ->
     per-(doc, term) tf -> document-frequency join -> windowed top-k.
@@ -2481,6 +2490,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_small_qty_revenue": ex_small_qty_revenue,
         "ex_semdedup_apply": ex_semdedup_apply,
         "ex_large_orders": ex_large_orders,
+        "st_bm25": st_bm25,
         # --- window 10-14: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
@@ -2518,9 +2528,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_pii_scrub": ex_pii_scrub,
         "ex_promo_share": ex_promo_share,
         "ex_quality_filter": ex_quality_filter,
-        "ex_range_window": ex_range_window,
         # --- tail head: the remaining r5-vintage entries (rotate
         # first in round 9; displaced by the round-8 additions) ---
+        "ex_range_window": ex_range_window,
         "ex_rank_funcs": ex_rank_funcs,
         "ex_regex_funcs": ex_regex_funcs,
         "ex_rollup": ex_rollup,

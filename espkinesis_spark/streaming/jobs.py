@@ -298,6 +298,21 @@ def image_dedup_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 retrieval: the (doc_id, term) extraction computed
+    AT INGEST (stateless append fan-out — the payload is tokenized once,
+    on arrival), scoring over the drained token store. The drained table
+    equals the batch extraction, so ex_bm25's oracle is exact."""
+    from espkinesis_spark.functions import text as T
+
+    src = _documents_stream(spark, sf_dir)
+    tok = T.bm25_tokens(src)
+    store = _drain_to_memory(tok, "st_bm25_sink", "append").localCheckpoint(
+        eager=True
+    )
+    return T.bm25_from_tokens(store)
+
+
 def audio_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming acoustic near-dup: the image_neardup_stream lambda with
     the WAV energy-envelope fingerprint (see image_neardup_stream for
