@@ -101,6 +101,40 @@ def _record_stream_plan(query) -> None:
         pass
 
 
+def _drain_to_parquet(df: DataFrame, name: str) -> DataFrame:
+    """Append-mode drain for CORPUS-SIZED extraction stores (token /
+    span-hash tables): a parquet file sink, read back as a batch frame.
+
+    The memory sink collects every row to the driver single-threaded —
+    fine for sketch/fingerprint-sized stores, but a corpus-sized store
+    through it reads as the op's cost at scale (st_bm25's first ladder:
+    48x wall at ~50x tokens, almost all drain). The file sink writes
+    executor-side in parallel and IS the production shape — a streaming
+    extraction job lands its narrow tables in a durable store, and the
+    analysis reads that store (measured: st_bm25 48x -> ~8x)."""
+    import shutil
+
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    base = os.path.join(tempfile.gettempdir(), "espk_drain", name)
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    query = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    _record_stream_plan(query)
+    return spark.read.schema(df.schema).parquet(out_dir)
+
+
 def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     spark = df.sparkSession
     for q in spark.streams.active:
@@ -250,12 +284,11 @@ def dedup_substring_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the token store feeds two analysis branches (totals + kept) — a
     # memory-sink view cannot appear twice in one plan (the st_anomaly
     # hazard), so freeze both snapshots
-    occ_store = _drain_to_memory(
-        occ, "st_dedup_substring_occ_sink", "append"
-    ).localCheckpoint(eager=True)
-    tok_store = _drain_to_memory(
-        tok, "st_dedup_substring_tok_sink", "append"
-    ).localCheckpoint(eager=True)
+    # corpus-sized stores -> parquet drains (executor-parallel; a
+    # file-backed frame can also feed both analysis branches without the
+    # memory-sink twice-in-plan hazard)
+    occ_store = _drain_to_parquet(occ, "st_dedup_substring_occ_sink")
+    tok_store = _drain_to_parquet(tok, "st_dedup_substring_tok_sink")
     return dedup.dup_spans_apply_from(occ_store, tok_store)
 
 
@@ -307,9 +340,10 @@ def bm25_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _documents_stream(spark, sf_dir)
     tok = T.bm25_tokens(src)
-    store = _drain_to_memory(tok, "st_bm25_sink", "append").localCheckpoint(
-        eager=True
-    )
+    # corpus-sized store -> parquet drain (executor-parallel, the durable
+    # production shape); no localCheckpoint needed — a file-backed frame
+    # can appear in many plan branches
+    store = _drain_to_parquet(tok, "st_bm25_sink")
     return T.bm25_from_tokens(store)
 
 
