@@ -1900,6 +1900,8 @@ ORACLES["st_dedup_substring"] = ORACLES["ex_dedup_substring"]
 # the streaming perceptual apply drains the same fingerprint table;
 # clusters/apply over it equal the batch chain — one oracle
 ORACLES["st_image_dedup_apply"] = ORACLES["ex_image_dedup_apply"]
+ORACLES["st_audio_dedup_apply"] = ORACLES["ex_audio_dedup_apply"]
+ORACLES["st_video_dedup_apply"] = ORACLES["ex_video_dedup_apply"]
 # streaming BM25 drains the same token extraction; one oracle
 ORACLES["st_bm25"] = ORACLES["ex_bm25"]
 # st_image_neardup fingerprints at ingest and joins over the drained

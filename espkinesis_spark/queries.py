@@ -1400,6 +1400,22 @@ def st_image_dedup_apply(spark, sf_dir):
     return jobs.image_dedup_apply_stream(spark, sf_dir)
 
 
+def st_audio_dedup_apply(spark, sf_dir):
+    """Streaming acoustic dedup APPLIED (the st_image_dedup_apply
+    pattern). Shares ex_audio_dedup_apply's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.audio_dedup_apply_stream(spark, sf_dir)
+
+
+def st_video_dedup_apply(spark, sf_dir):
+    """Streaming video-shape dedup APPLIED (the st_image_dedup_apply
+    pattern). Shares ex_video_dedup_apply's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.video_dedup_apply_stream(spark, sf_dir)
+
+
 def st_image_neardup(spark, sf_dir):
     """Streaming perceptual image dedup (the production lambda):
     fingerprints extracted at ingest as a stateless append projection
@@ -2486,6 +2502,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_hdr_quantile": st_hdr_quantile,
         "st_dedup_substring": st_dedup_substring,
         "st_image_dedup_apply": st_image_dedup_apply,
+        "st_audio_dedup_apply": st_audio_dedup_apply,
+        "st_video_dedup_apply": st_video_dedup_apply,
         "ex_bm25": ex_bm25,
         "ex_small_qty_revenue": ex_small_qty_revenue,
         "ex_semdedup_apply": ex_semdedup_apply,

@@ -347,6 +347,77 @@ def bm25_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_from_tokens(store)
 
 
+def audio_dedup_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming acoustic dedup APPLIED: envelope fingerprints at ingest,
+    pairs -> clusters -> drop set over the drained store, routed
+    anti-join against the landed corpus. Shares ex_audio_dedup_apply's
+    oracle."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import dedup
+    from espkinesis_spark.functions.multimodal import (
+        audio_envelope_hash,
+        hamming_neardup,
+        synthesize_tone_wav,
+    )
+    from espkinesis_spark.tables import load_table
+
+    src = _documents_stream(spark, sf_dir)
+    hashes = audio_envelope_hash(synthesize_tone_wav(src))
+    store = _drain_to_memory(hashes, "st_audio_dedup_apply_sink", "append")
+    pairs = hamming_neardup(store, max_hamming=C.AUD_HAM_MAX).select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    )
+    drops = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.apply_drop_set(docs, drops)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def video_dedup_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming video-shape dedup APPLIED: keyframe hashes at ingest,
+    shared-frame pairs -> clusters -> drop set over the drained store,
+    routed anti-join against the landed corpus. Shares
+    ex_video_dedup_apply's oracle."""
+    from espkinesis_spark.functions import dedup
+    from espkinesis_spark.functions.multimodal import (
+        attach_binary,
+        sample_frames,
+        shared_frame_neardup,
+    )
+    from espkinesis_spark.tables import load_table
+
+    src = _documents_stream(spark, sf_dir)
+    frames = sample_frames(attach_binary(src))
+    store = _drain_to_memory(frames, "st_video_dedup_apply_sink", "append")
+    pairs = shared_frame_neardup(store).select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    )
+    drops = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.apply_drop_set(docs, drops)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 def audio_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming acoustic near-dup: the image_neardup_stream lambda with
     the WAV energy-envelope fingerprint (see image_neardup_stream for
