@@ -760,6 +760,38 @@ ORACLES: dict[str, str] = {
     "ex_histogram": """SELECT CAST(FLOOR(value / 100) AS BIGINT) AS bin,
         COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_v
         FROM events GROUP BY bin""",
+    "ex_ship_priority_counts": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus""",
+    # exact-cents revenue of the three-way disjunction; rounding per line
+    # BEFORE the sum keeps the scalar exact under any partitioning
+    "ex_disjunctive_revenue": """
+        WITH j AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                          p_brand, p_size,
+                          CAST(CASE WHEN l_extendedprice >= 0
+                               THEN floor(l_extendedprice * (1 - l_discount)
+                                          * 100 + 0.5)
+                               ELSE -floor(-(l_extendedprice * (1 - l_discount))
+                                           * 100 + 0.5)
+                               END AS BIGINT) AS cents
+                   FROM lineitem JOIN part ON p_partkey = l_partkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(CAST((CAST(sum(cents) AS HUGEINT) * 2 + 100) // 200
+                    AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+        FROM j
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND q BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND q BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND q BETWEEN 20 AND 30)""",
     # Q18-shape: IN over a HAVING aggregate — the decorrelation the Spark
     # plan turns into a broadcast semi-set probe
     "ex_large_orders": """

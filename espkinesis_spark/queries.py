@@ -1125,6 +1125,70 @@ def ex_large_orders(spark, sf_dir):
     )
 
 
+def ex_ship_priority_counts(spark, sf_dir):
+    """TPC-H Q12-shape shipping-priority classification: per line status,
+    how many 1996-shipped lines belong to urgent/high- vs lower-priority
+    orders — join + conditional aggregation. The ship-window filter
+    pushes to the lineitem scan; the orderkey join is the one exchange;
+    the CASE counts partial-aggregate map-side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_count"),
+        )
+    )
+
+
+def ex_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-shape disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-range) conjunctions — the pushdown /
+    CNF-extraction stress. Catalyst pushes the part-side disjunction
+    into the part scan as an Or-filter PLUS the extracted common bound
+    (p_size >= 1) — plan-audited; the mixed-table quantity clauses
+    evaluate post-join (they reference both sides). The dim broadcasts.
+    Revenue
+    accumulates as exact integer cents with one integral divide (scalar
+    output, bit-identical in any partition order)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.expr(
+            "CAST(CASE WHEN l_extendedprice >= 0"
+            " THEN floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " ELSE -floor(-(l_extendedprice * (1 - l_discount)) * 100 + 0.5)"
+            " END AS BIGINT)"
+        ).alias("cents"),
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("q").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("q").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("q").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(CAST((CAST(sum(cents) AS DECIMAL(38,0)) * 2 + 100)"
+                " div 200 AS BIGINT) AS DOUBLE) / 100.0"
+            ).alias("revenue"),
+        )
+    )
+
+
 def ex_bm25(spark, sf_dir):
     """Okapi BM25 top-k retrieval for a fixed query-term set (the
     relevance-mining pass of a curation pipeline): one doc_id-keyed token
@@ -2508,6 +2572,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_small_qty_revenue": ex_small_qty_revenue,
         "ex_semdedup_apply": ex_semdedup_apply,
         "ex_large_orders": ex_large_orders,
+        "ex_ship_priority_counts": ex_ship_priority_counts,
+        "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "st_bm25": st_bm25,
         # --- window 17-21: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---

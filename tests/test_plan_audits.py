@@ -176,6 +176,18 @@ def test_waiting_orders_decorrelates_without_self_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_disjunctive_revenue_pushes_or_filter(spark, sf_dir):
+    """Q19 shape: the part-side OR-of-conjunctions must reach the part
+    scan as a pushed Or filter, with the extracted common size bound."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_disjunctive_revenue")
+    plan = physical_plan(df)
+    assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in plan
+    assert "GreaterThanOrEqual(p_size,1)" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_chunk_docs_has_zero_shuffle(spark, sf_dir):
     """Chunking is a pure per-row fan-out — no Exchange allowed."""
     df = _q(spark, sf_dir, "ex_chunk_docs")
