@@ -506,6 +506,19 @@ ORACLES: dict[str, str] = {
         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos('a.e', 'b.e')} AS cos
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, cos FROM p WHERE cos >= {C.NEARDUP_COSINE}""",
+    "ex_ann_filtered": f"""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        p AS (SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+                     {_cos('a.e', 'b.e')} AS cos
+              FROM v a JOIN v b ON b.label = a.label
+                               AND b.vec_id <> a.vec_id
+              WHERE a.vec_id < {C.ANN_QUERY_MAX_ID})
+        SELECT vec_id, label, rnk, neighbor_id, cos FROM (
+          SELECT vec_id, label, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM p) WHERE rnk <= 3""",
     "ex_ann_topk": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, {_cos('a.e', 'b.e')} AS cos

@@ -325,6 +325,40 @@ def ex_ann_topk(spark, sf_dir):
     )
 
 
+def ex_ann_filtered(spark, sf_dir):
+    """Metadata-FILTERED vector search (the production retrieval shape:
+    a predicate narrows the corpus before similarity ranks it): top-3
+    cosine neighbors per query vector restricted to vectors sharing the
+    query's label. The label restriction is an EQUI-join key, so the
+    search co-locates per label partition and cross-label pairs never
+    materialize — the filter prunes the candidate space INSIDE the join,
+    not after it."""
+    from espkinesis_spark.functions.similarity import cosine, with_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = with_norm(emb.filter(F.col("vec_id") < C.ANN_QUERY_MAX_ID)).select(
+        "vec_id", "label", F.col("embedding").alias("__qv"), F.col("__norm").alias("__qn")
+    )
+    c = with_norm(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("__cl"),
+        F.col("embedding").alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    pairs = (
+        q.join(c, (q.label == c.__cl) & (q.vec_id != c.neighbor_id))
+        .withColumn(
+            "cos", cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"))
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_id", "label", "rnk", "neighbor_id", "cos")
+    )
+
+
 def ex_ann_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-3 (deterministic centroids + nprobe)."""
     return similarity.topk_ivf(_t(spark, sf_dir, "embeddings"))
@@ -2574,6 +2608,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_large_orders": ex_large_orders,
         "ex_ship_priority_counts": ex_ship_priority_counts,
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
+        "ex_ann_filtered": ex_ann_filtered,
         "st_bm25": st_bm25,
         # --- window 21-25: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
