@@ -198,6 +198,54 @@ def neardup_minhash_persisted(
     return exact_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    docs: DataFrame, threshold: float = C.CONTAIN_THRESHOLD
+) -> DataFrame:
+    """Shingle-set CONTAINMENT near-dup: C(A,B) = |A∩B| / |A| (and the
+    symmetric C(B,A)) for every pair sharing >= 1 shingle, kept when
+    either direction reaches ``threshold``. Jaccard misses
+    subset/boilerplate duplication — a doc wholly contained in a much
+    larger one has i/(na+nb-i) ≈ na/nb — while containment reads 1.0;
+    this is the template/boilerplate detector of the dedup stack
+    (Broder's containment measure).
+
+    Scale shape: the single-pass shared-shingle self-join IS the
+    intersection count (the neardup_jaccard_exact shape — one s-keyed
+    exchange, no pair list materialized separately); sizes ride a
+    doc-keyed aggregate. Hot-shingle df capping applies exactly as in
+    neardup_jaccard_exact when needed at corpus scale.
+    """
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        sa.join(sb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / F.col("na"), 6).alias("cont_a_in_b"),
+            F.round(F.col("i") / F.col("nb"), 6).alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
 def neardup_jaccard_exact(
     docs: DataFrame,
     threshold: float = C.JACCARD_THRESHOLD,

@@ -499,6 +499,20 @@ ORACLES: dict[str, str] = {
     "ex_neardup_minhash": _EXACT_JACCARD,
     # same exact semantics through the persisted bucketed-shingle pipeline
     "ex_dedup_pipeline": _EXACT_JACCARD,
+    # Broder containment over the same shingle sets as the Jaccard oracle
+    "ex_containment_dedup": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+c AS (SELECT da, db, round(i * 1.0 / sa.n, 6) AS cont_a_in_b,
+             round(i * 1.0 / sb.n, 6) AS cont_b_in_a
+      FROM inter JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db)
+SELECT da AS doc_a, db AS doc_b, cont_a_in_b, cont_b_in_a
+FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
+   OR cont_b_in_a >= {C.CONTAIN_THRESHOLD}""",
     "ex_neardup_jaccard": _EXACT_JACCARD,
     "ex_simhash": _simhash_sql(),
     "ex_neardup_cosine": f"""

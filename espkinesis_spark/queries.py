@@ -325,6 +325,14 @@ def ex_ann_topk(spark, sf_dir):
     )
 
 
+def ex_containment_dedup(spark, sf_dir):
+    """Shingle-containment near-dup (Broder's containment — the
+    subset/boilerplate detector Jaccard misses): pairs where either
+    direction's |A∩B|/|A| reaches CONTAIN_THRESHOLD. Single-pass
+    shared-shingle self-join (one s-keyed exchange)."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
 def ex_ann_filtered(spark, sf_dir):
     """Metadata-FILTERED vector search (the production retrieval shape:
     a predicate narrows the corpus before similarity ranks it): top-3
@@ -2609,6 +2617,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ship_priority_counts": ex_ship_priority_counts,
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "ex_ann_filtered": ex_ann_filtered,
+        "ex_containment_dedup": ex_containment_dedup,
         "st_bm25": st_bm25,
         # --- window 21-25: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
