@@ -199,7 +199,9 @@ def neardup_minhash_persisted(
 
 
 def containment_pairs(
-    docs: DataFrame, threshold: float = C.CONTAIN_THRESHOLD
+    docs: DataFrame,
+    threshold: float = C.CONTAIN_THRESHOLD,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Shingle-set CONTAINMENT near-dup: C(A,B) = |A∩B| / |A| (and the
     symmetric C(B,A)) for every pair sharing >= 1 shingle, kept when
@@ -212,19 +214,58 @@ def containment_pairs(
     Scale shape: the single-pass shared-shingle self-join IS the
     intersection count (the neardup_jaccard_exact shape — one s-keyed
     exchange, no pair list materialized separately); sizes ride a
-    doc-keyed aggregate. Hot-shingle df capping applies exactly as in
-    neardup_jaccard_exact when needed at corpus scale.
+    doc-keyed aggregate. ``df_cap`` applies the neardup_jaccard_exact
+    hot-shingle guard — REQUIRED at corpus scale on natural text, where
+    stopword-ish shingles shared by thousands of docs make the capless
+    self-join quadratic: the 30x ladder (bounded-vocab corpus, ~50x
+    shingle volume) did not finish capless inside 10 min, while
+    df_cap=64 reads 18x wall at ~50x work (the dup_spans cost class),
+    with exactness preserved for every pair sharing >= 1 sub-cap
+    shingle (equivalence-tested).
     """
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        sa.join(sb, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
+    if df_cap is None:
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+        inter = (
+            sa.join(sb, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        # the neardup_jaccard_exact cap rule: candidates from sub-cap
+        # shingles only (join bounded by cap² per shingle), exact
+        # intersection completed with the hot part restricted to
+        # already-candidate pairs — containment values stay EXACT for
+        # every pair sharing >= 1 cold shingle (equivalence-tested)
+        from pyspark.sql import Window
+
+        annotated = sh.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("s"))
+        )
+        cold = annotated.filter(F.col("__df") <= df_cap).select("doc_id", "s")
+        hot = annotated.filter(F.col("__df") > df_cap).select("doc_id", "s")
+        i_cold = (
+            cold.select(F.col("doc_id").alias("doc_a"), "s")
+            .join(cold.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("ic"))
+        )
+        i_hot = (
+            i_cold.select("doc_a", "doc_b")
+            .join(hot.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(hot.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "s"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("ih"))
+        )
+        inter = i_cold.join(i_hot, ["doc_a", "doc_b"], "left").select(
+            "doc_a",
+            "doc_b",
+            (F.col("ic") + F.coalesce(F.col("ih"), F.lit(0))).alias("i"),
+        )
     return (
         inter.join(
             sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),

@@ -2172,3 +2172,15 @@ def test_bm25_partition_order_independent(spark, sf_dir):
     for parts in (1, 7):
         got = {tuple(r) for r in T.bm25_topk(docs.repartition(parts)).collect()}
         assert got == base
+
+
+def test_containment_df_cap_equivalence(spark, sf_dir):
+    """The df-capped containment path must equal the capless single-pass
+    on the real corpus (the neardup_jaccard_exact cap contract: exact
+    for every pair sharing >= 1 sub-cap shingle — at this scale, all)."""
+    from espkinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {tuple(r) for r in dedup.containment_pairs(docs).collect()}
+    capped = {tuple(r) for r in dedup.containment_pairs(docs, df_cap=64).collect()}
+    assert capped == base and len(base) > 0
