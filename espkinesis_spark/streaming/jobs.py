@@ -132,6 +132,9 @@ def _drain_to_parquet(df: DataFrame, name: str) -> DataFrame:
     )
     query.awaitTermination()
     _record_stream_plan(query)
+    # a zero-row stream leaves no sink directory — materialize it so the
+    # schema-pinned read returns an empty frame instead of failing
+    os.makedirs(out_dir, exist_ok=True)
     return spark.read.schema(df.schema).parquet(out_dir)
 
 
