@@ -2184,3 +2184,37 @@ def test_containment_df_cap_equivalence(spark, sf_dir):
     base = {tuple(r) for r in dedup.containment_pairs(docs).collect()}
     capped = {tuple(r) for r in dedup.containment_pairs(docs, df_cap=64).collect()}
     assert capped == base and len(base) > 0
+
+
+def test_cents_integral_divide_matches_half_away():
+    """The (200·cents + 700) div 1400 expression used by the Q17/Q19
+    scalars produces integer HUNDREDTHS of cents/700 — i.e. the 2-dp
+    half-away rounding of the yearly average in currency units — and
+    must equal the decimal model exactly for any non-negative cents
+    (hypothesis mirror of the one integral divide)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.integers(0, 10**15))
+    def run(cents):
+        got = (200 * cents + 700) // 1400  # hundredths of cents/700
+        want = (Decimal(cents * 100) / Decimal(700)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+        assert got == int(want)
+
+    run()
+
+
+def test_hdr_batch_plan_materializes_buckets_once(spark, sf_dir):
+    """ex_hdr_quantile's extraction must run over the CHECKPOINTED bucket
+    table — no parquet scan may survive into the extraction plan (two
+    branches would re-scan events otherwise; the multi-branch rule)."""
+    from espkinesis_spark import queries
+    from espkinesis_spark.plans import physical_plan
+
+    plan = physical_plan(queries.registry()["ex_hdr_quantile"](spark, sf_dir))
+    assert "Scan parquet" not in plan, plan
