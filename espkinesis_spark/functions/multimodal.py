@@ -594,6 +594,56 @@ def hamming_neardup(
     )
 
 
+def hamming_neardup_incremental(
+    new_hashes: DataFrame, corpus_hashes: DataFrame, max_hamming: int
+) -> DataFrame:
+    """Incremental perceptual near-dup: check an INCOMING batch's
+    fingerprints against the EXISTING corpus fingerprint store without
+    re-pairing the corpus with itself — the production ingest shape
+    (text's ``dedup.neardup_incremental`` for the Hamming modality).
+    Candidates are new x corpus on the exact band bucket, so candidate
+    volume scales with the batch, never the corpus squared; the corpus
+    side is exactly the persisted ~40 B/doc hash table. Output
+    (doc_new, doc_old, hamming), exact distances. Both sides are
+    materialized once (each feeds its candidate AND verify branch)."""
+    new_hashes = new_hashes.localCheckpoint(eager=True)
+    corpus_hashes = corpus_hashes.localCheckpoint(eager=True)
+    a = new_hashes.select(
+        F.col("doc_id").alias("__ia"), "band", F.col("val").alias("__va")
+    )
+    b = corpus_hashes.select(
+        F.col("doc_id").alias("__ib"), "band", F.col("val").alias("__vb")
+    )
+    cand = (
+        a.join(b, "band")
+        .filter((F.col("__va") == F.col("__vb")) & (F.col("__ia") != F.col("__ib")))
+        .select("__ia", "__ib")
+        .distinct()
+    )
+    x = new_hashes.select(
+        F.col("doc_id").alias("__ia"), "band", F.col("val").alias("__xa")
+    )
+    y = corpus_hashes.select(
+        F.col("doc_id").alias("__ib"), "band", F.col("val").alias("__xb")
+    )
+    return (
+        cand.join(x, "__ia")
+        .join(y, ["__ib", "band"])
+        .groupBy("__ia", "__ib")
+        .agg(
+            F.sum(F.bit_count(F.col("__xa").bitwiseXOR(F.col("__xb"))))
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("__ia").alias("doc_new"),
+            F.col("__ib").alias("doc_old"),
+            "hamming",
+        )
+    )
+
+
 def shared_frame_neardup(
     frames: DataFrame,
     min_shared: int = C.VID_SHARED_FRAMES,

@@ -1194,6 +1194,37 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
         GROUP BY source""",
+    # the image chain with the INCREMENTAL candidate rule: new-batch
+    # (doc_id % 10 == 0) bands join the corpus store only
+    "ex_image_neardup_incr": f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
+        px AS (SELECT doc_id, CAST(k AS INT) AS k,
+                      unicode(substr(text,
+                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
+               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
+        bits AS (SELECT a.doc_id,
+                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
+                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
+                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+                 FROM px a JOIN px b
+                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
+                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
+        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
+                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
+                              AS BIGINT) AS val
+                  FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.val = b.val
+                 WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+        SELECT cand.ia AS doc_new, cand.ib AS doc_old,
+               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
+        FROM cand
+        JOIN bands x ON x.doc_id = cand.ia
+        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
+        GROUP BY 1, 2
+        HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
     # the image-neardup chain with bucket_bands=2 candidates: two adjacent
     # bands form one bucket keyed by the band-ordered value concatenation
     # (exactly hamming_neardup's grouped-bucket rule)

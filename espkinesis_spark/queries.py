@@ -606,6 +606,21 @@ def ex_waiting_orders(spark, sf_dir):
     )
 
 
+def ex_image_neardup_incr(spark, sf_dir):
+    """Incremental perceptual ingest: new documents (doc_id % 10 == 0)
+    checked against the EXISTING corpus fingerprint store only — the
+    candidate join is batch x corpus, never corpus x corpus (the
+    production shape for continuous ingestion; text's
+    ex_dedup_incremental for the Hamming modality)."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = multimodal.image_dhash(multimodal.synthesize_gray_bmp(docs))
+    new_h = hashes.filter(F.col("doc_id") % 10 == 0)
+    corpus_h = hashes.filter(F.col("doc_id") % 10 != 0)
+    return multimodal.hamming_neardup_incremental(
+        new_h, corpus_h, max_hamming=C.IMG_HAM_MAX
+    )
+
+
 def ex_image_neardup_wide(spark, sf_dir):
     """The corpus-scale candidate-volume knob exercised end-to-end:
     ``hamming_neardup(bucket_bands=2)`` groups two adjacent 16-bit bands
@@ -2618,6 +2633,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "ex_ann_filtered": ex_ann_filtered,
         "ex_containment_dedup": ex_containment_dedup,
+        "ex_image_neardup_incr": ex_image_neardup_incr,
         "st_bm25": st_bm25,
         # --- window 23-27: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
