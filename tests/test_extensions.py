@@ -2218,3 +2218,22 @@ def test_hdr_batch_plan_materializes_buckets_once(spark, sf_dir):
 
     plan = physical_plan(queries.registry()["ex_hdr_quantile"](spark, sf_dir))
     assert "Scan parquet" not in plan, plan
+
+
+def test_cents_scalars_partition_order_independent(spark, sf_dir):
+    """Q17/Q19's exact-cents scalar outputs must be bit-identical under
+    any partitioning (decimal(38,0) accumulation + one integral divide
+    — the embed_gram discipline)."""
+    from espkinesis_spark import queries
+
+    for name in ("ex_small_qty_revenue", "ex_disjunctive_revenue"):
+        base = queries.registry()[name](spark, sf_dir).collect()
+        assert len(base) == 1
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            for parts in ("1", "7"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                got = queries.registry()[name](spark, sf_dir).collect()
+                assert [tuple(r) for r in got] == [tuple(r) for r in base], name
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
