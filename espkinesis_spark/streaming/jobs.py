@@ -118,7 +118,11 @@ def _drain_to_parquet(df: DataFrame, name: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    base = os.path.join(tempfile.gettempdir(), "espk_drain", name)
+    # scope by application id: the memory sink was implicitly per-session,
+    # a bare /tmp path is not — two concurrent sessions (driver gate +
+    # a local run) would race on rmtree/write otherwise
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), "espk_drain", app_id, name)
     shutil.rmtree(base, ignore_errors=True)
     out_dir, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
     query = (
