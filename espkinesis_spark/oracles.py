@@ -1414,6 +1414,19 @@ FROM reach GROUP BY node""",
                CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
                            - n_tok) / 4096.0) AS BIGINT) AS bin_id
         FROM t""",
+    "ex_decontaminate_apply": f"""
+WITH {_SHINGLES},
+b AS (SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)
+      WHERE source = 'src0'),
+t AS (SELECT sh.doc_id, sh.s FROM sh JOIN documents USING (doc_id)
+      WHERE source <> 'src0'),
+drops AS (SELECT doc_id FROM t JOIN b USING (s) GROUP BY doc_id
+          HAVING count(*) >= {C.DECON_MIN_SHARED})
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM drops)
+GROUP BY source""",
     "ex_decontaminate": f"""
 WITH {_SHINGLES},
 b AS (SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)

@@ -1773,6 +1773,36 @@ def ex_decontaminate(spark, sf_dir):
     )
 
 
+def ex_decontaminate_apply(spark, sf_dir):
+    """Decontamination APPLIED (the report's missing tail — the same
+    pairs→drop→corpus closure every dedup modality got this round):
+    training docs sharing >= DECON_MIN_SHARED shingles with the held-out
+    set are REMOVED, and the surviving training corpus is summarized per
+    source. The contaminated-id set rides the broadcast-probe report;
+    the corpus subtraction is the routed apply_drop_set anti join."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = dedup.shingles(docs.filter(F.col("source") == "src0")).select(
+        "s"
+    ).distinct()
+    train = docs.filter(F.col("source") != "src0")
+    contaminated = (
+        dedup.shingles(train)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= C.DECON_MIN_SHARED)
+        .select("doc_id")
+    )
+    return (
+        dedup.apply_drop_set(train, contaminated)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 def ex_pii_scrub(spark, sf_dir):
     """PII redaction over a deterministically PII-augmented corpus: the
     synthetic documents carry no addresses, so each doc gets an email and a
@@ -2634,6 +2664,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_filtered": ex_ann_filtered,
         "ex_containment_dedup": ex_containment_dedup,
         "ex_image_neardup_incr": ex_image_neardup_incr,
+        "ex_decontaminate_apply": ex_decontaminate_apply,
         "st_bm25": st_bm25,
         # --- window 24-28: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
