@@ -36,22 +36,26 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     ).drop("text")
 
 
-def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def shingles(
+    docs: DataFrame, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
     """Distinct word 3-gram shingles per document: (doc_id, s).
 
     Docs shorter than 3 tokens degrade to one (shorter) shingle — same rule
-    as the oracle. Pure projection + explode: no shuffle.
+    as the oracle. Pure projection + explode: no shuffle with
+    ``distinct=False`` — the form a STREAM computes at ingest (distinct is
+    an aggregation and would force update-mode state; dedupe after the
+    drain instead).
     """
     toks = tokens(F.col(text_col))
     sh = F.expr(
         "transform(sequence(1, greatest(size(__toks) - 2, 1)),"
         f" i -> concat_ws(' ', slice(__toks, i, {C.SHINGLE_WORDS})))"
     )
-    return (
-        docs.withColumn("__toks", toks)
-        .select("doc_id", F.explode(sh).alias("s"))
-        .distinct()
+    out = docs.withColumn("__toks", toks).select(
+        "doc_id", F.explode(sh).alias("s")
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(doc_shingles: DataFrame, k: int = C.MINHASH_K) -> DataFrame:
@@ -223,7 +227,17 @@ def containment_pairs(
     with exactness preserved for every pair sharing >= 1 sub-cap
     shingle (equivalence-tested).
     """
-    sh = shingles(docs)
+    return containment_from_shingles(shingles(docs), threshold, df_cap)
+
+
+def containment_from_shingles(
+    sh: DataFrame,
+    threshold: float = C.CONTAIN_THRESHOLD,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """The scoring half of ``containment_pairs``: runs identically over a
+    live distinct-shingle frame (batch) or a drained + deduped store
+    (streaming)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if df_cap is None:
         sa = sh.select(F.col("doc_id").alias("doc_a"), "s")

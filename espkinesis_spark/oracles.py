@@ -2007,6 +2007,9 @@ ORACLES["st_audio_dedup_apply"] = ORACLES["ex_audio_dedup_apply"]
 ORACLES["st_video_dedup_apply"] = ORACLES["ex_video_dedup_apply"]
 # streaming BM25 drains the same token extraction; one oracle
 ORACLES["st_bm25"] = ORACLES["ex_bm25"]
+# streaming containment drains the same shingle extraction (distinct
+# applied post-drain); one oracle
+ORACLES["st_containment_dedup"] = ORACLES["ex_containment_dedup"]
 # st_image_neardup fingerprints at ingest and joins over the drained
 # store; the snapshot equals the batch hash table, so the oracle is exact
 ORACLES["st_image_neardup"] = ORACLES["ex_image_neardup"]

@@ -333,6 +333,15 @@ def ex_containment_dedup(spark, sf_dir):
     return dedup.containment_pairs(_t(spark, sf_dir, "documents"))
 
 
+def st_containment_dedup(spark, sf_dir):
+    """Streaming containment: shingles extracted at ingest (stateless,
+    no distinct on the stream), post-drain dedupe + scoring. Shares
+    ex_containment_dedup's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.containment_stream(spark, sf_dir)
+
+
 def ex_ann_filtered(spark, sf_dir):
     """Metadata-FILTERED vector search (the production retrieval shape:
     a predicate narrows the corpus before similarity ranks it): top-3
@@ -2665,6 +2674,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_containment_dedup": ex_containment_dedup,
         "ex_image_neardup_incr": ex_image_neardup_incr,
         "ex_decontaminate_apply": ex_decontaminate_apply,
+        "st_containment_dedup": st_containment_dedup,
         "st_bm25": st_bm25,
         # --- window 25-29: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---

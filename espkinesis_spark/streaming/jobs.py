@@ -425,6 +425,21 @@ def video_dedup_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def containment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Broder-containment near-dup: the shingle fan-out runs at
+    ingest WITHOUT the distinct (a streaming distinct is update-mode
+    state; the raw fan-out is a stateless append projection), the
+    corpus-sized shingle store drains through the parquet sink, and the
+    post-drain distinct + containment scoring equal the batch chain —
+    shares ex_containment_dedup's oracle."""
+    from espkinesis_spark.functions import dedup
+
+    src = _documents_stream(spark, sf_dir)
+    sh = dedup.shingles(src, distinct=False)
+    store = _drain_to_parquet(sh, "st_containment_sink")
+    return dedup.containment_from_shingles(store.distinct())
+
+
 def audio_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming acoustic near-dup: the image_neardup_stream lambda with
     the WAV energy-envelope fingerprint (see image_neardup_stream for
