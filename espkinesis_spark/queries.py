@@ -2638,19 +2638,19 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-8 invariant continues EVIDENCE FRESHNESS: positions 1-24 hold
-    this round's twenty-four new entries (tests/test_registry.py
-    requires unproven ⊆ first-50); 25-29 are the only entries whose
+    round-8 invariant continues EVIDENCE FRESHNESS: positions 1-25 hold
+    this round's twenty-five new entries (tests/test_registry.py
+    requires unproven ⊆ first-50); 26-30 are the only entries whose
     latest green predates round 5 (dq02/dq03/dq04/dq16 on r4 evidence,
-    displaced by the r7 additions, plus the dq21 canary); 30-50 are 21
-    of the 46 r5-vintage entries. The 25 remaining r5 entries follow
+    displaced by the r7 additions, plus the dq21 canary); 31-50 are 20
+    of the 46 r5-vintage entries. The 26 remaining r5 entries follow
     immediately after the window and rotate first in round 9 — after
-    this round no entry's latest green predates r5, and only those 25
+    this round no entry's latest green predates r5, and only those 26
     predate r6. The rest of the tail lists the r6-green entries, then
     the r7-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-24: round-8 additions (unproven must sit here) ---
+        # --- window 1-25: round-8 additions (unproven must sit here) ---
         "ex_volume_shipping": ex_volume_shipping,
         "ex_part_promotion": ex_part_promotion,
         "ex_image_dedup_apply": ex_image_dedup_apply,
@@ -2676,14 +2676,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_decontaminate_apply": ex_decontaminate_apply,
         "st_containment_dedup": st_containment_dedup,
         "st_bm25": st_bm25,
-        # --- window 25-29: the last r4-vintage evidence (displaced in r7)
+        # --- window 26-30: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
         "dq03": dq03,
         "dq04": dq04,
         "dq16": dq16,
         "dq21": dq21,
-        # --- window 30-50: 21 of the 46 r5-vintage entries (the rest
+        # --- window 31-50: 20 of the 46 r5-vintage entries (the rest
         # follow immediately after position 50 and rotate first in r9) ---
         "dq09": dq09,
         "dq14": dq14,
