@@ -353,3 +353,57 @@ def hdr_sketch_quantiles(
     return hdr_quantiles(
         hdr_buckets(df, col).localCheckpoint(eager=True), pcts
     )
+
+
+def hdr_grouped_quantiles(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    pcts: Sequence[int] = C.SKQ_PCTS,
+    scale: int = C.HDR_SCALE,
+) -> DataFrame:
+    """Per-GROUP percentiles from the HDR sketch — the everyday ops
+    question ("p99 latency per endpoint") answered with one scan + one
+    (group, bucket)-keyed map-side-partial shuffle, never a per-group
+    sort. The sketch is built per group (state: groups × bucket-space,
+    still data-size independent) and every extraction window partitions
+    BY GROUP, so nothing here is single-partition even at millions of
+    groups. Same integer discipline as ``hdr_quantiles`` — bit-identical
+    under any partitioning."""
+    k = C.HDR_SUB_BITS
+    x = F.expr(
+        f"CAST(CASE WHEN {col} >= 0 THEN floor({col} * {scale} + 0.5) "
+        f"ELSE -floor(-({col}) * {scale} + 0.5) END AS BIGINT)"
+    )
+    buckets = (
+        df.select(F.col(group_col).alias("grp"), x.alias("__x"))
+        .filter(F.col("__x") >= 1)
+        .withColumn("__m", (F.length(F.bin(F.col("__x"))) - 1).cast("int"))
+        .withColumn("shift", F.greatest(F.lit(0), F.col("__m") - F.lit(k)))
+        .withColumn("top", F.expr("shiftright(__x, shift)"))
+        .groupBy("grp", "shift", "top")
+        .agg(F.count("*").cast("long").alias("w"))
+        # feeds the cumulative AND total branches — sketch-sized, freeze
+        .localCheckpoint(eager=True)
+    )
+    ordered = buckets.withColumn("lb", F.expr("shiftleft(top, shift)"))
+    w_cum = (
+        Window.partitionBy("grp").orderBy("lb").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    cum = ordered.withColumn("cum", F.sum("w").over(w_cum))
+    tot = ordered.groupBy("grp").agg(F.sum("w").cast("long").alias("n"))
+    pct_df = tot.select(
+        "grp", "n", F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct")
+    ).withColumn("target_rank", F.expr("(pct * n + 99) div 100").cast("long"))
+    return (
+        cum.join(pct_df, "grp")
+        .groupBy("grp", "pct", "n", "target_rank")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("target_rank"), F.col("lb"))
+            ).alias("bucket_lb")
+        )
+        .withColumn("est", F.col("bucket_lb").cast("double") / F.lit(float(scale)))
+    )

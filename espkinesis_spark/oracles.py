@@ -1742,6 +1742,37 @@ GROUP BY source""",
     # candidate interval, so the plain sorted-rank answer is the oracle.
     # target_rank = ceil(pct*n/100) in INTEGER arithmetic on both engines
     # (double ceil(0.01*n) is off-by-one bait).
+    # the HDR chain per group: identical bucketing, grouped extraction
+    "ex_hdr_quantile_grouped": f"""
+        WITH v AS (SELECT event_type AS grp,
+                   CAST(CASE WHEN value >= 0
+                       THEN floor(value * {C.HDR_SCALE} + 0.5)
+                       ELSE -floor(-(value) * {C.HDR_SCALE} + 0.5) END
+                   AS BIGINT) AS x
+                   FROM events WHERE value IS NOT NULL),
+        pos AS (SELECT grp, x FROM v WHERE x >= 1),
+        bk AS (SELECT grp,
+                      greatest(0, length(bin(x)) - 1 - {C.HDR_SUB_BITS}) AS shift,
+                      x >> greatest(0, length(bin(x)) - 1 - {C.HDR_SUB_BITS}) AS top,
+                      count(*) AS w
+               FROM pos GROUP BY 1, 2, 3),
+        ord AS (SELECT grp, (top << shift) AS lb, w FROM bk),
+        cum AS (SELECT grp, lb,
+                       sum(w) OVER (PARTITION BY grp ORDER BY lb
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM ord),
+        tot AS (SELECT grp, CAST(sum(w) AS BIGINT) AS n FROM ord GROUP BY grp),
+        tr AS (SELECT grp, pct, n,
+                      CAST((pct * n + 99) // 100 AS BIGINT) AS target_rank
+               FROM (SELECT unnest([{", ".join(str(p) for p in C.SKQ_PCTS)}])
+                         AS pct), tot)
+        SELECT tr.grp, tr.pct, tr.n, tr.target_rank,
+               CAST(min(CASE WHEN c.cum >= tr.target_rank THEN c.lb END)
+                    AS BIGINT) AS bucket_lb,
+               CAST(min(CASE WHEN c.cum >= tr.target_rank THEN c.lb END)
+                    AS DOUBLE) / {C.HDR_SCALE} AS est
+        FROM tr JOIN cum c ON c.grp = tr.grp
+        GROUP BY 1, 2, 3, 4""",
     # HDR log-bucket sketch: integer quantize -> (shift, top) bucket
     # counts -> cumulative-rank extraction, all exact integer arithmetic
     # (bin() is minimal-length in both engines; the only double is the

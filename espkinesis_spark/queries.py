@@ -2162,6 +2162,20 @@ def ex_hdr_quantile(spark, sf_dir):
     return quantiles.hdr_sketch_quantiles(_t(spark, sf_dir, "events"), "value")
 
 
+def ex_hdr_quantile_grouped(spark, sf_dir):
+    """Per-GROUP percentiles from the mergeable HDR sketch ("p99 per
+    endpoint"): one scan + one (group, bucket)-keyed map-side-partial
+    shuffle; every extraction window partitions BY GROUP, so the op has
+    no single-partition stage at any group cardinality. Same integer
+    bucketing/extraction as ex_hdr_quantile, replayed per group by the
+    oracle."""
+    from espkinesis_spark.functions import quantiles
+
+    return quantiles.hdr_grouped_quantiles(
+        _t(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
 def st_hdr_quantile(spark, sf_dir):
     """Streaming percentiles: the HDR bucket counts maintained
     complete-mode on the event stream (sketch-sized state — the
@@ -2638,19 +2652,19 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-8 invariant continues EVIDENCE FRESHNESS: positions 1-25 hold
-    this round's twenty-five new entries (tests/test_registry.py
-    requires unproven ⊆ first-50); 26-30 are the only entries whose
+    round-8 invariant continues EVIDENCE FRESHNESS: positions 1-26 hold
+    this round's twenty-six new entries (tests/test_registry.py
+    requires unproven ⊆ first-50); 27-31 are the only entries whose
     latest green predates round 5 (dq02/dq03/dq04/dq16 on r4 evidence,
-    displaced by the r7 additions, plus the dq21 canary); 31-50 are 20
-    of the 46 r5-vintage entries. The 26 remaining r5 entries follow
+    displaced by the r7 additions, plus the dq21 canary); 32-50 are 19
+    of the 46 r5-vintage entries. The 27 remaining r5 entries follow
     immediately after the window and rotate first in round 9 — after
-    this round no entry's latest green predates r5, and only those 26
+    this round no entry's latest green predates r5, and only those 27
     predate r6. The rest of the tail lists the r6-green entries, then
     the r7-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-25: round-8 additions (unproven must sit here) ---
+        # --- window 1-26: round-8 additions (unproven must sit here) ---
         "ex_volume_shipping": ex_volume_shipping,
         "ex_part_promotion": ex_part_promotion,
         "ex_image_dedup_apply": ex_image_dedup_apply,
@@ -2675,15 +2689,16 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_image_neardup_incr": ex_image_neardup_incr,
         "ex_decontaminate_apply": ex_decontaminate_apply,
         "st_containment_dedup": st_containment_dedup,
+        "ex_hdr_quantile_grouped": ex_hdr_quantile_grouped,
         "st_bm25": st_bm25,
-        # --- window 26-30: the last r4-vintage evidence (displaced in r7)
+        # --- window 27-31: the last r4-vintage evidence (displaced in r7)
         # plus the dq21 canary ---
         "dq02": dq02,
         "dq03": dq03,
         "dq04": dq04,
         "dq16": dq16,
         "dq21": dq21,
-        # --- window 31-50: 20 of the 46 r5-vintage entries (the rest
+        # --- window 32-50: 19 of the 46 r5-vintage entries (the rest
         # follow immediately after position 50 and rotate first in r9) ---
         "dq09": dq09,
         "dq14": dq14,
