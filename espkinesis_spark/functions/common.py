@@ -24,15 +24,15 @@ SHINGLE_WORDS = 3  # word 3-grams
 MINHASH_K = 32  # permutations
 LSH_BANDS = 16  # 16 bands x 2 rows — P(miss | jaccard 0.8) ~ 0.36^16 ~ 8e-8
 LSH_ROWS = MINHASH_K // LSH_BANDS
-JACCARD_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.5  # the test corpus has a clean gap: dups >=0.8, noise <0.3
 # containment C(A,B) = |A∩B|/|A| — catches subset/boilerplate duplicates
 # whose Jaccard stays low because the containing doc is much larger
 CONTAIN_THRESHOLD = 0.8
 
 # decontamination apply: drop a training doc when it shares at least this
-# many distinct-position shingle hits with the held-out set (1 = any
+# many distinct shared shingles with the held-out set (1 = any
 # overlap; >1 tolerates incidental common phrases)
-DECON_MIN_SHARED = 3  # the test corpus has a clean gap: dups >=0.8, noise <0.3
+DECON_MIN_SHARED = 3
 
 # MinHash permutation family: ONE md5 per shingle -> 60-bit int h, then
 # sig_j = min((A_j * (h % P) + B_j) % P) — a universal-hash permutation per j.

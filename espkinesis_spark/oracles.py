@@ -646,7 +646,10 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
     "ex_volume_shipping": """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         CAST(year(l.l_shipdate) AS INT) AS l_year,
         COUNT(*) AS n_lines,
-        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        CAST(CAST(SUM(CAST(CASE WHEN l.l_extendedprice >= 0
+             THEN floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+             ELSE -floor(-(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+             END AS BIGINT)) AS HUGEINT) AS DOUBLE) / 100.0 AS revenue
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -810,8 +813,7 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
                                END AS BIGINT) AS cents
                    FROM lineitem JOIN part ON p_partkey = l_partkey)
         SELECT CAST(count(*) AS BIGINT) AS n_lines,
-               CAST(CAST((CAST(sum(cents) AS HUGEINT) * 2 + 100) // 200
-                    AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+               CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) / 100.0 AS revenue
         FROM j
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
                AND q BETWEEN 1 AND 11)

@@ -1162,9 +1162,12 @@ def ex_large_orders(spark, sf_dir):
     """TPC-H Q18-shape large-volume customers: orders whose total line
     quantity exceeds 200, with the owning customer. The HAVING semi-set
     (large-order keys + their exact bigint quantity sums) is a
-    few-rows-per-million aggregate, so it BROADCASTS into the orders
-    probe — the orders and customer scans are never shuffled; the one
-    exchange is the lineitem quantity aggregation."""
+    few-rows-per-million aggregate, but its row count still GROWS with
+    the orders table, so the join routing is left to the optimizer: AQE
+    broadcasts it when its runtime size is under the threshold and falls
+    back to a shuffle join when it isn't (no forced broadcast that could
+    blow the driver at large scale factors). Same for the customer dim,
+    which also scales with SF."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_quantity").cast("long").alias("q")
     )
@@ -1178,8 +1181,8 @@ def ex_large_orders(spark, sf_dir):
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1248,8 +1251,7 @@ def ex_disjunctive_revenue(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_lines"),
             F.expr(
-                "CAST(CAST((CAST(sum(cents) AS DECIMAL(38,0)) * 2 + 100)"
-                " div 200 AS BIGINT) AS DOUBLE) / 100.0"
+                "CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100.0"
             ).alias("revenue"),
         )
     )
@@ -2582,6 +2584,14 @@ def ex_volume_shipping(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).withColumn(
+        "cents",
+        F.expr(
+            "CAST(CASE WHEN l_extendedprice >= 0"
+            " THEN floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " ELSE -floor(-(l_extendedprice * (1 - l_discount)) * 100 + 0.5)"
+            " END AS BIGINT)"
+        ),
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
@@ -2592,8 +2602,8 @@ def ex_volume_shipping(spark, sf_dir):
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
             F.count("*").cast("long").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100.0"
             ).alias("revenue"),
         )
     )
