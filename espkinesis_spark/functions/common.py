@@ -34,6 +34,14 @@ CONTAIN_THRESHOLD = 0.8
 # overlap; >1 tolerates incidental common phrases)
 DECON_MIN_SHARED = 3
 
+# winnowing (Schleimer et al. 2003): window of WINNOW_W consecutive trigram
+# hashes → min per window is a fingerprint; shared runs of
+# WINNOW_W + SHINGLE_WORDS - 1 tokens always share one. The df cap drops
+# boilerplate fingerprints (join-fanout bound at corpus scale).
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 50
+
 # MinHash permutation family: ONE md5 per shingle -> 60-bit int h, then
 # sig_j = min((A_j * (h % P) + B_j) % P) — a universal-hash permutation per j.
 # 32 multiply-mods replace 32 md5s per shingle (the md5-per-permutation form

@@ -714,6 +714,73 @@ def neardup_incremental(
     )
 
 
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    — the MOSS local fingerprinting scheme): trigram hashes in position
+    order, then the minimum hash of every WINNOW_W-row sliding window,
+    distinct per doc. Guarantee: two documents sharing a token run of at
+    least WINNOW_W + SHINGLE_WORDS - 1 tokens share ≥1 fingerprint —
+    unlike MinHash (whole-doc similarity), winnowing localizes, so it
+    catches partial overlap.
+
+    Scale shape: a pure narrow map to (doc_id, pos, hash), ONE doc-keyed
+    window pass for the sliding minima, then a doc-keyed distinct that
+    shares the same partitioning. Tail windows shorter than WINNOW_W are
+    included (same rule in the oracle). Output is the ~|tokens|/w-sized
+    fingerprint table a production pipeline persists (~the hamming
+    fingerprint-table shape)."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 2, 1)),"
+        f" i -> concat_ws(' ', slice(__toks, i, {C.SHINGLE_WORDS})))"
+    )
+    pos = docs.withColumn("__toks", toks).select(
+        "doc_id", F.posexplode(sh).alias("pos", "s")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+        % C.MINHASH_P
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, C.WINNOW_W - 1
+    )
+    return (
+        pos.withColumn("__h", h)
+        .select("doc_id", F.min("__h").over(win).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_candidates(
+    docs: DataFrame,
+    min_shared: int = C.WINNOW_MIN_SHARED,
+    max_df: int = C.WINNOW_MAX_DF,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints: docs sharing
+    ≥ ``min_shared`` fingerprints, after dropping boilerplate
+    fingerprints appearing in more than ``max_df`` docs (the df cap that
+    bounds per-fingerprint join fanout at corpus scale — the containment
+    df-cap precedent). One fingerprint-keyed equi-join, never all-pairs;
+    the df filter shares the join's fp partitioning. The fingerprint
+    table feeds three plan branches (df counts + both join sides), so it
+    is localCheckpointed once (the hamming fingerprint-table rule)."""
+    fp = winnow_fingerprints(docs, text_col=text_col).localCheckpoint(eager=True)
+    dfc = fp.groupBy("fp").agg(F.count("*").cast("long").alias("df"))
+    kept = fp.join(dfc.filter(F.col("df") <= max_df), "fp").select("doc_id", "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def dup_spans(
     docs: DataFrame, span: int = C.SPAN_TOKENS, text_col: str = "text"
 ) -> DataFrame:

@@ -26,6 +26,16 @@ sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{C.SHINGLE_WORDS - 1}], ' '
 """
 
 
+def _cents_o(expr: str) -> str:
+    """Sign-aware half-away 2-dp fixed point — the IDENTICAL expression
+    text queries._cents_sql emits on the Spark side."""
+    return (
+        f"CAST(CASE WHEN ({expr}) >= 0"
+        f" THEN floor(({expr}) * 100 + 0.5)"
+        f" ELSE -floor(-(({expr})) * 100 + 0.5) END AS BIGINT)"
+    )
+
+
 def _cos(a: str, b: str) -> str:
     return (
         f"round(list_dot_product({a}, {b}) / "
@@ -2017,6 +2027,239 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                round(max(n) / avg(n), 4) AS skew_ratio,
                round(max(n) * 1.0 / sum(n), 6) AS top_share
         FROM per""",
+    # ---- round-9 additions: remaining TPC-H shapes (exact-cents money,
+    # micro-unit discounts, identical expression text to queries.py) ----
+    "ex_pricing_summary": f"""
+        WITH li AS (SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS BIGINT) AS q,
+               {_cents_o('l_extendedprice')} AS price_c,
+               {_cents_o('l_extendedprice * (1 - l_discount)')} AS disc_c,
+               {_cents_o('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+                   AS charge_c,
+               CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS disc_u
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(q) AS BIGINT) AS sum_qty,
+               CAST(CAST(sum(price_c) AS HUGEINT) AS DOUBLE) / 100.0
+                   AS sum_base_price,
+               CAST(CAST(sum(disc_c) AS HUGEINT) AS DOUBLE) / 100.0
+                   AS sum_disc_price,
+               CAST(CAST(sum(charge_c) AS HUGEINT) AS DOUBLE) / 100.0
+                   AS sum_charge,
+               CAST(CAST(sum(q) AS HUGEINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_qty,
+               CAST(CAST(sum(price_c) AS HUGEINT) AS DOUBLE) / 100.0
+                   / CAST(count(*) AS DOUBLE) AS avg_price,
+               CAST(CAST(sum(disc_u) AS HUGEINT) AS DOUBLE) / 1000000.0
+                   / CAST(count(*) AS DOUBLE) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM li GROUP BY 1, 2""",
+    "ex_local_supplier_volume": f"""
+        WITH li AS (SELECT l_orderkey, l_suppkey,
+               {_cents_o('l_extendedprice * (1 - l_discount)')} AS cents
+            FROM lineitem)
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) / 100.0 AS revenue
+        FROM li
+        JOIN orders o ON li.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON li.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name""",
+    "ex_forecast_revenue": f"""
+        WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS disc_u,
+               {_cents_o('l_extendedprice * l_discount')} AS cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) / 100.0 AS revenue
+        FROM li WHERE disc_u BETWEEN 50000 AND 70000 AND q < 24""",
+    "ex_market_share": f"""
+        WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+               {_cents_o('l_extendedprice * (1 - l_discount)')} AS cents
+            FROM lineitem)
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(CAST(sum(CASE WHEN s.s_nationkey = 1 THEN cents ELSE 0 END)
+                    AS HUGEINT) AS DOUBLE)
+                   / CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) AS mkt_share,
+               CAST(CAST(sum(cents) AS HUGEINT) AS DOUBLE) / 100.0
+                   AS total_revenue
+        FROM li
+        JOIN part p ON li.l_partkey = p.p_partkey
+        JOIN orders o ON li.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1""",
+    "ex_product_profit": f"""
+        WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+               CAST(l_quantity AS BIGINT) AS q,
+               {_cents_o('l_extendedprice * (1 - l_discount)')} AS rev_c
+            FROM lineitem),
+        pt AS (SELECT p_partkey,
+               CAST((CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 6)
+                    // 10 AS BIGINT) AS cost_c
+            FROM part WHERE p_name LIKE '%blue%')
+        SELECT n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(CAST(sum(rev_c - q * cost_c) AS HUGEINT) AS DOUBLE) / 100.0
+                   AS profit
+        FROM li
+        JOIN pt ON li.l_partkey = pt.p_partkey
+        JOIN orders o ON li.l_orderkey = o.o_orderkey
+        JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2""",
+    "ex_returned_items": f"""
+        WITH li AS (SELECT l_orderkey,
+               {_cents_o('l_extendedprice * (1 - l_discount)')} AS cents
+            FROM lineitem WHERE l_returnflag = 'R'),
+        per AS (SELECT o.o_custkey,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(cents) AS HUGEINT) AS rev_c
+            FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+            GROUP BY 1)
+        SELECT c.c_custkey, c.c_name, n.n_name, per.n_lines,
+               CAST(rev_c AS DOUBLE) / 100.0 AS revenue
+        FROM per
+        JOIN customer c ON per.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY rev_c DESC, c.c_custkey LIMIT 20""",
+    "ex_important_stock": """
+        WITH pt AS (SELECT p_partkey,
+               CAST((CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 6)
+                    // 10 AS BIGINT) AS cost_c
+            FROM part),
+        per AS (SELECT l_partkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT) * cost_c)
+                            AS HUGEINT) AS value_c
+            FROM lineitem JOIN pt ON l_partkey = p_partkey
+            GROUP BY 1),
+        tot AS (SELECT CAST(sum(value_c) AS HUGEINT) AS total_c FROM per)
+        SELECT l_partkey AS p_partkey,
+               CAST(value_c AS DOUBLE) / 100.0 AS value
+        FROM per, tot WHERE value_c * 1000 > total_c""",
+    "ex_top_supplier": f"""
+        WITH li AS (SELECT l_suppkey,
+               {_cents_o('l_extendedprice * (1 - l_discount)')} AS cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'),
+        rev AS (SELECT l_suppkey, CAST(sum(cents) AS HUGEINT) AS rev_c
+                FROM li GROUP BY 1),
+        mx AS (SELECT max(rev_c) AS max_c FROM rev)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(rev_c AS DOUBLE) / 100.0 AS total_revenue
+        FROM rev, mx
+        JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+        WHERE rev_c = max_c""",
+    "ex_parts_supplier_counts": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'ECON%'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3""",
+    "ex_global_sales_opportunity": f"""
+        WITH cust AS (SELECT c_custkey, c_nationkey,
+               {_cents_o('c_acctbal')} AS bal_c
+            FROM customer
+            WHERE c_nationkey IN (0, 3, 5, 7, 9, 11, 13)),
+        pos AS (SELECT CAST(sum(bal_c) AS HUGEINT) AS sum_c,
+                       CAST(count(*) AS BIGINT) AS n_pos
+                FROM cust WHERE bal_c > 0)
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(CAST(sum(bal_c) AS HUGEINT) AS DOUBLE) / 100.0
+                   AS totacctbal
+        FROM cust, pos
+        WHERE bal_c * n_pos > sum_c
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY 1""",
+    # ---- round-9 LLM-pipeline additions ----
+    # non-distinct trigram counts per doc (same degenerate short-doc rule
+    # as _SHINGLES), then the Gopher duplicate-fraction rollup
+    "ex_repetition_stats": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS.format(t='text')} AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, array_to_string(t[i:i+{C.SHINGLE_WORDS - 1}], ' ') AS s
+               FROM toks,
+               UNNEST(range(1, greatest(len(t) - {C.SHINGLE_WORDS - 2}, 2))) AS u(i)),
+        per_gram AS (SELECT doc_id, s, count(*) AS cnt FROM sh GROUP BY 1, 2),
+        per_doc AS (SELECT doc_id,
+                           CAST(sum(cnt) AS BIGINT) AS n_grams,
+                           CAST(count(*) AS BIGINT) AS n_distinct,
+                           CAST(max(cnt) AS BIGINT) AS max_repeat
+                    FROM per_gram GROUP BY 1)
+        SELECT doc_id, n_grams, n_distinct, max_repeat,
+               CAST(n_grams - n_distinct AS DOUBLE)
+                   / CAST(n_grams AS DOUBLE) AS dup_frac,
+               CAST(n_grams - n_distinct AS DOUBLE)
+                   / CAST(n_grams AS DOUBLE) > 0.1 AS drop_doc
+        FROM per_doc""",
+    # DuckDB's native ASOF JOIN replays the composite-max rule: orders
+    # reduce to one row per (custkey, day) with max orderkey, the as-of
+    # picks the latest day ≤ ts, and the 365-day lookback NULLs the match
+    # post-join (the latest row is the only in-window candidate)
+    "ex_asof_features": """
+        WITH od AS (SELECT o_custkey AS user_id, o_orderdate AS ots,
+                           CAST(max(o_orderkey) AS BIGINT) AS okey
+                    FROM orders GROUP BY 1, 2),
+        ov AS (SELECT user_id, ots,
+                      CAST(datediff('day', DATE '1995-01-01', ots) AS BIGINT)
+                          * 1048576 + okey AS oval
+               FROM od)
+        SELECT e.event_id, e.user_id,
+               CASE WHEN o.oval IS NULL
+                      OR o.ots <= e.ts - INTERVAL 365 DAY THEN NULL
+                    ELSE CAST(o.oval // 1048576 AS BIGINT) END AS order_day,
+               CASE WHEN o.oval IS NULL
+                      OR o.ots <= e.ts - INTERVAL 365 DAY THEN NULL
+                    ELSE CAST(o.oval % 1048576 AS BIGINT) END AS order_key
+        FROM events e ASOF LEFT JOIN ov o
+          ON e.user_id = o.user_id AND e.ts >= o.ots""",
+    # winnowing: positional trigram hashes, min per 4-window (tail windows
+    # included), distinct fingerprints, df cap, shared-count pairs
+    "ex_winnow_fingerprint": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS.format(t='text')} AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, i AS pos,
+                      array_to_string(t[i:i+{C.SHINGLE_WORDS - 1}], ' ') AS s
+               FROM toks,
+               UNNEST(range(1, greatest(len(t) - {C.SHINGLE_WORDS - 2}, 2))) AS u(i)),
+        hh AS (SELECT doc_id, pos,
+                      CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+                          % {C.MINHASH_P} AS h
+               FROM sh),
+        wmin AS (SELECT doc_id,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {C.WINNOW_W - 1} FOLLOWING) AS fp
+                 FROM hh),
+        fp AS (SELECT DISTINCT doc_id, fp FROM wmin),
+        dfc AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+        kept AS (SELECT doc_id, f.fp FROM fp f JOIN dfc USING (fp)
+                 WHERE df <= {C.WINNOW_MAX_DF})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {C.WINNOW_MIN_SHARED}""",
 }
 
 # the streaming-lambda anomaly entry drains the identical hourly table
@@ -2052,6 +2295,12 @@ ORACLES["st_video_neardup"] = ORACLES["ex_video_neardup"]
 # the streaming model scorer is the identical stateless projection run
 # in append mode, so it shares the batch oracle verbatim
 ORACLES["st_quality_model"] = ORACLES["ex_quality_model"]
+
+# round-9 stateless ingest projections: identical expressions run in
+# append mode over the replayed stream, so each shares its batch oracle
+ORACLES["st_lang_id"] = ORACLES["ex_lang_id"]
+ORACLES["st_pii_scrub"] = ORACLES["ex_pii_scrub"]
+ORACLES["st_text_stats"] = ORACLES["ex_text_stats"]
 
 
 def _lttb_seq_sql() -> str:

@@ -2654,6 +2654,542 @@ def ex_part_promotion(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-9 additions: remaining classic TPC-H shapes + LLM-pipeline ops
+# --------------------------------------------------------------------------
+
+
+def _cents_sql(expr: str) -> str:
+    """Sign-aware half-away-from-zero 2-dp fixed point (the repo's exact
+    money discipline). The oracle writes the identical expression text, so
+    cross-engine sums compare bit-exactly in any partition order."""
+    return (
+        f"CAST(CASE WHEN ({expr}) >= 0"
+        f" THEN floor(({expr}) * 100 + 0.5)"
+        f" ELSE -floor(-(({expr})) * 100 + 0.5) END AS BIGINT)"
+    )
+
+
+_DESCALE = "CAST(CAST(sum({c}) AS DECIMAL(38,0)) AS DOUBLE) / 100.0"
+
+
+def ex_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary: the canonical one-pass grouped
+    scan — per (returnflag, linestatus): quantity/price/charge sums,
+    three averages, row count. All money terms accumulate as exact
+    integer cents (discounts as micro-units), every double output is
+    derived from those integer sums by division only — identical
+    expression text in the oracle, so the result is bit-stable under
+    any partitioning. Plan: one lineitem scan with the date filter
+    pushed, map-side partial aggregation into a 4-row group set."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp")
+    )
+    li = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.expr(_cents_sql("l_extendedprice")).alias("price_c"),
+        F.expr(_cents_sql("l_extendedprice * (1 - l_discount)")).alias("disc_c"),
+        F.expr(
+            _cents_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+        ).alias("charge_c"),
+        F.expr("CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)").alias("disc_u"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("q").cast("long").alias("sum_qty"),
+        F.expr(_DESCALE.format(c="price_c")).alias("sum_base_price"),
+        F.expr(_DESCALE.format(c="disc_c")).alias("sum_disc_price"),
+        F.expr(_DESCALE.format(c="charge_c")).alias("sum_charge"),
+        F.expr(
+            "CAST(CAST(sum(q) AS DECIMAL(38,0)) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE)"
+        ).alias("avg_qty"),
+        F.expr(
+            "CAST(CAST(sum(price_c) AS DECIMAL(38,0)) AS DOUBLE) / 100.0"
+            " / CAST(count(*) AS DOUBLE)"
+        ).alias("avg_price"),
+        F.expr(
+            "CAST(CAST(sum(disc_u) AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0"
+            " / CAST(count(*) AS DOUBLE)"
+        ).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+def ex_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shape local supplier volume: revenue per nation where the
+    ordering customer and the supplier share that nation, for one region
+    and one order year. nation⋈region is a 25-row broadcast into both
+    the customer and supplier sides; customer/supplier/orders scale with
+    SF, so those joins shuffle on their keys (no forced broadcast); the
+    local-supplier condition (c_nationkey = s_nationkey) rides the
+    supplier join as an extra predicate. Exact-cents revenue."""
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(_cents_sql("l_extendedprice * (1 - l_discount)")).alias("cents"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(_DESCALE.format(c="cents")).alias("revenue"),
+        )
+    )
+
+
+def ex_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shape forecast revenue change: a pure filter-and-sum scan
+    (date window + discount band + quantity cap) with no join at all —
+    the pushdown benchmark. The discount band compares MICRO-UNIT
+    INTEGERS (floor(d*1e6+0.5)), not raw doubles, so the boundary rows
+    classify identically in both engines; revenue sums exact cents of
+    extendedprice*discount."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.expr("CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)").alias("disc_u"),
+        F.expr(_cents_sql("l_extendedprice * l_discount")).alias("cents"),
+        "l_shipdate",
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("disc_u").between(50000, 70000)
+            & (F.col("q") < 24)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(_DESCALE.format(c="cents")).alias("revenue"),
+        )
+    )
+
+
+def ex_market_share(spark, sf_dir):
+    """TPC-H Q8-shape market share: NATION_1 suppliers' share of ECONOMY-
+    part revenue sold to AMERICA-region customers, per order year. Both
+    the numerator and denominator accumulate as exact integer cents; the
+    share is ONE double divide of the two integer sums. The filtered
+    part dim broadcasts (the ex_part_promotion precedent); customer and
+    supplier joins shuffle; nation/region are 25/5-row broadcasts."""
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    nat_am = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nat_am), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", (F.col("s_nationkey") == 1).alias("is_target")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_cents_sql("l_extendedprice * (1 - l_discount)")).alias("cents"),
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(CASE WHEN is_target THEN cents ELSE 0 END)"
+                " AS DECIMAL(38,0)) AS DOUBLE)"
+                " / CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE)"
+            ).alias("mkt_share"),
+            F.expr(_DESCALE.format(c="cents")).alias("total_revenue"),
+        )
+    )
+
+
+def ex_product_profit(spark, sf_dir):
+    """TPC-H Q9-shape product-type profit (partsupp-free: unit cost is
+    defined as 60% of p_retailprice, both held as exact integer cents
+    with an integral div). profit = revenue_cents − qty·unit_cost_cents
+    per line, summed by supplier nation and order year. The name-
+    filtered part dim broadcasts; orders and supplier joins shuffle on
+    their keys; nation is a 25-row broadcast."""
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select(
+            "p_partkey",
+            F.expr(
+                "CAST((CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 6)"
+                " div 10 AS BIGINT)"
+            ).alias("cost_c"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.expr(_cents_sql("l_extendedprice * (1 - l_discount)")).alias("rev_c"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .withColumn("profit_c", F.col("rev_c") - F.col("q") * F.col("cost_c"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(_DESCALE.format(c="profit_c")).alias("profit"),
+        )
+    )
+
+
+def ex_returned_items(spark, sf_dir):
+    """TPC-H Q10-shape returned-item losses: top-20 customers by revenue
+    of returned lines in H1-1996. The lineitem⋈orders fact join reduces
+    to a customer-keyed aggregate FIRST (customer-sized), then joins the
+    customer dim and the 25-row nation broadcast — the dims never see
+    line-level rows. Top-20 is TakeOrderedAndProject on (revenue desc,
+    custkey) — the custkey tie-break makes the SET deterministic, no
+    global sort."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.expr(_cents_sql("l_extendedprice * (1 - l_discount)")).alias("cents"),
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr("CAST(sum(cents) AS DECIMAL(38,0))").alias("rev_c"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "n_lines",
+            F.expr("CAST(rev_c AS DOUBLE) / 100.0").alias("revenue"),
+            F.col("rev_c"),
+        )
+        .orderBy(F.desc("rev_c"), F.asc("c_custkey"))
+        .limit(20)
+        .drop("rev_c")
+    )
+
+
+def ex_important_stock(spark, sf_dir):
+    """TPC-H Q11-shape inventory concentration (partsupp-free: a part's
+    'stocked value' is its total shipped qty × 60%-of-retail unit cost):
+    parts whose value exceeds 0.1% of the global total. The fraction
+    threshold compares exact integers (value·1000 > total), no float
+    boundary. Plan: one lineitem scan → part-keyed partial-agg shuffle;
+    the global total is a 1-row aggregate of that part-sized table
+    (localCheckpointed so the two consumers don't replay the scan),
+    broadcast back as a cross join."""
+    pt = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "CAST((CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 6)"
+            " div 10 AS BIGINT)"
+        ).alias("cost_c"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    per_part = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.expr("CAST(sum(q * cost_c) AS DECIMAL(38,0))").alias("value_c"))
+        .localCheckpoint(eager=True)
+    )
+    total = per_part.agg(
+        F.expr("CAST(sum(value_c) AS DECIMAL(38,0))").alias("total_c")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.expr("value_c * 1000 > total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.expr("CAST(value_c AS DOUBLE) / 100.0").alias("value"),
+        )
+    )
+
+
+def ex_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shape top supplier: the supplier(s) with maximum revenue
+    over Q1-1996 shipments — tie-safe (ALL max-revenue suppliers
+    qualify, the view-based Q15 contract). One lineitem scan → supplier-
+    keyed partial-agg shuffle; the supplier-sized revenue table is
+    localCheckpointed (two consumers: the max scalar and the probe), the
+    1-row max broadcasts back, and the few winners broadcast into the
+    supplier dim scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select(
+        "l_suppkey",
+        F.expr(_cents_sql("l_extendedprice * (1 - l_discount)")).alias("cents"),
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.expr("CAST(sum(cents) AS DECIMAL(38,0))").alias("rev_c"))
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.expr("max(rev_c)").alias("max_c"))
+    winners = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("max_c"))
+        .select("l_suppkey", F.expr("CAST(rev_c AS DOUBLE) / 100.0").alias("total_revenue"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(winners), s.s_suppkey == winners.l_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def ex_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16-shape supplier counts per part attribute (partsupp-free:
+    the supply relation is lineitem's DISTINCT (part, supplier) pairs):
+    per (brand, type, size) over a brand/type/size-filtered part set,
+    how many distinct suppliers ship it — EXCLUDING flagged suppliers
+    (negative account balance, the complaints stand-in) via an anti
+    join. The pair distinct and the count-distinct share one part-keyed
+    exchange; the filtered dims broadcast; the flagged-supplier key set
+    is routed by the optimizer (grows with SF)."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pt = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("ECON%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        pairs.join(flagged, pairs.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def ex_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22-shape global sales opportunity: customers in a country
+    set with above-average positive balance and NO orders, counted per
+    nation (country code = nationkey — the testdata has no phone
+    column). The above-average predicate compares exact integers
+    (bal_c·n_pos > sum_c, cross-multiplied — no float average); the
+    no-orders test is an anti join on the orders key projection. The
+    customer scan feeds both the average and the probe — table-sized, so
+    it recomputes rather than caches (the documented multi-branch
+    choice for corpus-sized frames)."""
+    nations = [0, 3, 5, 7, 9, 11, 13]
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr(_cents_sql("c_acctbal")).alias("bal_c"),
+    )
+    pos = cust.filter(F.col("bal_c") > 0).agg(
+        F.expr("CAST(sum(bal_c) AS DECIMAL(38,0))").alias("sum_c"),
+        F.count("*").cast("long").alias("n_pos"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.expr("bal_c * n_pos > sum_c"))
+        .join(o, cust.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.expr(
+                "CAST(CAST(sum(bal_c) AS DECIMAL(38,0)) AS DOUBLE) / 100.0"
+            ).alias("totacctbal"),
+        )
+    )
+
+
+def ex_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 'repetitious
+    text' rules): per document, the duplicate word-trigram fraction and
+    the hottest trigram's repeat count. One (doc, shingle)-keyed partial
+    aggregation, then a doc-keyed map-side-combinable rollup; the ratio
+    is one double divide of exact counters. The drop verdict applies the
+    dup_frac > 0.1 rule."""
+    sh = dedup.shingles(_t(spark, sf_dir, "documents"), distinct=False)
+    per_gram = sh.groupBy("doc_id", "s").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("cnt").cast("long").alias("max_repeat"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            "max_repeat",
+            F.expr(
+                "CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)"
+            ).alias("dup_frac"),
+            F.expr(
+                "CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)"
+                " > 0.1"
+            ).alias("drop_doc"),
+        )
+    )
+
+
+def ex_asof_features(spark, sf_dir):
+    """Point-in-time feature join (the leakage-safe enrichment every
+    training pipeline needs): each event picks the user's most recent
+    order at-or-before the event time, within a 1-year lookback — never
+    a future order. Orders first reduce to one row per (custkey, day)
+    (max orderkey — the deterministic tie rule), then ride the as-of
+    composition: ONE user-keyed equi-join + re-aggregation on the event
+    primary key (operators.core.asof_last_match; Spark has no native
+    ASOF join). The match value is a composite day·2^20+orderkey bigint
+    so max() picks the LATEST day, not the largest key; the oracle uses
+    DuckDB's native ASOF JOIN on the same reduced order table."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+        )
+        .agg(F.max("o_orderkey").cast("long").alias("okey"))
+        .withColumn(
+            "oval",
+            F.expr("CAST(datediff(ots, DATE '1995-01-01') AS BIGINT) * 1048576")
+            + F.col("okey"),
+        )
+    )
+    matched = ops.asof_last_match(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        lookback="INTERVAL 365 DAYS",
+        right_val="oval",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CASE WHEN asof_match IS NULL THEN NULL ELSE"
+            " CAST(asof_match div 1048576 AS BIGINT) END"
+        ).alias("order_day"),
+        F.expr(
+            "CASE WHEN asof_match IS NULL THEN NULL ELSE"
+            " CAST(asof_match % 1048576 AS BIGINT) END"
+        ).alias("order_key"),
+    )
+
+
+def ex_winnow_fingerprint(spark, sf_dir):
+    """Winnowing near-dup candidates (Schleimer et al. 2003, the MOSS
+    fingerprint): per doc, trigram hashes in position order, the min
+    hash of each 4-window kept as a fingerprint (guarantee: any shared
+    run ≥ w+k−1 tokens shares a fingerprint), boilerplate fingerprints
+    df-capped, then candidate pairs = docs sharing ≥ 2 fingerprints.
+    One doc-keyed window pass + one fingerprint-keyed equi-join — never
+    all-pairs; the df cap bounds per-fingerprint fanout at corpus
+    scale."""
+    return dedup.winnow_candidates(_t(spark, sf_dir, "documents"))
+
+
+def st_lang_id(spark, sf_dir):
+    """Streaming language ID: the n-gram/stopword classifier applied to
+    documents AS THEY ARRIVE (stateless append projection — the
+    st_quality_model shape). Shares ex_lang_id's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.lang_id_stream(spark, sf_dir)
+
+
+def st_pii_scrub(spark, sf_dir):
+    """Streaming PII scrub at ingest (the production place for
+    redaction — before anything persists): stateless append projection
+    over the deterministically PII-augmented stream. Shares
+    ex_pii_scrub's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.pii_scrub_stream(spark, sf_dir)
+
+
+def st_text_stats(spark, sf_dir):
+    """Streaming per-document quality statistics (stateless append
+    projection at ingest). Shares ex_text_stats' oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.text_stats_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2662,73 +3198,40 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-8 invariant continues EVIDENCE FRESHNESS: positions 1-26 hold
-    this round's twenty-six new entries (tests/test_registry.py
-    requires unproven ⊆ first-50); 27-31 are the only entries whose
-    latest green predates round 5 (dq02/dq03/dq04/dq16 on r4 evidence,
-    displaced by the r7 additions, plus the dq21 canary); 32-50 are 19
-    of the 46 r5-vintage entries. The 27 remaining r5 entries follow
-    immediately after the window and rotate first in round 9 — after
-    this round no entry's latest green predates r5, and only those 27
-    predate r6. The rest of the tail lists the r6-green entries, then
-    the r7-green entries (freshest evidence last).
+    round-9 layout: positions 1-16 hold this round's sixteen new entries
+    (tests/test_registry.py requires unproven ⊆ first-50); 17-19 are the
+    three queries whose SEMANTICS changed this round (the r8 ADVICE
+    fixes — their old green rows proved the wrong expression, so they
+    re-prove); 20-46 are the 27 entries whose latest green is still r5
+    (the oldest evidence anywhere); 47-50 begin the r6 rotation
+    (alphabetically first four). After this round no entry's latest
+    green predates r6 except the 45 remaining r6-green entries at the
+    tail head, which rotate next. The tail lists r6-green, then
+    r7-green, then r8-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-26: round-8 additions (unproven must sit here) ---
-        "ex_volume_shipping": ex_volume_shipping,
-        "ex_part_promotion": ex_part_promotion,
-        "ex_image_dedup_apply": ex_image_dedup_apply,
-        "ex_audio_dedup_apply": ex_audio_dedup_apply,
-        "ex_video_dedup_apply": ex_video_dedup_apply,
-        "ex_image_neardup_wide": ex_image_neardup_wide,
-        "ex_waiting_orders": ex_waiting_orders,
-        "ex_hdr_quantile": ex_hdr_quantile,
-        "st_hdr_quantile": st_hdr_quantile,
-        "st_dedup_substring": st_dedup_substring,
-        "st_image_dedup_apply": st_image_dedup_apply,
-        "st_audio_dedup_apply": st_audio_dedup_apply,
-        "st_video_dedup_apply": st_video_dedup_apply,
-        "ex_bm25": ex_bm25,
-        "ex_small_qty_revenue": ex_small_qty_revenue,
-        "ex_semdedup_apply": ex_semdedup_apply,
-        "ex_large_orders": ex_large_orders,
-        "ex_ship_priority_counts": ex_ship_priority_counts,
+        # --- window 1-16: round-9 additions (unproven must sit here) ---
+        "ex_pricing_summary": ex_pricing_summary,
+        "ex_local_supplier_volume": ex_local_supplier_volume,
+        "ex_forecast_revenue": ex_forecast_revenue,
+        "ex_market_share": ex_market_share,
+        "ex_product_profit": ex_product_profit,
+        "ex_returned_items": ex_returned_items,
+        "ex_important_stock": ex_important_stock,
+        "ex_top_supplier": ex_top_supplier,
+        "ex_parts_supplier_counts": ex_parts_supplier_counts,
+        "ex_global_sales_opportunity": ex_global_sales_opportunity,
+        "ex_repetition_stats": ex_repetition_stats,
+        "ex_asof_features": ex_asof_features,
+        "ex_winnow_fingerprint": ex_winnow_fingerprint,
+        "st_lang_id": st_lang_id,
+        "st_pii_scrub": st_pii_scrub,
+        "st_text_stats": st_text_stats,
+        # --- window 17-19: round-9 semantic fixes (ADVICE r8) needing fresh proof ---
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
-        "ex_ann_filtered": ex_ann_filtered,
-        "ex_containment_dedup": ex_containment_dedup,
-        "ex_image_neardup_incr": ex_image_neardup_incr,
-        "ex_decontaminate_apply": ex_decontaminate_apply,
-        "st_containment_dedup": st_containment_dedup,
-        "ex_hdr_quantile_grouped": ex_hdr_quantile_grouped,
-        "st_bm25": st_bm25,
-        # --- window 27-31: the last r4-vintage evidence (displaced in r7)
-        # plus the dq21 canary ---
-        "dq02": dq02,
-        "dq03": dq03,
-        "dq04": dq04,
-        "dq16": dq16,
-        "dq21": dq21,
-        # --- window 32-50: 19 of the 46 r5-vintage entries (the rest
-        # follow immediately after position 50 and rotate first in r9) ---
-        "dq09": dq09,
-        "dq14": dq14,
-        "dq19": dq19,
-        "dq22": dq22,
-        "ex_ann_ivf_trained": ex_ann_ivf_trained,
-        "ex_ann_recall": ex_ann_recall,
-        "ex_array_agg": ex_array_agg,
-        "ex_bitwise": ex_bitwise,
-        "ex_chunk_docs": ex_chunk_docs,
-        "ex_cube": ex_cube,
-        "ex_custdist": ex_custdist,
-        "ex_date_funcs": ex_date_funcs,
-        "ex_dedup_apply": ex_dedup_apply,
-        "ex_dedup_incremental": ex_dedup_incremental,
-        "ex_distinct_agg": ex_distinct_agg,
-        "ex_dq_checks": ex_dq_checks,
-        "ex_embed_quantize": ex_embed_quantize,
-        "ex_exists_shipped": ex_exists_shipped,
-        "ex_group_concat": ex_group_concat,
+        "ex_volume_shipping": ex_volume_shipping,
+        "ex_large_orders": ex_large_orders,
+        # --- window 20-46: the 27 remaining r5-vintage entries (oldest evidence) ---
         "ex_grouping_sets": ex_grouping_sets,
         "ex_key_skew": ex_key_skew,
         "ex_kmeans": ex_kmeans,
@@ -2739,8 +3242,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_pii_scrub": ex_pii_scrub,
         "ex_promo_share": ex_promo_share,
         "ex_quality_filter": ex_quality_filter,
-        # --- tail head: the remaining r5-vintage entries (rotate
-        # first in round 9; displaced by the round-8 additions) ---
         "ex_range_window": ex_range_window,
         "ex_rank_funcs": ex_rank_funcs,
         "ex_regex_funcs": ex_regex_funcs,
@@ -2758,11 +3259,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_vocab": ex_vocab,
         "ex_window_analytics": ex_window_analytics,
         "st_vocab": st_vocab,
-        # --- ...then the r6-green entries ---
+        # --- window 47-50: the r6 rotation begins (oldest four, alphabetical) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
         "ex_anomaly": ex_anomaly,
+        # --- tail: r6-green remainder, then r7-green, then r8-green (freshest last) ---
         "ex_bigram_logprob": ex_bigram_logprob,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_bpe_train": ex_bpe_train,
@@ -2808,19 +3310,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sliding_counts": st_sliding_counts,
         "st_stream_join": st_stream_join,
         "st_window_counts": st_window_counts,
-        # --- ...then the r7-green entries (freshest evidence) ---
-        "ex_image_neardup": ex_image_neardup,
-        "ex_audio_neardup": ex_audio_neardup,
-        "ex_video_neardup": ex_video_neardup,
-        "st_image_neardup": st_image_neardup,
-        "st_audio_neardup": st_audio_neardup,
-        "st_video_neardup": st_video_neardup,
-        "ex_dedup_substring": ex_dedup_substring,
-        "ex_embed_gram": ex_embed_gram,
-        "ex_lang_id": ex_lang_id,
-        "ex_text_stats": ex_text_stats,
-        "ex_token_count": ex_token_count,
-        "ex_udf_surface": ex_udf_surface,
         "dq01": dq01,
         "dq05": dq05,
         "dq06": dq06,
@@ -2839,15 +3328,20 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq25": dq25,
         "ex_approx_distinct": ex_approx_distinct,
         "ex_approx_quantile": ex_approx_quantile,
+        "ex_audio_neardup": ex_audio_neardup,
         "ex_correlated_min": ex_correlated_min,
         "ex_decontaminate": ex_decontaminate,
         "ex_dedup_clusters": ex_dedup_clusters,
         "ex_dedup_pipeline": ex_dedup_pipeline,
+        "ex_dedup_substring": ex_dedup_substring,
+        "ex_embed_gram": ex_embed_gram,
         "ex_except": ex_except,
         "ex_fuzzy_match": ex_fuzzy_match,
         "ex_gapfill": ex_gapfill,
         "ex_hash_split": ex_hash_split,
         "ex_histogram": ex_histogram,
+        "ex_image_neardup": ex_image_neardup,
+        "ex_lang_id": ex_lang_id,
         "ex_multimodal_features": ex_multimodal_features,
         "ex_multimodal_frames": ex_multimodal_frames,
         "ex_multimodal_resize": ex_multimodal_resize,
@@ -2859,4 +3353,58 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_semantic_search": ex_semantic_search,
         "ex_skew_join": ex_skew_join,
         "ex_stratified_sample": ex_stratified_sample,
+        "ex_text_stats": ex_text_stats,
+        "ex_token_count": ex_token_count,
+        "ex_udf_surface": ex_udf_surface,
+        "ex_video_neardup": ex_video_neardup,
+        "st_audio_neardup": st_audio_neardup,
+        "st_image_neardup": st_image_neardup,
+        "st_video_neardup": st_video_neardup,
+        "dq02": dq02,
+        "dq03": dq03,
+        "dq04": dq04,
+        "dq09": dq09,
+        "dq14": dq14,
+        "dq16": dq16,
+        "dq19": dq19,
+        "dq21": dq21,
+        "dq22": dq22,
+        "ex_ann_filtered": ex_ann_filtered,
+        "ex_ann_ivf_trained": ex_ann_ivf_trained,
+        "ex_ann_recall": ex_ann_recall,
+        "ex_array_agg": ex_array_agg,
+        "ex_audio_dedup_apply": ex_audio_dedup_apply,
+        "ex_bitwise": ex_bitwise,
+        "ex_bm25": ex_bm25,
+        "ex_chunk_docs": ex_chunk_docs,
+        "ex_containment_dedup": ex_containment_dedup,
+        "ex_cube": ex_cube,
+        "ex_custdist": ex_custdist,
+        "ex_date_funcs": ex_date_funcs,
+        "ex_decontaminate_apply": ex_decontaminate_apply,
+        "ex_dedup_apply": ex_dedup_apply,
+        "ex_dedup_incremental": ex_dedup_incremental,
+        "ex_distinct_agg": ex_distinct_agg,
+        "ex_dq_checks": ex_dq_checks,
+        "ex_embed_quantize": ex_embed_quantize,
+        "ex_exists_shipped": ex_exists_shipped,
+        "ex_group_concat": ex_group_concat,
+        "ex_hdr_quantile": ex_hdr_quantile,
+        "ex_hdr_quantile_grouped": ex_hdr_quantile_grouped,
+        "ex_image_dedup_apply": ex_image_dedup_apply,
+        "ex_image_neardup_incr": ex_image_neardup_incr,
+        "ex_image_neardup_wide": ex_image_neardup_wide,
+        "ex_part_promotion": ex_part_promotion,
+        "ex_semdedup_apply": ex_semdedup_apply,
+        "ex_ship_priority_counts": ex_ship_priority_counts,
+        "ex_small_qty_revenue": ex_small_qty_revenue,
+        "ex_video_dedup_apply": ex_video_dedup_apply,
+        "ex_waiting_orders": ex_waiting_orders,
+        "st_audio_dedup_apply": st_audio_dedup_apply,
+        "st_bm25": st_bm25,
+        "st_containment_dedup": st_containment_dedup,
+        "st_dedup_substring": st_dedup_substring,
+        "st_hdr_quantile": st_hdr_quantile,
+        "st_image_dedup_apply": st_image_dedup_apply,
+        "st_video_dedup_apply": st_video_dedup_apply,
     }

@@ -536,6 +536,50 @@ def quality_model_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_quality_model_sink", "append")
 
 
+def lang_id_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming language ID at ingest: the stopword-hit classifier as a
+    STATELESS append-mode projection (Arrow kernel inside the stream —
+    mapInPandas works on streaming DataFrames). Predictions equal the
+    batch pass exactly; shares ex_lang_id's oracle."""
+    from espkinesis_spark.functions.text import lang_id
+
+    src = _documents_stream(spark, sf_dir)
+    out = lang_id(src).select("doc_id", "lang_pred")
+    return _drain_to_memory(out, "st_lang_id_sink", "append")
+
+
+def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII redaction at ingest — the production placement
+    (scrub BEFORE anything persists). The stream replays the same
+    deterministic PII augmentation as ex_pii_scrub (the synthetic corpus
+    carries no addresses), then the regex scrub runs as a stateless
+    zero-shuffle append projection. Shares ex_pii_scrub's oracle."""
+    from espkinesis_spark.functions.text import pii_scrub
+
+    src = _documents_stream(spark, sf_dir)
+    aug = src.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@testmail.org ref "),
+            (F.col("doc_id") + F.lit(1_000_000)).cast("string"),
+        ),
+    )
+    return _drain_to_memory(pii_scrub(aug), "st_pii_scrub_sink", "append")
+
+
+def text_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-document quality statistics: the codegen stat
+    projection applied as documents arrive (stateless append mode, the
+    st_quality_model shape). Shares ex_text_stats' oracle."""
+    from espkinesis_spark.functions.text import text_stats
+
+    src = _documents_stream(spark, sf_dir)
+    return _drain_to_memory(text_stats(src), "st_text_stats_sink", "append")
+
+
 def vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus vocabulary: running token counts maintained
     incrementally as documents arrive (complete-mode aggregation — state is
