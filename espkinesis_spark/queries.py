@@ -2673,14 +2673,17 @@ _DESCALE = "CAST(CAST(sum({c}) AS DECIMAL(38,0)) AS DOUBLE) / 100.0"
 
 
 def ex_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-shape pricing summary: the canonical one-pass grouped
-    scan — per (returnflag, linestatus): quantity/price/charge sums,
-    three averages, row count. All money terms accumulate as exact
-    integer cents (discounts as micro-units), every double output is
-    derived from those integer sums by division only — identical
-    expression text in the oracle, so the result is bit-stable under
-    any partitioning. Plan: one lineitem scan with the date filter
-    pushed, map-side partial aggregation into a 4-row group set."""
+    """The FULL TPC-H Q1 pricing summary (dq21 is the abbreviated
+    flagship form with float sums): per (returnflag, linestatus) the
+    complete column set — quantity/price/disc-price/charge sums, all
+    three averages, row count — under the exact-integer discipline. All
+    money terms accumulate as exact integer cents (discounts as
+    micro-units), every double output is derived from those integer
+    sums by division only — identical expression text in the oracle, so
+    the result is bit-stable under any partitioning (dq21's float sums
+    are not; this entry is the 100 TB-safe form). Plan: one lineitem
+    scan with the date filter pushed, map-side partial aggregation into
+    a 4-row group set."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp")
     )

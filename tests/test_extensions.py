@@ -2237,3 +2237,111 @@ def test_cents_scalars_partition_order_independent(spark, sf_dir):
                 assert [tuple(r) for r in got] == [tuple(r) for r in base], name
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_r9_exact_groups_partition_order_independent(spark, sf_dir):
+    """The round-9 exact-cents queries (full Q1, Q6, Q8, Q7) must return
+    bit-identical rows under any partitioning — integer accumulation,
+    doubles derived only by division from the integer sums."""
+    from espkinesis_spark import queries
+
+    for name in (
+        "ex_pricing_summary",
+        "ex_forecast_revenue",
+        "ex_market_share",
+        "ex_volume_shipping",
+    ):
+        base = sorted(
+            [tuple(r) for r in queries.registry()[name](spark, sf_dir).collect()]
+        )
+        assert base
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            for parts in ("1", "7"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                got = sorted(
+                    [
+                        tuple(r)
+                        for r in queries.registry()[name](spark, sf_dir).collect()
+                    ]
+                )
+                assert got == base, name
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+class TestWinnowProperty:
+    """Hypothesis mirror of the winnowing guarantee (Schleimer et al.
+    2003): two docs sharing a token run of ≥ WINNOW_W + SHINGLE_WORDS - 1
+    tokens share at least one fingerprint, and the Spark fingerprint set
+    equals a direct python model of the same scheme."""
+
+    _spark = None
+
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True)
+    def _stash(self, spark):
+        TestWinnowProperty._spark = spark
+
+    @staticmethod
+    def _model_fps(text: str) -> set[int]:
+        import hashlib
+
+        from espkinesis_spark.functions import common as C
+
+        toks = text.split() if text.strip() else []
+        n = len(toks)
+        k = C.SHINGLE_WORDS
+        if n <= k - 1:
+            grams = [" ".join(toks[:n])] if n else [""]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % C.MINHASH_P
+            for g in grams
+        ]
+        return {
+            min(hs[i : i + C.WINNOW_W]) for i in range(len(hs))
+        }
+
+    def test_matches_python_model_and_guarantee(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from espkinesis_spark.functions import common as C
+        from espkinesis_spark.functions import dedup
+
+        spark = TestWinnowProperty._spark
+        word = st.sampled_from(["a", "b", "c", "d"])
+        doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+        run_len = C.WINNOW_W + C.SHINGLE_WORDS - 1
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=4), st.lists(word, min_size=run_len, max_size=run_len))
+        def run(texts, shared_run):
+            # plant the shared run into the first two docs (if present)
+            texts = list(texts)
+            run_txt = " ".join(shared_run)
+            if len(texts) >= 2:
+                texts[0] = texts[0] + " " + run_txt
+                texts[1] = run_txt + " " + texts[1]
+            sdf = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+            )
+            got = {
+                (r.doc_id, r.fp)
+                for r in dedup.winnow_fingerprints(sdf).collect()
+            }
+            want = {
+                (i, fp)
+                for i, t in enumerate(texts)
+                for fp in self._model_fps(t)
+            }
+            assert got == want
+            if len(texts) >= 2:
+                fps0 = {fp for d, fp in got if d == 0}
+                fps1 = {fp for d, fp in got if d == 1}
+                assert fps0 & fps1, "shared run must share a fingerprint"
+
+        run()

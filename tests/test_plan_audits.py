@@ -394,3 +394,170 @@ def test_quality_model_is_zero_shuffle(spark, sf_dir):
     assert exchange_count(df) == 0
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- round-9 additions ----
+
+
+def test_pricing_summary_single_exchange_pushed_date(spark, sf_dir):
+    """Full-Q1 exact form: one lineitem scan with the date filter pushed,
+    one shuffle (the 4-row group aggregation), everything else map-side."""
+    df = _q(spark, sf_dir, "ex_pricing_summary")
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    assert exchange_count(df) == 1
+    (cols,) = scan_columns(df)
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_local_supplier_volume_dims_broadcast_facts_shuffle(spark, sf_dir):
+    """Q5: nation⋈region broadcast into both customer and supplier sides;
+    the order-date window reaches the orders scan; no cartesian."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_local_supplier_volume")
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 2
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_zero_join_pushed_scan(spark, sf_dir):
+    """Q6 is a pure filter-and-sum: no join at all, the ship window pushed
+    to the scan, a 3-column read, one scalar-agg exchange."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_forecast_revenue")
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    (cols,) = scan_columns(df)
+    assert cols == {"l_quantity", "l_discount", "l_extendedprice", "l_shipdate"}
+    assert exchange_count(df) == 1
+
+
+def test_market_share_single_lineitem_scan(spark, sf_dir):
+    """Q8: numerator and denominator are one conditional aggregation —
+    exactly ONE lineitem scan, the type filter pushed to the part scan."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_market_share")
+    plan = physical_plan(df)
+    li_scans = sum(
+        1 for ln in plan.splitlines() if "parquet" in ln and "lineitem" in ln
+    )
+    assert li_scans == 1, plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_product_profit_pushes_name_filter(spark, sf_dir):
+    """Q9: the part-name LIKE reaches the part scan; the filtered part dim
+    broadcasts into the lineitem probe."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_product_profit")
+    plan = physical_plan(df)
+    assert "StringContains(p_name,blue)" in plan
+    assert broadcast_join_count(df) >= 2  # part + nation
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_items_aggregates_before_dims_take_ordered(spark, sf_dir):
+    """Q10: the returnflag filter is pushed, top-20 plans as
+    TakeOrderedAndProject (no global sort), and the customer join sees
+    the customer-sized aggregate, not line-level rows."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_returned_items")
+    plan = physical_plan(df)
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_important_stock_no_scan_replay(spark, sf_dir):
+    """Q11: the part-value table is localCheckpointed before its two
+    consumers (global total + probe), so the final plan replays NO
+    parquet scan."""
+    from espkinesis_spark.plans import physical_plan
+
+    plan = physical_plan(_q(spark, sf_dir, "ex_important_stock"))
+    assert "Scan parquet" not in plan, plan
+
+
+def test_top_supplier_checkpointed_winner_broadcast(spark, sf_dir):
+    """Q15: the supplier-revenue table is localCheckpointed (max scalar +
+    probe share it — no lineitem replay) and the few winners broadcast
+    into the supplier dim."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_top_supplier")
+    plan = physical_plan(df)
+    li_scans = sum(
+        1 for ln in plan.splitlines() if "parquet" in ln and "lineitem" in ln
+    )
+    assert li_scans == 0, plan
+    assert broadcast_join_count(df) >= 1
+
+
+def test_parts_supplier_counts_anti_join(spark, sf_dir):
+    """Q16: flagged suppliers exclude via LeftAnti; the attribute filters
+    reach the part scan; no cartesian."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_parts_supplier_counts")
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "In(p_size" in pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_global_sales_opportunity_anti_join_pruned_orders(spark, sf_dir):
+    """Q22: the no-orders probe is a LeftAnti against a single-column
+    orders projection (the scan reads ONLY o_custkey)."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_global_sales_opportunity")
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert {"o_custkey"} in scan_columns(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_two_exchanges_no_python(spark, sf_dir):
+    """Gopher repetition: (doc, gram) partial agg + doc rollup = exactly
+    two exchanges, all codegen (no Python in the plan)."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_repetition_stats")
+    assert exchange_count(df) == 2
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_features_no_cartesian_bounded_exchanges(spark, sf_dir):
+    """Point-in-time join: one user-keyed equi-join + the event-pk
+    re-aggregation — no cartesian, no Python, shuffle count bounded."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_asof_features")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert exchange_count(df) <= 4
+
+
+def test_winnow_candidates_checkpointed_fp_table(spark, sf_dir):
+    """Winnowing: the fingerprint table is localCheckpointed before its
+    three consumers (df counts + both join sides), so the final plan
+    replays NO parquet scan; the candidate join is an equi-join."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_winnow_fingerprint")
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
