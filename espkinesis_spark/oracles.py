@@ -2149,10 +2149,11 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                             AS HUGEINT) AS value_c
             FROM lineitem JOIN pt ON l_partkey = p_partkey
             GROUP BY 1),
-        tot AS (SELECT CAST(sum(value_c) AS HUGEINT) AS total_c FROM per)
+        tot AS (SELECT CAST(sum(value_c) AS HUGEINT) AS total_c,
+                       CAST(count(*) AS BIGINT) AS n_parts FROM per)
         SELECT l_partkey AS p_partkey,
                CAST(value_c AS DOUBLE) / 100.0 AS value
-        FROM per, tot WHERE value_c * 1000 > total_c""",
+        FROM per, tot WHERE value_c * n_parts * 2 > total_c * 3""",
     "ex_top_supplier": f"""
         WITH li AS (SELECT l_suppkey,
                {_cents_o('l_extendedprice * (1 - l_discount)')} AS cents
@@ -2190,7 +2191,9 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                    AS totacctbal
         FROM cust, pos
         WHERE bal_c * n_pos > sum_c
-          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+          AND c_custkey NOT IN
+              (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY 1""",
     # ---- round-9 LLM-pipeline additions ----
     # non-distinct trigram counts per doc (same degenerate short-doc rule

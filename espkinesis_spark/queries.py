@@ -2939,10 +2939,13 @@ def ex_returned_items(spark, sf_dir):
 def ex_important_stock(spark, sf_dir):
     """TPC-H Q11-shape inventory concentration (partsupp-free: a part's
     'stocked value' is its total shipped qty × 60%-of-retail unit cost):
-    parts whose value exceeds 0.1% of the global total. The fraction
-    threshold compares exact integers (value·1000 > total), no float
+    parts whose value exceeds 1.5× the MEAN part value. Q11's literal
+    fixed-fraction cut degenerates when the part count scales with SF
+    (all rows at tiny SF, zero at large), so the threshold is relative
+    to the mean — scale-invariant selectivity, same decorrelation
+    stress. It compares exact integers (2·value·n > 3·total), no float
     boundary. Plan: one lineitem scan → part-keyed partial-agg shuffle;
-    the global total is a 1-row aggregate of that part-sized table
+    the global (total, n) is a 1-row aggregate of that part-sized table
     (localCheckpointed so the two consumers don't replay the scan),
     broadcast back as a cross join."""
     pt = _t(spark, sf_dir, "part").select(
@@ -2962,11 +2965,12 @@ def ex_important_stock(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     total = per_part.agg(
-        F.expr("CAST(sum(value_c) AS DECIMAL(38,0))").alias("total_c")
+        F.expr("CAST(sum(value_c) AS DECIMAL(38,0))").alias("total_c"),
+        F.count("*").cast("long").alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.expr("value_c * 1000 > total_c"))
+        .filter(F.expr("value_c * n_parts * 2 > total_c * 3"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.expr("CAST(value_c AS DOUBLE) / 100.0").alias("value"),
@@ -3038,13 +3042,17 @@ def ex_parts_supplier_counts(spark, sf_dir):
 
 def ex_global_sales_opportunity(spark, sf_dir):
     """TPC-H Q22-shape global sales opportunity: customers in a country
-    set with above-average positive balance and NO orders, counted per
-    nation (country code = nationkey — the testdata has no phone
-    column). The above-average predicate compares exact integers
-    (bal_c·n_pos > sum_c, cross-multiplied — no float average); the
-    no-orders test is an anti join on the orders key projection. The
-    customer scan feeds both the average and the probe — table-sized, so
-    it recomputes rather than caches (the documented multi-branch
+    set with above-average positive balance and NO RECENT orders (none
+    since 2000-01-01 — this testdata has no order-less customers at
+    all, so Q22's literal no-orders cut returns zero rows at every SF;
+    the lapsed-customer form keeps the exact shape: scalar average +
+    anti join on a filtered orders projection), counted per nation
+    (country code = nationkey — the testdata has no phone column). The
+    above-average predicate compares exact integers (bal_c·n_pos >
+    sum_c, cross-multiplied — no float average); the recency filter
+    pushes to the orders scan, which reads only two columns. The
+    customer scan feeds both the average and the probe — table-sized,
+    so it recomputes rather than caches (the documented multi-branch
     choice for corpus-sized frames)."""
     nations = [0, 3, 5, 7, 9, 11, 13]
     cust = _t(spark, sf_dir, "customer").filter(
@@ -3058,7 +3066,14 @@ def ex_global_sales_opportunity(spark, sf_dir):
         F.expr("CAST(sum(bal_c) AS DECIMAL(38,0))").alias("sum_c"),
         F.count("*").cast("long").alias("n_pos"),
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
     return (
         cust.crossJoin(F.broadcast(pos))
         .filter(F.expr("bal_c * n_pos > sum_c"))

@@ -517,14 +517,15 @@ def test_parts_supplier_counts_anti_join(spark, sf_dir):
 
 
 def test_global_sales_opportunity_anti_join_pruned_orders(spark, sf_dir):
-    """Q22: the no-orders probe is a LeftAnti against a single-column
-    orders projection (the scan reads ONLY o_custkey)."""
+    """Q22: the no-recent-orders probe is a LeftAnti against a two-column
+    orders projection with the recency filter pushed to the scan."""
     from espkinesis_spark.plans import physical_plan
 
     df = _q(spark, sf_dir, "ex_global_sales_opportunity")
     plan = physical_plan(df)
     assert "LeftAnti" in plan
-    assert {"o_custkey"} in scan_columns(df)
+    assert {"o_custkey", "o_orderdate"} in scan_columns(df)
+    assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "CartesianProduct" not in plan
 
 
