@@ -723,33 +723,37 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     unlike MinHash (whole-doc similarity), winnowing localizes, so it
     catches partial overlap.
 
-    Scale shape: a pure narrow map to (doc_id, pos, hash), ONE doc-keyed
-    window pass for the sliding minima, then a doc-keyed distinct that
-    shares the same partitioning. Tail windows shorter than WINNOW_W are
-    included (same rule in the oracle). Output is the ~|tokens|/w-sized
+    Scale shape: the window is over positions WITHIN one document, so
+    the whole computation is a ZERO-SHUFFLE per-row projection — gram
+    hashes as an array, sliding minima as an array transform, per-doc
+    dedupe via array_distinct, one explode. No exchange at any corpus
+    size (this also makes it directly usable as a stateless streaming
+    ingest projection). Tail windows shorter than WINNOW_W are included
+    (same rule in the oracle). Output is the ~|tokens|/w-sized
     fingerprint table a production pipeline persists (~the hamming
     fingerprint-table shape)."""
-    from pyspark.sql import Window
-
     toks = tokens(F.col(text_col))
-    sh = F.expr(
-        "transform(sequence(1, greatest(size(__toks) - 2, 1)),"
-        f" i -> concat_ws(' ', slice(__toks, i, {C.SHINGLE_WORDS})))"
-    )
-    pos = docs.withColumn("__toks", toks).select(
-        "doc_id", F.posexplode(sh).alias("pos", "s")
-    )
-    h = (
-        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
-        % C.MINHASH_P
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        0, C.WINNOW_W - 1
-    )
     return (
-        pos.withColumn("__h", h)
-        .select("doc_id", F.min("__h").over(win).alias("fp"))
-        .distinct()
+        docs.withColumn("__toks", toks)
+        .withColumn(
+            "__hs",
+            F.expr(
+                "transform("
+                " transform(sequence(1, greatest(size(__toks) - 2, 1)),"
+                f"  i -> concat_ws(' ', slice(__toks, i, {C.SHINGLE_WORDS}))),"
+                " g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
+                f"  % {C.MINHASH_P})"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(__hs)),"
+                    f" i -> array_min(slice(__hs, i, {C.WINNOW_W}))))"
+                )
+            ).alias("fp"),
+        )
     )
 
 
@@ -767,7 +771,19 @@ def winnow_candidates(
     the df filter shares the join's fp partitioning. The fingerprint
     table feeds three plan branches (df counts + both join sides), so it
     is localCheckpointed once (the hamming fingerprint-table rule)."""
-    fp = winnow_fingerprints(docs, text_col=text_col).localCheckpoint(eager=True)
+    fp = winnow_fingerprints(docs, text_col=text_col)
+    return winnow_candidates_from(fp, min_shared=min_shared, max_df=max_df)
+
+
+def winnow_candidates_from(
+    fp: DataFrame,
+    min_shared: int = C.WINNOW_MIN_SHARED,
+    max_df: int = C.WINNOW_MAX_DF,
+) -> DataFrame:
+    """``winnow_candidates`` from an existing (doc_id, fp) fingerprint
+    table — the entry point for a persisted store (the streaming leg
+    drains fingerprints extracted at ingest into exactly this shape)."""
+    fp = fp.localCheckpoint(eager=True)
     dfc = fp.groupBy("fp").agg(F.count("*").cast("long").alias("df"))
     kept = fp.join(dfc.filter(F.col("df") <= max_df), "fp").select("doc_id", "fp")
     a = kept.select(F.col("doc_id").alias("doc_a"), "fp")

@@ -2263,6 +2263,46 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                CAST(count(*) AS BIGINT) AS n_shared
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= {C.WINNOW_MIN_SHARED}""",
+    # winnow pairs -> recursive-CTE connected components -> drop
+    # non-canonical members -> per-source survivor summary (the shared
+    # dedup-apply oracle shape)
+    "ex_winnow_dedup_apply": f"""
+        WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS.format(t='text')} AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, i AS pos,
+                      array_to_string(t[i:i+{C.SHINGLE_WORDS - 1}], ' ') AS s
+               FROM toks,
+               UNNEST(range(1, greatest(len(t) - {C.SHINGLE_WORDS - 2}, 2))) AS u(i)),
+        hh AS (SELECT doc_id, pos,
+                      CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+                          % {C.MINHASH_P} AS h
+               FROM sh),
+        wmin AS (SELECT doc_id,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {C.WINNOW_W - 1} FOLLOWING) AS fp
+                 FROM hh),
+        fp AS (SELECT DISTINCT doc_id, fp FROM wmin),
+        dfc AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+        kept AS (SELECT doc_id, f.fp FROM fp f JOIN dfc USING (fp)
+                 WHERE df <= {C.WINNOW_MAX_DF}),
+        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+                  FROM kept a JOIN kept b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2
+                  HAVING count(*) >= {C.WINNOW_MIN_SHARED}),
+        edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+        ),
+        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+        GROUP BY source""",
 }
 
 # the streaming-lambda anomaly entry drains the identical hourly table
@@ -2304,6 +2344,11 @@ ORACLES["st_quality_model"] = ORACLES["ex_quality_model"]
 ORACLES["st_lang_id"] = ORACLES["ex_lang_id"]
 ORACLES["st_pii_scrub"] = ORACLES["ex_pii_scrub"]
 ORACLES["st_text_stats"] = ORACLES["ex_text_stats"]
+# the streaming winnow leg drains the identical fingerprint table; the
+# streaming as-of leg drains the raw event triples — each analysis over
+# the drained store equals the batch pass, one oracle apiece
+ORACLES["st_winnow_fingerprint"] = ORACLES["ex_winnow_fingerprint"]
+ORACLES["st_asof_features"] = ORACLES["ex_asof_features"]
 
 
 def _lttb_seq_sql() -> str:

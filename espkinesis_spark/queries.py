@@ -3132,6 +3132,13 @@ def ex_asof_features(spark, sf_dir):
     so max() picks the LATEST day, not the largest key; the oracle uses
     DuckDB's native ASOF JOIN on the same reduced order table."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return asof_feature_frame(spark, sf_dir, ev)
+
+
+def asof_feature_frame(spark, sf_dir, ev):
+    """ex_asof_features' composition over an arbitrary (event_id,
+    user_id, ts) frame — shared with the streaming leg, which drains the
+    event stream into exactly this shape."""
     orders = (
         _t(spark, sf_dir, "orders")
         .groupBy(
@@ -3180,6 +3187,53 @@ def ex_winnow_fingerprint(spark, sf_dir):
     return dedup.winnow_candidates(_t(spark, sf_dir, "documents"))
 
 
+def ex_winnow_dedup_apply(spark, sf_dir):
+    """Winnowing dedup APPLIED (the pairs → clusters → drop set →
+    surviving corpus chain every other pairs source already ends in):
+    winnow candidate pairs → large-star/small-star connected components
+    → drop non-canonical members → per-source survivor summary. The
+    corpus scan is never shuffled (apply_drop_set's routed anti-join
+    shape); the non-dim exchanges touch only the fingerprint table and
+    the pair/cluster frames."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.winnow_candidates(docs).select("doc_a", "doc_b")
+    drops = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        dedup.apply_drop_set(docs, drops)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def st_winnow_fingerprint(spark, sf_dir):
+    """Streaming winnowing: the zero-shuffle fingerprint projection runs
+    AT INGEST (stateless append — the payload is touched exactly once),
+    the ~|tokens|/w-sized fingerprint store drains through the
+    executor-parallel parquet sink, and the df-capped candidate join
+    runs over the drained store. The snapshot equals the batch
+    fingerprint table, so ex_winnow_fingerprint's oracle is exact."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.winnow_stream(spark, sf_dir)
+
+
+def st_asof_features(spark, sf_dir):
+    """Streaming point-in-time enrichment: events land from the stream
+    (stateless append passthrough into the durable store — the lambda
+    split), then the as-of composition joins the drained events against
+    the batch orders dimension. Shares ex_asof_features' oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.asof_features_stream(spark, sf_dir)
+
+
 def st_lang_id(spark, sf_dir):
     """Streaming language ID: the n-gram/stopword classifier applied to
     documents AS THEY ARRIVE (stateless append projection — the
@@ -3216,19 +3270,22 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-9 layout: positions 1-16 hold this round's sixteen new entries
-    (tests/test_registry.py requires unproven ⊆ first-50); 17-19 are the
+    round-9 layout: positions 1-19 hold this round's nineteen new entries
+    (tests/test_registry.py requires unproven ⊆ first-50); 20-22 are the
     three queries whose SEMANTICS changed this round (the r8 ADVICE
     fixes — their old green rows proved the wrong expression, so they
-    re-prove); 20-46 are the 27 entries whose latest green is still r5
-    (the oldest evidence anywhere); 47-50 begin the r6 rotation
-    (alphabetically first four). After this round no entry's latest
-    green predates r6 except the 45 remaining r6-green entries at the
+    re-prove); 23-49 are the 27 entries whose latest green is still r5
+    (the oldest evidence anywhere); position 50 begins the r6 rotation
+    (alphabetically first). After this round no entry's latest
+    green predates r6 except the 48 remaining r6-green entries at the
     tail head, which rotate next. The tail lists r6-green, then
     r7-green, then r8-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-16: round-9 additions (unproven must sit here) ---
+        # --- window 1-19: round-9 additions (unproven must sit here) ---
+        "ex_winnow_dedup_apply": ex_winnow_dedup_apply,
+        "st_winnow_fingerprint": st_winnow_fingerprint,
+        "st_asof_features": st_asof_features,
         "ex_pricing_summary": ex_pricing_summary,
         "ex_local_supplier_volume": ex_local_supplier_volume,
         "ex_forecast_revenue": ex_forecast_revenue,
@@ -3245,11 +3302,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_lang_id": st_lang_id,
         "st_pii_scrub": st_pii_scrub,
         "st_text_stats": st_text_stats,
-        # --- window 17-19: round-9 semantic fixes (ADVICE r8) needing fresh proof ---
+        # --- window 20-22: round-9 semantic fixes (ADVICE r8) needing fresh proof ---
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "ex_volume_shipping": ex_volume_shipping,
         "ex_large_orders": ex_large_orders,
-        # --- window 20-46: the 27 remaining r5-vintage entries (oldest evidence) ---
+        # --- window 23-49: the 27 remaining r5-vintage entries (oldest evidence) ---
         "ex_grouping_sets": ex_grouping_sets,
         "ex_key_skew": ex_key_skew,
         "ex_kmeans": ex_kmeans,
@@ -3277,12 +3334,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_vocab": ex_vocab,
         "ex_window_analytics": ex_window_analytics,
         "st_vocab": st_vocab,
-        # --- window 47-50: the r6 rotation begins (oldest four, alphabetical) ---
+        # --- window 50: the r6 rotation begins (oldest one, alphabetical) ---
         "ex_ann_ivf": ex_ann_ivf,
+        # --- tail: r6-green remainder, then r7-green, then r8-green (freshest last) ---
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
         "ex_anomaly": ex_anomaly,
-        # --- tail: r6-green remainder, then r7-green, then r8-green (freshest last) ---
         "ex_bigram_logprob": ex_bigram_logprob,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_bpe_train": ex_bpe_train,

@@ -536,6 +536,39 @@ def quality_model_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "st_quality_model_sink", "append")
 
 
+def winnow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming winnowing near-dup: the fingerprint projection is a
+    ZERO-SHUFFLE stateless transform (array window-minima per row), so
+    it runs at ingest rate on the stream; the ~|tokens|/w-sized
+    fingerprint store drains through the executor-parallel parquet sink
+    (corpus-proportional — the st_bm25 drain rule), and the df-capped
+    candidate join runs over the drained store. Snapshot equals the
+    batch fingerprint table; shares ex_winnow_fingerprint's oracle."""
+    from espkinesis_spark.functions.dedup import (
+        winnow_candidates_from,
+        winnow_fingerprints,
+    )
+
+    src = _documents_stream(spark, sf_dir)
+    fp = winnow_fingerprints(src)
+    store = _drain_to_parquet(fp, "st_winnow_sink")
+    return winnow_candidates_from(store)
+
+
+def asof_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment: events land from the stream
+    into the durable store (stateless append passthrough — the as-of
+    re-aggregation would be event-keyed update-mode state in-query, so
+    the lambda splits drain from analysis), then the shared as-of
+    composition joins the drained events against the batch orders
+    dimension. Shares ex_asof_features' oracle."""
+    from espkinesis_spark import queries
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    store = _drain_to_parquet(ev, "st_asof_sink")
+    return queries.asof_feature_frame(spark, sf_dir, store)
+
+
 def lang_id_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming language ID at ingest: the stopword-hit classifier as a
     STATELESS append-mode projection (Arrow kernel inside the stream —
