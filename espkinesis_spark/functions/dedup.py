@@ -175,8 +175,8 @@ def neardup_minhash(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> 
 def neardup_minhash_persisted(
     docs: DataFrame,
     threshold: float = C.JACCARD_THRESHOLD,
-    table: str = "espk_shingles_bucketed",
-    path: str = "/tmp/espk_bucketed/shingles",
+    table: str | None = None,
+    path: str | None = None,
     n_buckets: int = 8,
 ) -> DataFrame:
     """The SURVEY scale note made real: checkpoint the shingle table ONCE to
@@ -190,10 +190,26 @@ def neardup_minhash_persisted(
     downstream doc_id aggregations consume the bucket partitioning with NO
     Exchange (plan-audited in tests/test_plan_audits.py). Same output as
     ``neardup_minhash`` (shared oracle).
+
+    The default table name and path are scoped by application id (the
+    drain-directory rule): a bare fixed path races two concurrent
+    sessions — the driver gate overwrites the table while a local run
+    reads it mid-rewrite, which surfaced as a one-off parity flake.
     """
+    import os
+    import re
+    import tempfile
+
     from espkinesis_spark.io import save_bucketed
 
     spark = docs.sparkSession
+    app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    if table is None:
+        table = f"espk_shingles_bucketed_{app}"
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(), "espk_bucketed", app, "shingles"
+        )
     save_bucketed(
         shingles(docs), table, ["doc_id"], n_buckets, sort_by=["doc_id"], path=path
     )

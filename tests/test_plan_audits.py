@@ -78,9 +78,14 @@ def test_dedup_pipeline_reuses_bucketed_shingles(spark, sf_dir):
     from espkinesis_spark.plans import physical_plan
     from espkinesis_spark.tables import load_table
 
+    import re
+
     docs = load_table(spark, sf_dir, "documents")
     df = neardup_minhash_persisted(docs)  # writes + reads the bucketed table
-    sh = spark.table("espk_shingles_bucketed")
+    # the default table name is app-id-scoped (concurrent-session safety)
+    app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    table = f"espk_shingles_bucketed_{app}"
+    sh = spark.table(table)
     sig_plan = physical_plan(minhash_signatures(sh))
     assert "SelectedBucketsCount" in sig_plan or "Bucketed: true" in sig_plan
     assert exchange_count(minhash_signatures(sh)) == 0, "bucketed groupBy reshuffled"
