@@ -2263,6 +2263,20 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                CAST(count(*) AS BIGINT) AS n_shared
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= {C.WINNOW_MIN_SHARED}""",
+    # the oracle states the range join DIRECTLY as the inequality
+    # self-join the binned plan is equivalent to (the equivalence IS the
+    # check: binning must not lose or duplicate any in-range pair)
+    "ex_range_join": """
+        WITH ev AS (SELECT user_id, event_type,
+                           epoch_us(ts) AS t FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(CAST(sum(b.t - a.t) AS HUGEINT) AS DOUBLE)
+                   / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_gap_s
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id
+         AND b.t > a.t AND b.t <= a.t + 300000000
+        GROUP BY 1, 2""",
     # winnow pairs -> recursive-CTE connected components -> drop
     # non-canonical members -> per-source survivor summary (the shared
     # dedup-apply oracle shape)

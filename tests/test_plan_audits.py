@@ -567,3 +567,16 @@ def test_winnow_candidates_checkpointed_fp_table(spark, sf_dir):
     plan = physical_plan(df)
     assert "Scan parquet" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_stays_equi_join(spark, sf_dir):
+    """The binned range join must plan as a hash/merge EQUI-join on
+    (user, bucket) — a BroadcastNestedLoopJoin here is the quadratic
+    scale-killer the binning exists to avoid."""
+    from espkinesis_spark.plans import physical_plan
+
+    df = _q(spark, sf_dir, "ex_range_join")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
