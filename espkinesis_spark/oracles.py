@@ -2226,15 +2226,15 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                     FROM orders GROUP BY 1, 2),
         ov AS (SELECT user_id, ots,
                       CAST(datediff('day', DATE '1995-01-01', ots) AS BIGINT)
-                          * 1048576 + okey AS oval
+                          * 17592186044416 + okey AS oval
                FROM od)
         SELECT e.event_id, e.user_id,
                CASE WHEN o.oval IS NULL
                       OR o.ots <= e.ts - INTERVAL 365 DAY THEN NULL
-                    ELSE CAST(o.oval // 1048576 AS BIGINT) END AS order_day,
+                    ELSE CAST(o.oval // 17592186044416 AS BIGINT) END AS order_day,
                CASE WHEN o.oval IS NULL
                       OR o.ots <= e.ts - INTERVAL 365 DAY THEN NULL
-                    ELSE CAST(o.oval % 1048576 AS BIGINT) END AS order_key
+                    ELSE CAST(o.oval % 17592186044416 AS BIGINT) END AS order_key
         FROM events e ASOF LEFT JOIN ov o
           ON e.user_id = o.user_id AND e.ts >= o.ots""",
     # winnowing: positional trigram hashes, min per 4-window (tail windows

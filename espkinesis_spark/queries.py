@@ -3128,8 +3128,11 @@ def ex_asof_features(spark, sf_dir):
     (max orderkey — the deterministic tie rule), then ride the as-of
     composition: ONE user-keyed equi-join + re-aggregation on the event
     primary key (operators.core.asof_last_match; Spark has no native
-    ASOF join). The match value is a composite day·2^20+orderkey bigint
-    so max() picks the LATEST day, not the largest key; the oracle uses
+    ASOF join). The match value is a composite day·2^44+orderkey bigint
+    so max() picks the LATEST day, not the largest key (2^44 leaves
+    headroom for ~1.7e13 order keys and ~500k days — no collision at
+    any realistic scale factor; 2^20 would already overflow at TPC-H
+    sf1's 1.5M orders); the oracle uses
     DuckDB's native ASOF JOIN on the same reduced order table."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return asof_feature_frame(spark, sf_dir, ev)
@@ -3148,7 +3151,7 @@ def asof_feature_frame(spark, sf_dir, ev):
         .agg(F.max("o_orderkey").cast("long").alias("okey"))
         .withColumn(
             "oval",
-            F.expr("CAST(datediff(ots, DATE '1995-01-01') AS BIGINT) * 1048576")
+            F.expr("CAST(datediff(ots, DATE '1995-01-01') AS BIGINT) * 17592186044416")
             + F.col("okey"),
         )
     )
@@ -3166,11 +3169,11 @@ def asof_feature_frame(spark, sf_dir, ev):
         "user_id",
         F.expr(
             "CASE WHEN asof_match IS NULL THEN NULL ELSE"
-            " CAST(asof_match div 1048576 AS BIGINT) END"
+            " CAST(asof_match div 17592186044416 AS BIGINT) END"
         ).alias("order_day"),
         F.expr(
             "CASE WHEN asof_match IS NULL THEN NULL ELSE"
-            " CAST(asof_match % 1048576 AS BIGINT) END"
+            " CAST(asof_match % 17592186044416 AS BIGINT) END"
         ).alias("order_key"),
     )
 
