@@ -618,3 +618,34 @@ def test_audio_video_neardup_stream_multibatch_equals_batch(
         got = {tuple(r) for r in pair(spark.table(f"avnd_{label}")).collect()}
         want = {tuple(r) for r in pair(extract(docs)).collect()}
         assert got == want and len(want) > 0, label
+
+
+def test_winnow_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The zero-shuffle winnowing fingerprint projection replayed across
+    micro-batches must accumulate exactly the batch fingerprint table
+    (append mode, zero state — each doc's fingerprint set is computed
+    from that doc alone), so the df-capped candidate join over the
+    drained store equals the batch op."""
+    from espkinesis_spark.functions.dedup import (
+        winnow_candidates_from,
+        winnow_fingerprints,
+    )
+
+    docs, src = _chunked_doc_stream(spark, sf_dir, tmp_path_factory, "winnow")
+    q = (
+        winnow_fingerprints(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("winnow_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1, "replay did not split into micro-batches"
+    store = spark.table("winnow_mb")
+    assert {tuple(r) for r in store.collect()} == {
+        tuple(r) for r in winnow_fingerprints(docs).collect()
+    }
+    got = {tuple(r) for r in winnow_candidates_from(store).collect()}
+    want = {tuple(r) for r in winnow_candidates_from(winnow_fingerprints(docs)).collect()}
+    assert got == want and len(want) > 0
