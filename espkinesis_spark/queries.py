@@ -3247,7 +3247,10 @@ def ex_range_join(spark, sf_dir):
     exact range predicate filters the candidates. Semantics: per
     ordered (type_a → type_b) pair, how many same-user event pairs
     occur within 5 minutes, with the exact mean gap (integer micros
-    sum, one divide)."""
+    sum, one divide). The two events scans are the self-join's two
+    sides — corpus-sized, so recomputing beats materializing (the
+    documented multi-branch rule); each side is a narrow 3-column
+    projection."""
     delta_us = 300 * 1_000_000
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
