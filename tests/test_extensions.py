@@ -2345,3 +2345,84 @@ class TestWinnowProperty:
                 assert fps0 & fps1, "shared run must share a fingerprint"
 
         run()
+
+
+class TestRangeJoinBinningProperty:
+    """Hypothesis mirror of the binned range join: for random event sets
+    (clustered timestamps so in-range pairs actually occur, including
+    exact bucket-boundary gaps), the bucket-fanout equi-join must find
+    EXACTLY the brute-force pair set — no pair lost at a bucket edge,
+    none duplicated by the two-bucket fanout."""
+
+    _spark = None
+
+    import pytest as _pytest
+
+    @_pytest.fixture(autouse=True)
+    def _stash(self, spark):
+        TestRangeJoinBinningProperty._spark = spark
+
+    def test_matches_brute_force(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pyspark.sql import functions as F
+
+        spark = TestRangeJoinBinningProperty._spark
+        delta = 300 * 1_000_000
+        # timestamps drawn near bucket boundaries: k*delta + small offset,
+        # including offset 0 and exactly-delta gaps (the tie semantics)
+        t_strategy = st.tuples(
+            st.integers(min_value=0, max_value=4),      # bucket index
+            st.sampled_from([0, 1, delta // 2, delta - 1]),  # in-bucket offset
+        ).map(lambda kv: kv[0] * delta + kv[1])
+        row = st.tuples(st.integers(min_value=1, max_value=2), t_strategy)
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(row, min_size=2, max_size=12))
+        def run(rows):
+            rows = [(u, t) for u, t in rows]
+            want = {
+                (ua, ta, tb)
+                for ua, ta in rows
+                for ub, tb in rows
+                if ua == ub and ta < tb <= ta + delta
+            }
+            df = spark.createDataFrame(rows, "user_id long, t long")
+            a = df.select(
+                "user_id",
+                F.col("t").alias("t_a"),
+                F.explode(
+                    F.array(
+                        F.expr(f"CAST(t div {delta} AS BIGINT)"),
+                        F.expr(f"CAST(t div {delta} AS BIGINT) + 1"),
+                    )
+                ).alias("bucket"),
+            )
+            b = df.select(
+                "user_id",
+                F.col("t").alias("t_b"),
+                F.expr(f"CAST(t div {delta} AS BIGINT)").alias("bucket"),
+            )
+            got_rows = (
+                a.join(b, ["user_id", "bucket"])
+                .filter(
+                    (F.col("t_b") > F.col("t_a"))
+                    & (F.col("t_b") <= F.col("t_a") + delta)
+                )
+                .collect()
+            )
+            got = [(r["user_id"], r["t_a"], r["t_b"]) for r in got_rows]
+            # exact set AND no fanout duplicates (each pair found once):
+            # duplicate-valued source rows multiply combinatorially in both
+            # the model and the join, so compare sorted multisets
+            want_multi = sorted(
+                (ua, ta, tb)
+                for ua, ta in rows
+                for ub, tb in rows
+                if ua == ub and ta < tb <= ta + delta
+            )
+            assert sorted(got) == want_multi
+            assert set(got) == want
+
+        run()
