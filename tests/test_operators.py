@@ -154,3 +154,44 @@ def test_norm_value_numpy_scalars_and_arrays():
     assert _norm_value(np.float64(1.5)) == 1.5
     assert _norm_value(np.array([1, 2])) == (1, 2)
     assert _norm_value([np.int32(3), np.float32(0.5)]) == (3, 0.5)
+
+
+def test_asof_last_match_lookback_boundaries(spark):
+    """The as-of window is (left_ts - lookback, left_ts]: a right row
+    EXACTLY lookback old is excluded (strict >), one exactly at left_ts
+    is included (<=), and among in-window rows max(right_val) wins —
+    the contract ex_asof_features' day-composite encoding relies on."""
+    from datetime import datetime
+
+    from espkinesis_spark.operators import core as ops
+
+    T0 = datetime(2000, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return datetime(2000, 1, 1, 12, 0, 0).fromtimestamp(
+            T0.timestamp() + sec
+        )
+
+    left = spark.createDataFrame(
+        [(1, T0), (2, T0)], "k long, lts timestamp"
+    ).filter("k = 1")
+    right = spark.createDataFrame(
+        [
+            (1, ts(-3600), 100),  # exactly lookback old -> excluded
+            (1, ts(-3599), 200),  # just inside
+            (1, ts(0), 300),      # exactly at left_ts -> included
+            (1, ts(1), 400),      # future -> excluded
+        ],
+        "k long, rts timestamp, v long",
+    )
+    out = ops.asof_last_match(
+        left, right, "k", "lts", "rts",
+        lookback="INTERVAL 1 HOUR", right_val="v",
+    ).collect()
+    assert [r["asof_match"] for r in out] == [300]
+    # drop the in-window rows: the exactly-lookback row must NOT match
+    out2 = ops.asof_last_match(
+        left, right.filter("v IN (100, 400)"), "k", "lts", "rts",
+        lookback="INTERVAL 1 HOUR", right_val="v",
+    ).collect()
+    assert [r["asof_match"] for r in out2] == [None]
