@@ -106,3 +106,18 @@ def test_market_share_is_a_fraction(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 <= r["mkt_share"] <= 1.0
+
+
+def test_embed_gram_trace_invariant(spark, sf_dir, duck_raw):
+    """Physical invariant independent of the mirrored fixed-point math:
+    for (near-)unit vectors, trace(cov) = avg||x||^2 - ||mean||^2 ≈ 1.
+    A wrong EG_QUANT descale (the disjunctive-bug class) would shift
+    this by powers of 10."""
+    rows = queries.registry()["ex_embed_gram"](spark, sf_dir).collect()
+    tr = sum(r["cov"] for r in rows if r["dim_i"] == r["dim_j"])
+    con = duckdb.connect()
+    avg_norm2, = con.execute(
+        f"SELECT avg(list_dot_product(embedding, embedding))"
+        f" FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    assert abs(tr - avg_norm2) < 0.05, (tr, avg_norm2)
