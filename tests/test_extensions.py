@@ -2426,3 +2426,30 @@ class TestRangeJoinBinningProperty:
             assert set(got) == want
 
         run()
+
+
+def test_repetition_stats_matches_python_model(spark, sf_dir):
+    """Independent python trigram model (breaks the mirrored-shingle-SQL
+    blindness): recompute n_grams / n_distinct / max_repeat directly
+    from the raw text, including the short-doc degenerate rule (< 3
+    tokens -> one shorter shingle)."""
+    from collections import Counter
+
+    from espkinesis_spark import queries
+    from espkinesis_spark.tables import load_table
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_distinct"], r["max_repeat"])
+        for r in queries.registry()["ex_repetition_stats"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs) > 0
+    for row in docs:
+        toks = row["text"].split()
+        if len(toks) <= 2:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        c = Counter(grams)
+        want = (len(grams), len(c), max(c.values()))
+        assert got[row["doc_id"]] == want, (row["doc_id"], got[row["doc_id"]], want)
