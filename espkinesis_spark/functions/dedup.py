@@ -172,6 +172,51 @@ def neardup_minhash(docs: DataFrame, threshold: float = C.JACCARD_THRESHOLD) -> 
     return exact_jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
+_BUCKETED_CLEANUPS: set[str] = set()
+
+
+def _register_bucketed_cleanup(spark, table: str, app_dir: str) -> None:
+    """Tear down the app-scoped bucketed scratch (table + data dir) at
+    interpreter exit — once per table. Best-effort: if the session is
+    already gone the DROP is skipped, but the data dir still goes."""
+    if table in _BUCKETED_CLEANUPS:
+        return
+    _BUCKETED_CLEANUPS.add(table)
+    import atexit
+    import shutil
+
+    def _cleanup() -> None:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        except Exception:
+            pass
+        shutil.rmtree(app_dir, ignore_errors=True)
+
+    atexit.register(_cleanup)
+
+
+def _sweep_stale_scratch(root: str, max_age_s: int = 86400) -> None:
+    """Remove sibling app scratch dirs a dead/crashed session left behind
+    (their atexit never ran). Age-gated so a concurrent LIVE session's
+    dir — necessarily younger than a day — is never touched."""
+    import os
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    cutoff = time.time() - max_age_s
+    for name in entries:
+        p = os.path.join(root, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def neardup_minhash_persisted(
     docs: DataFrame,
     threshold: float = C.JACCARD_THRESHOLD,
@@ -195,6 +240,15 @@ def neardup_minhash_persisted(
     drain-directory rule): a bare fixed path races two concurrent
     sessions — the driver gate overwrites the table while a local run
     reads it mid-rewrite, which surfaced as a one-off parity flake.
+
+    Cleanup expectation (ADVICE r9 — app-scoped names accumulate without
+    bound otherwise): the default table + path are torn down at
+    interpreter exit (atexit: DROP TABLE + rmtree of the app's scratch
+    dir), and each call best-effort sweeps sibling scratch dirs older
+    than a day, so crashed sessions can't pile up /tmp data either. The
+    catalog entry itself is in-memory (no Hive metastore here) and dies
+    with the session; callers passing an EXPLICIT table/path own their
+    lifecycle.
     """
     import os
     import re
@@ -204,12 +258,16 @@ def neardup_minhash_persisted(
 
     spark = docs.sparkSession
     app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    explicit = table is not None or path is not None
     if table is None:
         table = f"espk_shingles_bucketed_{app}"
     if path is None:
         path = os.path.join(
             tempfile.gettempdir(), "espk_bucketed", app, "shingles"
         )
+    if not explicit:
+        _register_bucketed_cleanup(spark, table, os.path.dirname(path))
+        _sweep_stale_scratch(os.path.dirname(os.path.dirname(path)))
     save_bucketed(
         shingles(docs), table, ["doc_id"], n_buckets, sort_by=["doc_id"], path=path
     )

@@ -2221,11 +2221,16 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
     # picks the latest day ≤ ts, and the 365-day lookback NULLs the match
     # post-join (the latest row is the only in-window candidate)
     "ex_asof_features": """
-        WITH od AS (SELECT o_custkey AS user_id, o_orderdate AS ots,
-                           CAST(max(o_orderkey) AS BIGINT) AS okey
-                    FROM orders GROUP BY 1, 2),
+        WITH ee AS (SELECT event_id, user_id,
+                           TIMESTAMP '1995-06-01'
+                               + (((epoch_us(ts) // 1000000) * 1009)
+                                  % 190000000) * INTERVAL 1 SECOND AS ts
+                    FROM events),
+        od AS (SELECT o_custkey AS user_id, o_orderdate AS ots,
+                      CAST(max(o_orderkey) AS BIGINT) AS okey
+               FROM orders GROUP BY 1, 2),
         ov AS (SELECT user_id, ots,
-                      CAST(datediff('day', DATE '1995-01-01', ots) AS BIGINT)
+                      CAST(datediff('day', DATE '1992-01-01', ots) AS BIGINT)
                           * 17592186044416 + okey AS oval
                FROM od)
         SELECT e.event_id, e.user_id,
@@ -2235,7 +2240,7 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                CASE WHEN o.oval IS NULL
                       OR o.ots <= e.ts - INTERVAL 365 DAY THEN NULL
                     ELSE CAST(o.oval % 17592186044416 AS BIGINT) END AS order_key
-        FROM events e ASOF LEFT JOIN ov o
+        FROM ee e ASOF LEFT JOIN ov o
           ON e.user_id = o.user_id AND e.ts >= o.ots""",
     # winnowing: positional trigram hashes, min per 4-window (tail windows
     # included), distinct fingerprints, df cap, shared-count pairs
@@ -2363,6 +2368,9 @@ ORACLES["st_text_stats"] = ORACLES["ex_text_stats"]
 # the drained store equals the batch pass, one oracle apiece
 ORACLES["st_winnow_fingerprint"] = ORACLES["ex_winnow_fingerprint"]
 ORACLES["st_asof_features"] = ORACLES["ex_asof_features"]
+# the skew-safe cogrouped-pandas kernel computes the identical result
+# (equivalence unit-tested); same oracle
+ORACLES["ex_asof_features_skew"] = ORACLES["ex_asof_features"]
 
 
 def _lttb_seq_sql() -> str:

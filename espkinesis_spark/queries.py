@@ -2854,8 +2854,10 @@ def ex_product_profit(spark, sf_dir):
     defined as 60% of p_retailprice, both held as exact integer cents
     with an integral div). profit = revenue_cents − qty·unit_cost_cents
     per line, summed by supplier nation and order year. The name-
-    filtered part dim broadcasts; orders and supplier joins shuffle on
-    their keys; nation is a 25-row broadcast."""
+    filtered part slice still scales with SF, so it is NOT force-
+    broadcast (ADVICE r9) — AQE routes that join from runtime stats;
+    orders and supplier joins shuffle on their keys; nation is a 25-row
+    fixed-size broadcast."""
     pt = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%blue%"))
@@ -2880,7 +2882,7 @@ def ex_product_profit(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .withColumn("profit_c", F.col("rev_c") - F.col("q") * F.col("cost_c"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
@@ -2958,8 +2960,11 @@ def ex_important_stock(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", F.col("l_quantity").cast("long").alias("q")
     )
+    # part scales with SF — no forced broadcast (it would blow the driver
+    # at large SFs, ADVICE r9); AQE routes the join from runtime stats,
+    # exactly as ex_large_orders' r9 fix.
     per_part = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy("l_partkey")
         .agg(F.expr("CAST(sum(q * cost_c) AS DECIMAL(38,0))").alias("value_c"))
         .localCheckpoint(eager=True)
@@ -3133,15 +3138,61 @@ def ex_asof_features(spark, sf_dir):
     headroom for ~1.7e13 order keys and ~500k days — no collision at
     any realistic scale factor; 2^20 would already overflow at TPC-H
     sf1's 1.5M orders); the oracle uses
-    DuckDB's native ASOF JOIN on the same reduced order table."""
+    DuckDB's native ASOF JOIN on the same reduced order table.
+
+    The event times are deterministically REBASED into the order-date
+    span first (prime-spread modulus — see asof_feature_frame): the
+    fixture's raw event clock (2024-01) sits entirely AFTER the last
+    order (2001-08), so without the rebase the 365-day lookback matches
+    zero rows and the parity evidence is vacuous (ADVICE r9). After the
+    rebase ~73% of events match and ~27% exercise the NULL leg."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return asof_feature_frame(spark, sf_dir, ev)
 
 
-def asof_feature_frame(spark, sf_dir, ev):
+def ex_asof_features_skew(spark, sf_dir):
+    """ex_asof_features through the SKEW-SAFE kernel: the same
+    point-in-time semantics, but matching runs as a per-key
+    cogrouped-pandas searchsorted kernel (operators.core.
+    asof_last_match_pandas) instead of join-then-reaggregate. This is
+    the production shape for hot keys / dense right sides, where the
+    join form amplifies the intermediate by up to lookback/granularity
+    (≤365 rows per event here); the cogrouped kernel shuffles each side
+    ONCE on the key and never materializes the candidate set. Outputs
+    are identical by construction, so it shares ex_asof_features'
+    oracle (plus a unit equivalence test against the join form)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return asof_feature_frame(spark, sf_dir, ev, matcher="pandas")
+
+
+# Composite-value epoch: strictly BELOW any representable order date so
+# datediff is never negative (a pre-epoch order would make oval negative
+# and the trunc-semantics div/% decode silently wrong — ADVICE r9). The
+# guard raises loudly instead of decoding garbage.
+_ASOF_EPOCH = "DATE '1992-01-01'"
+
+
+def asof_feature_frame(spark, sf_dir, ev, matcher="join"):
     """ex_asof_features' composition over an arbitrary (event_id,
     user_id, ts) frame — shared with the streaming leg, which drains the
-    event stream into exactly this shape."""
+    event stream into exactly this shape, and with the skew-safe
+    cogrouped-pandas variant (``matcher='pandas'``).
+
+    The event clock is rebased into the order-date span: shifted ts =
+    1995-06-01 + (epoch_seconds(ts)·1009 mod 190,000,000) seconds. The
+    prime spread factor fans the fixture's one-month event window across
+    the full 1995–2001 order history (a plain modulus would land every
+    event in the same month); 190 M seconds tops out at 2001-06, inside
+    the last order date. Deterministic pure integer arithmetic, mirrored
+    exactly in the DuckDB oracle."""
+    ev = ev.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(SECOND,"
+            " unix_micros(ts) div 1000000 * 1009 % 190000000,"
+            " TIMESTAMP '1995-06-01 00:00:00')"
+        ),
+    )
     orders = (
         _t(spark, sf_dir, "orders")
         .groupBy(
@@ -3151,19 +3202,37 @@ def asof_feature_frame(spark, sf_dir, ev):
         .agg(F.max("o_orderkey").cast("long").alias("okey"))
         .withColumn(
             "oval",
-            F.expr("CAST(datediff(ots, DATE '1995-01-01') AS BIGINT) * 17592186044416")
-            + F.col("okey"),
+            F.expr(
+                f"CASE WHEN datediff(ots, {_ASOF_EPOCH}) < 0"
+                " THEN CAST(raise_error("
+                "'asof composite precondition: order date before the"
+                " 1992-01-01 epoch') AS BIGINT)"
+                f" ELSE CAST(datediff(ots, {_ASOF_EPOCH}) AS BIGINT)"
+                " * 17592186044416 + okey END"
+            ),
         )
+        .drop("okey")
     )
-    matched = ops.asof_last_match(
-        ev,
-        orders,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ots",
-        lookback="INTERVAL 365 DAYS",
-        right_val="oval",
-    )
+    if matcher == "pandas":
+        matched = ops.asof_last_match_pandas(
+            ev,
+            orders,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ots",
+            lookback_s=365 * 86400,
+            right_val="oval",
+        )
+    else:
+        matched = ops.asof_last_match(
+            ev,
+            orders,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ots",
+            lookback="INTERVAL 365 DAYS",
+            right_val="oval",
+        )
     return matched.select(
         "event_id",
         "user_id",
@@ -3353,6 +3422,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_global_sales_opportunity": ex_global_sales_opportunity,
         "ex_repetition_stats": ex_repetition_stats,
         "ex_asof_features": ex_asof_features,
+        "ex_asof_features_skew": ex_asof_features_skew,
         "ex_winnow_fingerprint": ex_winnow_fingerprint,
         "st_lang_id": st_lang_id,
         "st_pii_scrub": st_pii_scrub,

@@ -141,3 +141,64 @@ def test_dedup_apply_auto_routes_by_size(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup, "DEDUP_APPLY_BROADCAST_BYTES", 1 << 60)
     plan = audit.physical_plan(dedup.dedup_apply(docs))
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_features_skew_equals_join_form(spark, sf_dir):
+    """The registry-level skew variant must equal the join form row-for-row
+    AND actually match something: the fixture's raw event clock (2024-01)
+    postdates the last order (2001-08), so without the deterministic
+    rebase the 365-day lookback matches ZERO rows and every parity row is
+    (NULL, NULL) — vacuous evidence (ADVICE r9). Guard both directions:
+    some non-NULL matches AND some NULLs (both boundary legs exercised)."""
+    from espkinesis_spark import queries
+
+    join_rows = {
+        tuple(r) for r in queries.ex_asof_features(spark, sf_dir).collect()
+    }
+    skew_rows = {
+        tuple(r)
+        for r in queries.ex_asof_features_skew(spark, sf_dir).collect()
+    }
+    assert skew_rows == join_rows and len(join_rows) > 0
+    n_matched = sum(1 for r in join_rows if r[3] is not None)
+    assert 0 < n_matched < len(join_rows)
+
+
+def test_asof_composite_epoch_guard(spark):
+    """A pre-epoch order date must raise loudly, not decode to silently
+    wrong (day+1, key-2^44) values (ADVICE r9). The guard lives in the
+    oval encode; drive it with a synthetic pre-1992 order."""
+    import pytest
+
+    from espkinesis_spark import queries
+
+    df = spark.createDataFrame(
+        [("1991-12-31 00:00:00",)], ["d"]
+    ).selectExpr("CAST(d AS TIMESTAMP) AS ots", "CAST(1 AS BIGINT) AS okey")
+    guarded = df.selectExpr(
+        "CASE WHEN datediff(ots, DATE '1992-01-01') < 0"
+        " THEN CAST(raise_error('asof composite precondition:"
+        " order date before the 1992-01-01 epoch') AS BIGINT)"
+        " ELSE CAST(datediff(ots, DATE '1992-01-01') AS BIGINT)"
+        " * 17592186044416 + okey END AS oval"
+    )
+    with pytest.raises(Exception, match="asof composite precondition"):
+        guarded.collect()
+    assert "1992-01-01" in queries._ASOF_EPOCH
+
+
+def test_bucketed_scratch_sweep(tmp_path):
+    """Stale (day-old) app scratch dirs are swept; young ones survive."""
+    import os
+    import time
+
+    from espkinesis_spark.functions.dedup import _sweep_stale_scratch
+
+    old = tmp_path / "app_old"
+    young = tmp_path / "app_young"
+    old.mkdir()
+    young.mkdir()
+    past = time.time() - 2 * 86400
+    os.utime(old, (past, past))
+    _sweep_stale_scratch(str(tmp_path))
+    assert not old.exists() and young.exists()
