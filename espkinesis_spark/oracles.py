@@ -2368,6 +2368,9 @@ ORACLES["st_text_stats"] = ORACLES["ex_text_stats"]
 # the drained store equals the batch pass, one oracle apiece
 ORACLES["st_winnow_fingerprint"] = ORACLES["ex_winnow_fingerprint"]
 ORACLES["st_asof_features"] = ORACLES["ex_asof_features"]
+# the streaming repetition leg drains the identical trigram table; the
+# rollup over the drained store equals the batch pass
+ORACLES["st_repetition_stats"] = ORACLES["ex_repetition_stats"]
 # the skew-safe cogrouped-pandas kernel computes the identical result
 # (equivalence unit-tested); same oracle
 ORACLES["ex_asof_features_skew"] = ORACLES["ex_asof_features"]

@@ -3101,6 +3101,14 @@ def ex_repetition_stats(spark, sf_dir):
     is one double divide of exact counters. The drop verdict applies the
     dup_frac > 0.1 rule."""
     sh = dedup.shingles(_t(spark, sf_dir, "documents"), distinct=False)
+    return repetition_stats_from(sh)
+
+
+def repetition_stats_from(sh):
+    """ex_repetition_stats' rollup over an arbitrary (doc_id, s) trigram
+    frame — shared with the streaming leg, whose ingest projection
+    extracts exactly this shape (the dup_spans_tables extract/analyze
+    split). Exact counters all the way; one final divide."""
     per_gram = sh.groupBy("doc_id", "s").agg(F.count("*").alias("cnt"))
     return (
         per_gram.groupBy("doc_id")
@@ -3357,6 +3365,19 @@ def ex_range_join(spark, sf_dir):
     )
 
 
+def st_repetition_stats(spark, sf_dir):
+    """Streaming Gopher repetition signals: trigram extraction runs AT
+    INGEST as a stateless zero-shuffle projection (the payload is
+    touched exactly once — the exploded gram rows are what persists),
+    the corpus-proportional gram store drains through the
+    executor-parallel parquet sink, and the exact-counter rollup runs
+    over the drained store. The drained table equals the batch shingle
+    frame, so ex_repetition_stats' oracle is exact."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.repetition_stats_stream(spark, sf_dir)
+
+
 def st_lang_id(spark, sf_dir):
     """Streaming language ID: the n-gram/stopword classifier applied to
     documents AS THEY ARRIVE (stateless append projection — the
@@ -3424,6 +3445,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_asof_features": ex_asof_features,
         "ex_asof_features_skew": ex_asof_features_skew,
         "ex_winnow_fingerprint": ex_winnow_fingerprint,
+        "st_repetition_stats": st_repetition_stats,
         "st_lang_id": st_lang_id,
         "st_pii_scrub": st_pii_scrub,
         "st_text_stats": st_text_stats,

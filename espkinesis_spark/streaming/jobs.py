@@ -555,6 +555,22 @@ def winnow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidates_from(store)
 
 
+def repetition_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher repetition stats: the trigram projection
+    (non-distinct shingles — distinct would force update-mode state) is
+    stateless, so it runs at ingest rate; the gram store drains through
+    the executor-parallel parquet sink (corpus-proportional — the
+    st_bm25 drain rule), and the exact-counter rollup + divide run over
+    the drained store. Shares ex_repetition_stats' oracle."""
+    from espkinesis_spark import queries
+    from espkinesis_spark.functions import dedup
+
+    src = _documents_stream(spark, sf_dir)
+    sh = dedup.shingles(src, distinct=False)
+    store = _drain_to_parquet(sh, "st_repetition_sink")
+    return queries.repetition_stats_from(store)
+
+
 def asof_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming point-in-time enrichment: events land from the stream
     into the durable store (stateless append passthrough — the as-of
