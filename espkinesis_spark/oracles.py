@@ -1836,6 +1836,42 @@ GROUP BY source""",
         SELECT n_clickers, n_converted,
                round(n_converted * 1.0 / n_clickers, 4) AS conv_rate
         FROM c CROSS JOIN v""",
+    # gap-based session assignment written out as lag + cumulative sum;
+    # the session-merge rule mirrors Spark's session_window boundary
+    # pinned by test: a gap of EXACTLY the 30-min duration still merges,
+    # so a NEW session starts only when gap > 1800s (integer micros)
+    "ex_session_funnel": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        g AS (SELECT user_id, event_type, t,
+                     CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                              > 1800000000
+                            OR lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                              IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        s AS (SELECT user_id, event_type, t,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g),
+        per AS (SELECT user_id, sid,
+                       min(CASE WHEN event_type = 'click' THEN t END)
+                           AS first_click,
+                       max(CASE WHEN event_type = 'purchase' THEN t END)
+                           AS last_purchase
+                FROM s GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN first_click IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_click_sessions,
+               CAST(sum(CASE WHEN first_click IS NOT NULL
+                              AND last_purchase >= first_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+               round(sum(CASE WHEN first_click IS NOT NULL
+                               AND last_purchase >= first_click
+                              THEN 1 ELSE 0 END) * 1.0
+                     / sum(CASE WHEN first_click IS NOT NULL
+                                THEN 1 ELSE 0 END), 4) AS conv_rate
+        FROM per""",
     "ex_retention": """
         WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         fs AS (SELECT user_id, date_trunc('hour', min(ts)) AS cohort FROM e GROUP BY 1),

@@ -2249,6 +2249,47 @@ def ex_funnel(spark, sf_dir):
     )
 
 
+def ex_session_funnel(spark, sf_dir):
+    """SESSION-WINDOWED conversion funnel: ex_funnel scoped to gap-based
+    sessions via the native event-time construct — ``F.session_window``
+    (30-min inactivity gap; an exactly-30-min gap MERGES — pinned by
+    test). Per (user, session): the first click and last purchase as
+    conditional min/max inside ONE session-window aggregation (no
+    self-join, no second scan), then a scalar rollup counts sessions,
+    click-sessions, and converted sessions (purchase at-or-after the
+    first click in the SAME session). The session assignment itself is
+    one user-keyed shuffle; everything after is session-sized."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("last_purchase"),
+    )
+    return sess.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(
+            F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_click_sessions"),
+        F.sum(
+            F.when(
+                F.col("first_click").isNotNull()
+                & (F.col("last_purchase") >= F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_converted"),
+    ).select(
+        "n_sessions",
+        "n_click_sessions",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_click_sessions"), 4).alias(
+            "conv_rate"
+        ),
+    )
+
+
 def ex_retention(spark, sf_dir):
     """Hourly cohort retention: users grouped by first-seen hour; how many
     are active again in the NEXT hour. Per-user min + exists-join keyed on
@@ -3444,6 +3485,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_repetition_stats": ex_repetition_stats,
         "ex_asof_features": ex_asof_features,
         "ex_asof_features_skew": ex_asof_features_skew,
+        "ex_session_funnel": ex_session_funnel,
         "ex_winnow_fingerprint": ex_winnow_fingerprint,
         "st_repetition_stats": st_repetition_stats,
         "st_lang_id": st_lang_id,

@@ -195,3 +195,30 @@ def test_asof_last_match_lookback_boundaries(spark):
         lookback="INTERVAL 1 HOUR", right_val="v",
     ).collect()
     assert [r["asof_match"] for r in out2] == [None]
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin Spark's session_window boundary rule the ex_session_funnel
+    oracle depends on: a gap of EXACTLY the 30-min duration MERGES into
+    one session (so the oracle's new-session rule is gap > 1800s, not
+    >=). If a Spark upgrade flips this, the parity gate would catch it
+    only as an opaque value drift — this test names the cause."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00"),
+            (1, "2020-01-01 00:30:00"),       # exactly 30 min -> merges
+            (2, "2020-01-01 00:00:00"),
+            (2, "2020-01-01 00:30:00.000001"),  # 1 µs over -> splits
+        ],
+        ["u", "ts"],
+    ).select("u", F.col("ts").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy("u", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("u")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    got = {r["u"]: r["n_sessions"] for r in out.collect()}
+    assert got == {1: 1, 2: 2}
