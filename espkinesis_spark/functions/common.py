@@ -72,6 +72,7 @@ ANN_QUERY_MAX_ID = 20
 IVF_CENTROID_MOD = 25  # centroids = vecs with vec_id % 25 == 0
 IVF_NPROBE = 4
 IVF_TOPK = 3
+KNN_GRAPH_K = 5  # degree cap for the approximate kNN graph
 
 # --- language-id stopword lists (deterministic heuristic) -------------------
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {

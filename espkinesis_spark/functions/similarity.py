@@ -392,6 +392,72 @@ def topk_lsh(
     )
 
 
+def knn_graph(
+    vecs: DataFrame,
+    bits: int = 8,
+    k: int = C.KNN_GRAPH_K,
+    mutual: bool = True,
+) -> DataFrame:
+    """Degree-capped approximate k-nearest-neighbor GRAPH — the neighbor
+    structure graph-clustering / connectivity-dedup pipelines consume.
+
+    Candidates come from the EXISTING bounded source (the topk_lsh
+    sign-bucket multiprobe family: same bucket or any 1-bit-flip bucket),
+    so generation is one bucket-key shuffle and never corpus²; the degree
+    cap is a per-vector row_number top-k (ties broken on neighbor id —
+    deterministic for the oracle). ``mutual=True`` then keeps only edges
+    where BOTH endpoints name each other (the standard kNN-graph
+    sparsifier against hub vectors): a self-join on the DIRECTED edge
+    table, which is n·k — corpus-LINEAR — so symmetrization never touches
+    the corpus again. Output (src, dst, cos) with src < dst.
+
+    At 100 TB the one skew risk is a hot bucket (all-near-duplicate
+    corpora collapse into few sign patterns); raise ``bits`` or pre-split
+    hot buckets exactly as the banded-minhash df cap does.
+    """
+    bucketed = vecs.withColumn("__bucket", sign_bucket(F.col("embedding"), bits))
+    probe_cols = [F.col("__bucket")] + [
+        F.expr(f"__bucket ^ {2 ** i}") for i in range(bits)
+    ]
+    q = with_norm(bucketed).select(
+        F.col("vec_id").alias("src"),
+        F.explode(F.array(*probe_cols)).alias("__probe"),
+        F.col("embedding").alias("__qv"),
+        F.col("__norm").alias("__qn"),
+    )
+    c = with_norm(bucketed).select(
+        F.col("vec_id").alias("dst"),
+        F.col("__bucket").alias("__cbucket"),
+        F.col("embedding").alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    scored = q.join(
+        c, (F.col("__probe") == F.col("__cbucket")) & (F.col("src") != F.col("dst"))
+    ).withColumn(
+        "cos", cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    edges = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "cos")
+    )
+    if not mutual:
+        return edges
+    # the edge table feeds both sides of the mutual join — checkpoint the
+    # n·k frame so the bucket-join + window pipeline runs ONCE, not twice
+    # (the Q11/winnow shared-consumer rule)
+    edges = edges.localCheckpoint(eager=True)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        edges.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cos")
+    )
+
+
 def ivf_assign(vecs: DataFrame, centroids: DataFrame, impl: str = "numpy") -> DataFrame:
     """Assign every vector to its nearest centroid (rounded cosine,
     tie → lowest centroid id).

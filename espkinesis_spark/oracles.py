@@ -566,6 +566,26 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
           SELECT vec_id, neighbor_id,
                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rnk
           FROM p) WHERE rnk <= {C.IVF_TOPK}""",
+    # directed LSH-candidate top-k per vector, then mutual-edge filter:
+    # both endpoints must name each other (src < dst canonical order)
+    "ex_knn_graph": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id, e,
+              CAST({' + '.join(f'(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)' for i in range(8))}
+                   AS BIGINT) AS bucket FROM v),
+        pr AS (SELECT vec_id, e,
+               unnest([bucket, {', '.join(f'xor(bucket, {2**i})' for i in range(8))}]) AS pb
+               FROM b),
+        sc AS (SELECT a.vec_id AS src, n.vec_id AS dst, {_cos('a.e', 'n.e')} AS cos
+               FROM pr a JOIN b n ON a.pb = n.bucket AND a.vec_id <> n.vec_id),
+        kn AS (SELECT src, dst, cos,
+                      row_number() OVER (PARTITION BY src
+                          ORDER BY cos DESC, dst) AS rnk
+               FROM sc),
+        e AS (SELECT src, dst, cos FROM kn WHERE rnk <= {C.KNN_GRAPH_K})
+        SELECT a.src, a.dst, a.cos
+        FROM e a JOIN e r ON a.src = r.dst AND a.dst = r.src
+        WHERE a.src < a.dst""",
     "ex_lang_id": _lang_id_sql(),
     "ex_text_stats": _TEXT_STATS_BASE
     + f"""SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,

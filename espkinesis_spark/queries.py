@@ -386,6 +386,16 @@ def ex_ann_lsh(spark, sf_dir):
     return similarity.topk_lsh(_t(spark, sf_dir, "embeddings"))
 
 
+def ex_knn_graph(spark, sf_dir):
+    """Degree-capped approximate mutual-kNN graph over the embedding
+    corpus: LSH sign-bucket multiprobe candidates (the existing bounded
+    source — one bucket-key shuffle, never corpus²), per-vector top-5 by
+    cosine (row_number degree cap), then mutual-edge symmetrization via
+    a self-join on the corpus-LINEAR n·k edge table. The graph feeds the
+    existing PageRank/label-propagation entries at scale."""
+    return similarity.knn_graph(_t(spark, sf_dir, "embeddings"))
+
+
 def ex_lang_id(spark, sf_dir):
     """Heuristic language identification."""
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
@@ -3486,6 +3496,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_asof_features": ex_asof_features,
         "ex_asof_features_skew": ex_asof_features_skew,
         "ex_session_funnel": ex_session_funnel,
+        "ex_knn_graph": ex_knn_graph,
         "ex_winnow_fingerprint": ex_winnow_fingerprint,
         "st_repetition_stats": st_repetition_stats,
         "st_lang_id": st_lang_id,

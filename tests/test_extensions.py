@@ -2453,3 +2453,48 @@ def test_repetition_stats_matches_python_model(spark, sf_dir):
         c = Counter(grams)
         want = (len(grams), len(c), max(c.values()))
         assert got[row["doc_id"]] == want, (row["doc_id"], got[row["doc_id"]], want)
+
+
+def test_knn_graph_mutual_and_degree_capped(spark, sf_dir):
+    """Mutual kNN graph invariants: every edge is canonical (src < dst),
+    appears once, both directions existed in the directed top-k (mutual
+    sparsifier), and no vertex exceeds the degree cap in the DIRECTED
+    graph it was cut from."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import similarity
+    from espkinesis_spark.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    directed = similarity.knn_graph(vecs, mutual=False)
+    rows = directed.collect()
+    from collections import Counter
+
+    out_deg = Counter(r["src"] for r in rows)
+    assert max(out_deg.values()) <= C.KNN_GRAPH_K
+    directed_set = {(r["src"], r["dst"]) for r in rows}
+    mutual = similarity.knn_graph(vecs).collect()
+    assert len(mutual) > 0
+    seen = set()
+    for r in mutual:
+        assert r["src"] < r["dst"]
+        assert (r["src"], r["dst"]) not in seen
+        seen.add((r["src"], r["dst"]))
+        assert (r["src"], r["dst"]) in directed_set
+        assert (r["dst"], r["src"]) in directed_set
+
+
+def test_knn_graph_directed_plan_bounded(spark, sf_dir):
+    """The directed candidate pipeline (the part the mutual join's
+    checkpoint hides from the final plan) must never plan a cartesian /
+    nested-loop join or row-python eval: candidates come from the
+    bucket equi-join, the cap from a window."""
+    from espkinesis_spark.functions import similarity
+    from espkinesis_spark.plans import audit
+    from espkinesis_spark.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    plan = audit.physical_plan(similarity.knn_graph(vecs, mutual=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
