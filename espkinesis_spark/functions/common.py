@@ -73,6 +73,14 @@ IVF_CENTROID_MOD = 25  # centroids = vecs with vec_id % 25 == 0
 IVF_NPROBE = 4
 IVF_TOPK = 3
 KNN_GRAPH_K = 5  # degree cap for the approximate kNN graph
+# product quantization: M subspaces over the 64-dim embeddings, K codes
+# per subspace (uint8-representable: a vector compresses to PQ_M bytes),
+# fixed Lloyd budget like KMEANS_ITERS. M=16/K=64 measured recall@5 0.54
+# vs brute force on this corpus (M=4/K=16 read 0.14 — the config sweep
+# lives in NOTES.md); 16 bytes/vector = 16x over float32.
+PQ_M = 16
+PQ_K = 64
+PQ_ITERS = 2
 
 # --- language-id stopword lists (deterministic heuristic) -------------------
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {

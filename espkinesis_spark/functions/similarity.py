@@ -659,6 +659,174 @@ def kmeans_train(
     return cents
 
 
+def _subvectors(vecs: DataFrame, m: int = C.PQ_M, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, m, sv): the vector split into ``m`` equal contiguous
+    subspaces — PQ's long form. Keeping the subspace index as a COLUMN
+    (instead of m separate frames) lets one train/assign pipeline handle
+    every subspace simultaneously: the per-subspace argmin is a window
+    partitioned by (vec_id, m), the codebook update a (m, code, dim)
+    aggregation — no per-subspace loop, no m-fold plan blowup."""
+    return vecs.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        _as_double(F.col(vec_col)).alias("__e"),
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(__e, m * (size(__e) div {m}) + 1, size(__e) div {m})").alias("sv"),
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, out_col: str = "centroid_id") -> DataFrame:
+    """Nearest codeword per (vector, subspace): rounded-L2 argmin, ties to
+    the lowest centroid id — the deterministic, engine-portable rule
+    (kmeans_train's discipline, L2 instead of cosine because PQ must
+    preserve magnitude). d² expands to bit-stable sequential dot folds."""
+    joined = sub.join(cents, "m")
+    d2 = F.round(
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("c"))
+        + dot(F.col("c"), F.col("c")),
+        C.COSINE_ROUND,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        d2.asc(), F.col("centroid_id").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", F.col("centroid_id").alias(out_col))
+    )
+
+
+def pq_train(
+    vecs: DataFrame,
+    m: int = C.PQ_M,
+    k: int = C.PQ_K,
+    iters: int = C.PQ_ITERS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011): per-subspace
+    Lloyd's k-means with the deterministic trajectory the SQL oracle
+    replays — init codewords are the subvectors of vec_id < k, assignment
+    the rounded-L2 argmin (ties to lowest id), update the 6-dp-rounded
+    per-dim mean. Returns (m, centroid_id, c: array<double>).
+
+    Scale shape per round: the codebook is m·k rows (tiny — broadcast),
+    assignment is a map over the corpus-long subvector frame, the update
+    shuffles narrow (m, code, dim, x) rows with map-side partials —
+    exactly kmeans_train's cost envelope, ×1 regardless of m because the
+    subspace index rides as a column."""
+    sub = _subvectors(vecs, m, vec_col)
+    cents = sub.filter(F.col("vec_id") < k).select(
+        "m", F.col("vec_id").alias("centroid_id"), F.col("sv").alias("c")
+    )
+    for _ in range(iters):
+        assign = _pq_assign(sub, cents)
+        per = (
+            sub.join(assign, ["vec_id", "m"])
+            .select("m", "centroid_id", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("m", "centroid_id", "dim")
+            .agg(F.avg("x").alias("mn"))
+        )
+        cents = (
+            per.groupBy("m", "centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("dm"))
+            .select(
+                "m",
+                "centroid_id",
+                F.transform("dm", lambda s: F.round(s["mn"], 6)).alias("c"),
+            )
+        )
+    return cents
+
+
+def pq_encode(
+    vecs: DataFrame, cents: DataFrame, m: int = C.PQ_M, vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus → PQ codes (vec_id, m, code): each subvector's nearest
+    codeword id. With PQ_K ≤ 256 a vector compresses to PQ_M bytes — the
+    memory-side half of billion-vector ANN."""
+    return _pq_assign(_subvectors(vecs, m, vec_col), cents, out_col="code")
+
+
+def _ordered_sum(col_struct, value_field: str):
+    """Bit-stable sum of a collected (m, value) list: sort by subspace
+    index, sequential fold — both engines add in the identical order, so
+    the 6-dp output round is safe from aggregation-order drift."""
+    return F.aggregate(
+        F.transform(F.array_sort(col_struct), lambda s: s[value_field]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def topk_pq(
+    vecs: DataFrame,
+    query_max_id: int = C.ANN_QUERY_MAX_ID,
+    m: int = C.PQ_M,
+    k: int = C.PQ_K,
+    iters: int = C.PQ_ITERS,
+    topk: int = C.ANN_TOPK,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-coded approximate top-k via ADC (asymmetric distance
+    computation): the corpus lives ONLY as PQ codes; each query keeps its
+    full vector and scores a neighbor by summing per-subspace dot
+    products against the neighbor's codewords — approx cosine =
+    adc_dot / (|q| · |reconstruction|), 6-dp rounded with lowest-id
+    ties. Output (vec_id, rnk, neighbor_id), the ANN family contract.
+
+    Scale: the codebook (m·k rows) broadcasts everywhere; the per-pair
+    work is queries × corpus × m NARROW rows (ids + one double) — the
+    standard flat-ADC scan, composable with the IVF entries to cut the
+    candidate set (IVF-PQ) since both are plain DataFrames.
+    """
+    if cents is None:
+        cents = pq_train(vecs, m, k, iters).localCheckpoint(eager=True)
+    codes = pq_encode(vecs, cents, m)
+    cw = cents.withColumn("scc", dot(F.col("c"), F.col("c")))
+    coded = codes.join(
+        F.broadcast(cw), (codes.m == cw.m) & (codes.code == cw.centroid_id)
+    ).select(codes.vec_id, codes.m, "c", "scc")
+    # per-neighbor reconstruction norm: ordered fold over subspaces
+    nrec = coded.groupBy("vec_id").agg(
+        F.sqrt(
+            _ordered_sum(F.collect_list(F.struct("m", "scc")), "scc")
+        ).alias("rnorm")
+    )
+    q = with_norm(vecs.filter(F.col("vec_id") < query_max_id))
+    qsub = _subvectors(q, m).withColumnRenamed("vec_id", "qid")
+    qn = q.select(F.col("vec_id").alias("qid"), F.col("__norm").alias("qnorm"))
+    terms = qsub.join(
+        coded.withColumnRenamed("vec_id", "neighbor_id"), "m"
+    ).filter(F.col("qid") != F.col("neighbor_id")).select(
+        "qid", "neighbor_id", "m", dot(F.col("sv"), F.col("c")).alias("term")
+    )
+    adc = terms.groupBy("qid", "neighbor_id").agg(
+        _ordered_sum(F.collect_list(F.struct("m", "term")), "term").alias("dp")
+    )
+    scored = (
+        adc.join(qn, "qid")
+        .join(nrec.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            F.col("qid").alias("vec_id"),
+            "neighbor_id",
+            F.round(
+                F.col("dp") / (F.col("qnorm") * F.col("rnorm")), C.COSINE_ROUND
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("vec_id", "rnk", "neighbor_id")
+    )
+
+
 def semdedup_auto_k(n: int, target_cluster: int = C.SEMDEDUP_TARGET_CLUSTER) -> int:
     """Cluster count that holds per-cluster pairwise work constant as the
     corpus grows (pairs/vector ~ target_cluster/2): max(KMEANS_K,

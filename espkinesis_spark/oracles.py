@@ -363,6 +363,92 @@ GROUP BY label"""
     )
 
 
+def _ann_pq_sql() -> str:
+    """PQ-ADC replay: one LONG-FORM CTE chain trains every subspace
+    codebook simultaneously (the subspace index is a grouping column, so
+    PQ_M never multiplies the chain length), mirroring
+    similarity.pq_train/pq_encode/topk_pq exactly — same init
+    (subvectors of vec_id < PQ_K), same rounded-L2 argmin with
+    lowest-id ties, same 6-dp per-dim mean update, same bit-stable
+    subspace-ordered ADC fold (list_prepend(0.0, ...) + list_reduce, the
+    ex_fingerprint idiom) so the final 6-dp cosine round can't drift on
+    aggregation order."""
+    m, k, iters = C.PQ_M, C.PQ_K, C.PQ_ITERS
+
+    def d2(sv: str, c: str) -> str:
+        return (
+            f"round(list_dot_product({sv}, {sv})"
+            f" - 2 * list_dot_product({sv}, {c})"
+            f" + list_dot_product({c}, {c}), {C.COSINE_ROUND})"
+        )
+
+    def assign(cent: str, name: str, out: str) -> str:
+        return f"""{name} AS (SELECT vec_id, m, centroid_id AS {out} FROM (
+    SELECT s.vec_id, s.m, c.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY {d2('s.sv', 'c.c')} ASC, c.centroid_id) AS rn
+    FROM sub s JOIN {cent} c USING (m)) WHERE rn = 1)"""
+
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""sub AS (SELECT vec_id, CAST(mm AS INT) AS m,
+    e[CAST(mm * (len(e) // {m}) + 1 AS INT)
+      : CAST((mm + 1) * (len(e) // {m}) AS INT)] AS sv
+    FROM v, UNNEST(range({m})) AS t(mm))""",
+        f"""c0 AS (SELECT m, vec_id AS centroid_id, sv AS c
+    FROM sub WHERE vec_id < {k})""",
+    ]
+    cur = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign(cur, f"a{i}", "centroid_id"))
+        parts.append(
+            f"""c{i} AS (SELECT m, centroid_id,
+    array_agg(round(mn, 6) ORDER BY dim) AS c FROM (
+      SELECT a.m, a.centroid_id, CAST(i AS INT) AS dim,
+             avg(sv[CAST(i AS INT) + 1]) AS mn
+      FROM a{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+           UNNEST(range(len(s.sv))) AS t(i)
+      GROUP BY 1, 2, 3) GROUP BY 1, 2)"""
+        )
+        cur = f"c{i}"
+    parts += [
+        assign(cur, "codes", "code"),
+        f"""cw AS (SELECT m, centroid_id, c, list_dot_product(c, c) AS scc
+    FROM {cur})""",
+        """nrec AS (SELECT co.vec_id,
+    sqrt(list_reduce(list_prepend(0.0, array_agg(w.scc ORDER BY co.m)),
+                     (a, x) -> a + x)) AS rnorm
+    FROM codes co JOIN cw w ON w.m = co.m AND w.centroid_id = co.code
+    GROUP BY co.vec_id)""",
+        f"""q AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS qn
+    FROM v WHERE vec_id < {C.ANN_QUERY_MAX_ID})""",
+        f"""terms AS (SELECT qs.vec_id AS qid, co.vec_id AS nid, qs.m,
+    list_dot_product(qs.sv, w.c) AS term
+    FROM sub qs
+    JOIN codes co ON co.m = qs.m AND co.vec_id <> qs.vec_id
+    JOIN cw w ON w.m = co.m AND w.centroid_id = co.code
+    WHERE qs.vec_id < {C.ANN_QUERY_MAX_ID})""",
+        """adc AS (SELECT qid, nid,
+    list_reduce(list_prepend(0.0, array_agg(term ORDER BY m)),
+                (a, x) -> a + x) AS dp
+    FROM terms GROUP BY 1, 2)""",
+        f"""sc AS (SELECT a.qid AS vec_id, a.nid AS neighbor_id,
+    round(a.dp / (q.qn * n.rnorm), {C.COSINE_ROUND}) AS cos
+    FROM adc a JOIN q ON q.vec_id = a.qid
+               JOIN nrec n ON n.vec_id = a.nid)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, rnk, neighbor_id FROM (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM sc) WHERE rnk <= {C.ANN_TOPK}"""
+    )
+
+
 def _ann_ivf_trained_sql() -> str:
     """IVF probe (identical shape to _ann_ivf_sql) over the k-means-trained
     centroid table instead of the vec_id % mod subsample."""
@@ -1649,6 +1735,7 @@ GROUP BY source""",
     "ex_bpe_train": _bpe_sql(),
     "ex_bpe_encode": _bpe_encode_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
+    "ex_ann_pq": _ann_pq_sql(),
     "ex_semdedup": _semdedup_sql(),
     "ex_semdedup_apply": _semdedup_apply_sql(),
     "ex_pagerank": _pagerank_sql(),

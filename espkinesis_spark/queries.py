@@ -1939,6 +1939,19 @@ def ex_ann_ivf_trained(spark, sf_dir):
     return similarity.topk_ivf(emb, centroids=cents)
 
 
+def ex_ann_pq(spark, sf_dir):
+    """Product-quantized ANN (Jégou et al. 2011) — the memory-side half
+    of the billion-vector stack: per-subspace codebooks trained with the
+    deterministic Lloyd trajectory (rounded-L2 argmin, 6-dp mean
+    update), the corpus encoded to PQ_M byte-sized codes, queries scored
+    by ADC (per-subspace dot-product lookups summed in bit-stable
+    subspace order) against the reconstructions. The oracle replays the
+    identical trajectory in one long-form CTE chain (the subspace index
+    is a column, not m separate chains); a recall@k gate vs brute force
+    lives in tests (the ann_recall pattern)."""
+    return similarity.topk_pq(_t(spark, sf_dir, "embeddings"))
+
+
 def ex_dq_checks(spark, sf_dir):
     """Data-quality constraint report (one row per check): primary-key
     duplicates, foreign-key orphans (big-big left-anti joins — the honest
@@ -3497,6 +3510,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_asof_features_skew": ex_asof_features_skew,
         "ex_session_funnel": ex_session_funnel,
         "ex_knn_graph": ex_knn_graph,
+        "ex_ann_pq": ex_ann_pq,
         "ex_winnow_fingerprint": ex_winnow_fingerprint,
         "st_repetition_stats": st_repetition_stats,
         "st_lang_id": st_lang_id,

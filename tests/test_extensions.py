@@ -2498,3 +2498,48 @@ def test_knn_graph_directed_plan_bounded(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_pq_recall_gate_vs_bruteforce(spark, sf_dir):
+    """The ann_recall pattern for PQ: ADC top-5 must keep >= 0.4 mean
+    recall against exact brute force (measured 0.54 at sf0.001 / 0.63 at
+    sf0.01 with M=16,K=64 — the floor leaves regression margin; the full
+    config sweep is in NOTES.md). A codebook/encode/ADC bug collapses
+    recall to near-random (~0.01), so the floor separates 'working
+    quantizer' from 'plausible-looking garbage'."""
+    from pyspark.sql import functions as F
+
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import similarity
+    from espkinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_QUERY_MAX_ID)
+    truth = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.topk_bruteforce(q, emb, k=C.ANN_TOPK).collect()
+    }
+    pq = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.topk_pq(emb).collect()
+    }
+    assert len(truth) > 0
+    assert len(truth & pq) / len(truth) >= 0.4
+
+
+def test_pq_codes_are_compact(spark, sf_dir):
+    """Every vector encodes to exactly PQ_M codes, each in [0, PQ_K) —
+    the uint8-representability the compression claim rests on."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import similarity
+    from espkinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.pq_train(emb)
+    codes = similarity.pq_encode(emb, cents).collect()
+    from collections import Counter
+
+    per_vec = Counter(r["vec_id"] for r in codes)
+    assert set(per_vec.values()) == {C.PQ_M}
+    assert all(0 <= r["code"] < C.PQ_K for r in codes)
+    assert len(per_vec) == emb.count()
