@@ -73,6 +73,7 @@ IVF_CENTROID_MOD = 25  # centroids = vecs with vec_id % 25 == 0
 IVF_NPROBE = 4
 IVF_TOPK = 3
 KNN_GRAPH_K = 5  # degree cap for the approximate kNN graph
+KNN_BUCKET_TARGET = 64  # target vecs/bucket for knn_graph_auto_bits
 # product quantization: M subspaces over the 64-dim embeddings, K codes
 # per subspace (uint8-representable: a vector compresses to PQ_M bytes),
 # fixed Lloyd budget like KMEANS_ITERS. M=16/K=64 measured recall@5 0.54

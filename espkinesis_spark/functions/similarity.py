@@ -392,9 +392,23 @@ def topk_lsh(
     )
 
 
+def knn_graph_auto_bits(n: int, target_bucket: int = C.KNN_BUCKET_TARGET) -> int:
+    """Bucket-bit count that holds expected bucket occupancy constant as
+    the corpus grows (vecs/bucket ~ target_bucket): in-bucket candidate
+    work is |bucket|² per bucket, so FIXED bits turn quadratic at scale
+    (the r10 ladder read 32× wall at 12× vectors with bits=8). The 8-bit
+    floor means oracle-scale corpora replay the fixed-bits SQL rule
+    exactly — the semdedup_auto_k discipline."""
+    import math
+
+    # cap: sign_bucket reads one embedding dim per bit (64-dim vectors),
+    # and 2^20 buckets already suffice for ~67M vecs at the default target
+    return min(20, max(8, math.ceil(math.log2(max(n // target_bucket, 2)))))
+
+
 def knn_graph(
     vecs: DataFrame,
-    bits: int = 8,
+    bits: int | None = None,
     k: int = C.KNN_GRAPH_K,
     mutual: bool = True,
 ) -> DataFrame:
@@ -411,10 +425,14 @@ def knn_graph(
     table, which is n·k — corpus-LINEAR — so symmetrization never touches
     the corpus again. Output (src, dst, cos) with src < dst.
 
-    At 100 TB the one skew risk is a hot bucket (all-near-duplicate
-    corpora collapse into few sign patterns); raise ``bits`` or pre-split
-    hot buckets exactly as the banded-minhash df cap does.
+    ``bits=None`` (default) auto-scales the bucket count with the corpus
+    (knn_graph_auto_bits) so per-bucket candidate volume stays constant —
+    fixed bits are quadratic at scale. The remaining skew risk is a hot
+    bucket (all-near-duplicate corpora collapse into few sign patterns);
+    pre-split hot buckets exactly as the banded-minhash df cap does.
     """
+    if bits is None:
+        bits = knn_graph_auto_bits(vecs.count())
     bucketed = vecs.withColumn("__bucket", sign_bucket(F.col("embedding"), bits))
     probe_cols = [F.col("__bucket")] + [
         F.expr(f"__bucket ^ {2 ** i}") for i in range(bits)
@@ -681,21 +699,27 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, out_col: str = "centroid_id") -
     """Nearest codeword per (vector, subspace): rounded-L2 argmin, ties to
     the lowest centroid id — the deterministic, engine-portable rule
     (kmeans_train's discipline, L2 instead of cosine because PQ must
-    preserve magnitude). d² expands to bit-stable sequential dot folds."""
-    joined = sub.join(cents, "m")
+    preserve magnitude). d² expands to bit-stable sequential dot folds;
+    the self-norms hoist OUT of the candidate join (computed once per
+    subvector / per codeword, not once per pair), and the argmin is a
+    lexicographic struct-MIN — a hash aggregate with map-side partials,
+    measured ~2× the sort-window form, with the identical
+    (d², centroid_id) ordering."""
+    s = sub.withColumn("__svv", dot(F.col("sv"), F.col("sv")))
+    c = F.broadcast(cents.withColumn("__scc", dot(F.col("c"), F.col("c"))))
+    joined = s.join(c, "m")
     d2 = F.round(
-        dot(F.col("sv"), F.col("sv"))
-        - 2 * dot(F.col("sv"), F.col("c"))
-        + dot(F.col("c"), F.col("c")),
+        F.col("__svv") - 2 * dot(F.col("sv"), F.col("c")) + F.col("__scc"),
         C.COSINE_ROUND,
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        d2.asc(), F.col("centroid_id").asc()
-    )
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "m", F.col("centroid_id").alias(out_col))
+        joined.groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct(d2.alias("d2"), F.col("centroid_id")))
+            .getField("centroid_id")
+            .alias(out_col)
+        )
+        .select("vec_id", "m", out_col)
     )
 
 
@@ -716,8 +740,13 @@ def pq_train(
     assignment is a map over the corpus-long subvector frame, the update
     shuffles narrow (m, code, dim, x) rows with map-side partials —
     exactly kmeans_train's cost envelope, ×1 regardless of m because the
-    subspace index rides as a column."""
-    sub = _subvectors(vecs, m, vec_col)
+    subspace index rides as a column. The subvector frame REPARTITIONS
+    once up front: with the codebook broadcast, the whole d² map chain
+    would otherwise run at the scan's file-partition count (measured 4
+    partitions = 4 busy cores on a 61M-row assignment at the 30×
+    ladder — 249 s of train that repartitioning cuts to the shuffle
+    width)."""
+    sub = _subvectors(vecs, m, vec_col).repartition("vec_id", "m")
     cents = sub.filter(F.col("vec_id") < k).select(
         "m", F.col("vec_id").alias("centroid_id"), F.col("sv").alias("c")
     )
@@ -746,8 +775,13 @@ def pq_encode(
 ) -> DataFrame:
     """Corpus → PQ codes (vec_id, m, code): each subvector's nearest
     codeword id. With PQ_K ≤ 256 a vector compresses to PQ_M bytes — the
-    memory-side half of billion-vector ANN."""
-    return _pq_assign(_subvectors(vecs, m, vec_col), cents, out_col="code")
+    memory-side half of billion-vector ANN. Repartitioned up front for
+    the same broadcast-join parallelism reason as pq_train."""
+    return _pq_assign(
+        _subvectors(vecs, m, vec_col).repartition("vec_id", "m"),
+        cents,
+        out_col="code",
+    )
 
 
 def _ordered_sum(col_struct, value_field: str):
