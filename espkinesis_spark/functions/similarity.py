@@ -803,6 +803,7 @@ def topk_pq(
     iters: int = C.PQ_ITERS,
     topk: int = C.ANN_TOPK,
     cents: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-coded approximate top-k via ADC (asymmetric distance
     computation): the corpus lives ONLY as PQ codes; each query keeps its
@@ -813,8 +814,9 @@ def topk_pq(
 
     Scale: the codebook (m·k rows) broadcasts everywhere; the per-pair
     work is queries × corpus × m NARROW rows (ids + one double) — the
-    standard flat-ADC scan, composable with the IVF entries to cut the
-    candidate set (IVF-PQ) since both are plain DataFrames.
+    standard flat-ADC scan. ``candidates`` (vec_id, neighbor_id)
+    restricts scoring to a pre-pruned pair set — topk_ivfpq passes the
+    IVF candidate rule here, turning the flat scan into IVFADC.
     """
     if cents is None:
         cents = pq_train(vecs, m, k, iters).localCheckpoint(eager=True)
@@ -832,9 +834,17 @@ def topk_pq(
     q = with_norm(vecs.filter(F.col("vec_id") < query_max_id))
     qsub = _subvectors(q, m).withColumnRenamed("vec_id", "qid")
     qn = q.select(F.col("vec_id").alias("qid"), F.col("__norm").alias("qnorm"))
-    terms = qsub.join(
-        coded.withColumnRenamed("vec_id", "neighbor_id"), "m"
-    ).filter(F.col("qid") != F.col("neighbor_id")).select(
+    coded_n = coded.withColumnRenamed("vec_id", "neighbor_id")
+    if candidates is None:
+        terms = qsub.join(coded_n, "m").filter(
+            F.col("qid") != F.col("neighbor_id")
+        )
+    else:
+        cand = candidates.select(
+            F.col("vec_id").alias("qid"), "neighbor_id"
+        ).filter(F.col("qid") != F.col("neighbor_id"))
+        terms = cand.join(qsub, "qid").join(coded_n, ["neighbor_id", "m"])
+    terms = terms.select(
         "qid", "neighbor_id", "m", dot(F.col("sv"), F.col("c")).alias("term")
     )
     adc = terms.groupBy("qid", "neighbor_id").agg(
@@ -859,6 +869,57 @@ def topk_pq(
         .filter(F.col("rnk") <= topk)
         .select("vec_id", "rnk", "neighbor_id")
     )
+
+
+def topk_ivfpq(
+    vecs: DataFrame,
+    query_max_id: int = C.ANN_QUERY_MAX_ID,
+    centroid_mod: int = C.IVF_CENTROID_MOD,
+    nprobe: int = C.IVF_NPROBE,
+    topk: int = C.IVF_TOPK,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011) — the composition both indexes exist
+    for, and the architecture of every billion-vector deployment: the
+    IVF probe rule prunes candidates to nprobe buckets (the compute-side
+    cut), then PQ codes score ONLY those candidates via ADC (the
+    memory-side cut — the corpus lives as PQ_M bytes/vector, never full
+    floats). Both stages are the existing DataFrames (topk_ivf's
+    probe/assignment rule; topk_pq's candidate-restricted scorer), which
+    is the point: composing indexes is a join, not a new engine path.
+
+    Scale: candidate volume is queries × (nprobe/n_centroids) × corpus —
+    the IVF fraction — and each candidate costs m narrow LUT rows; the
+    full-float corpus is touched only at train/encode time.
+    """
+    centroids = vecs.filter(F.col("vec_id") % centroid_mod == 0)
+    assignment = ivf_assign(vecs, centroids)
+    queries = vecs.filter(F.col("vec_id") < query_max_id)
+    qc = (
+        with_norm(queries)
+        .select("vec_id", F.col("embedding").alias("__v"), F.col("__norm").alias("__vn"))
+        .crossJoin(
+            F.broadcast(
+                with_norm(centroids).select(
+                    F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("__c"),
+                    F.col("__norm").alias("__cn"),
+                )
+            )
+        )
+        .withColumn("cos", cosine(F.col("__v"), F.col("__c"), F.col("__vn"), F.col("__cn")))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("vec_id", "centroid_id")
+    )
+    cand = probes.join(
+        assignment.withColumnRenamed("vec_id", "neighbor_id"), "centroid_id"
+    ).select("vec_id", "neighbor_id")
+    return topk_pq(vecs, query_max_id, topk=topk, candidates=cand)
 
 
 def semdedup_auto_k(n: int, target_cluster: int = C.SEMDEDUP_TARGET_CLUSTER) -> int:

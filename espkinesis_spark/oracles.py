@@ -363,16 +363,16 @@ GROUP BY label"""
     )
 
 
-def _ann_pq_sql() -> str:
-    """PQ-ADC replay: one LONG-FORM CTE chain trains every subspace
-    codebook simultaneously (the subspace index is a grouping column, so
-    PQ_M never multiplies the chain length), mirroring
-    similarity.pq_train/pq_encode/topk_pq exactly — same init
-    (subvectors of vec_id < PQ_K), same rounded-L2 argmin with
-    lowest-id ties, same 6-dp per-dim mean update, same bit-stable
-    subspace-ordered ADC fold (list_prepend(0.0, ...) + list_reduce, the
-    ex_fingerprint idiom) so the final 6-dp cosine round can't drift on
-    aggregation order."""
+def _pq_ctes() -> list[str]:
+    """CTE chain replaying the PQ trajectory (similarity.pq_train /
+    pq_encode) in LONG FORM — every subspace codebook trains
+    simultaneously because the subspace index is a grouping column, so
+    PQ_M never multiplies the chain length. Same init (subvectors of
+    vec_id < PQ_K), same rounded-L2 argmin with lowest-id ties, same
+    6-dp per-dim mean update. Ends with ``codes`` (vec_id, m, code),
+    ``cw`` (codewords + self-dots), ``nrec`` (reconstruction norms) and
+    ``q`` (query norms) — the pieces _ann_pq_sql and _ann_ivfpq_sql
+    assemble their scoring over."""
     m, k, iters = C.PQ_M, C.PQ_K, C.PQ_ITERS
 
     def d2(sv: str, c: str) -> str:
@@ -422,12 +422,17 @@ def _ann_pq_sql() -> str:
     GROUP BY co.vec_id)""",
         f"""q AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS qn
     FROM v WHERE vec_id < {C.ANN_QUERY_MAX_ID})""",
-        f"""terms AS (SELECT qs.vec_id AS qid, co.vec_id AS nid, qs.m,
-    list_dot_product(qs.sv, w.c) AS term
-    FROM sub qs
-    JOIN codes co ON co.m = qs.m AND co.vec_id <> qs.vec_id
-    JOIN cw w ON w.m = co.m AND w.centroid_id = co.code
-    WHERE qs.vec_id < {C.ANN_QUERY_MAX_ID})""",
+    ]
+    return parts
+
+
+def _pq_score_sql(parts: list[str], terms_cte: str, topk: int) -> str:
+    """Shared ADC tail: the bit-stable subspace-ordered fold
+    (list_prepend(0.0, ...) + list_reduce, the ex_fingerprint idiom) so
+    the final 6-dp cosine round can't drift on aggregation order, then
+    the (cos DESC, neighbor_id) top-k."""
+    parts = parts + [
+        terms_cte,
         """adc AS (SELECT qid, nid,
     list_reduce(list_prepend(0.0, array_agg(term ORDER BY m)),
                 (a, x) -> a + x) AS dp
@@ -445,8 +450,52 @@ SELECT vec_id, rnk, neighbor_id FROM (
   SELECT vec_id, neighbor_id,
          row_number() OVER (PARTITION BY vec_id
              ORDER BY cos DESC, neighbor_id) AS rnk
-  FROM sc) WHERE rnk <= {C.ANN_TOPK}"""
+  FROM sc) WHERE rnk <= {topk}"""
     )
+
+
+def _ann_pq_sql() -> str:
+    """Flat PQ-ADC: every corpus vector is a candidate."""
+    terms = f"""terms AS (SELECT qs.vec_id AS qid, co.vec_id AS nid, qs.m,
+    list_dot_product(qs.sv, w.c) AS term
+    FROM sub qs
+    JOIN codes co ON co.m = qs.m AND co.vec_id <> qs.vec_id
+    JOIN cw w ON w.m = co.m AND w.centroid_id = co.code
+    WHERE qs.vec_id < {C.ANN_QUERY_MAX_ID})"""
+    return _pq_score_sql(_pq_ctes(), terms, C.ANN_TOPK)
+
+
+def _ann_ivfpq_sql() -> str:
+    """IVFADC: the _ann_ivf_sql candidate rule (mod-subsampled centroids,
+    rounded-cosine assignment, nprobe probes) prunes the candidate set;
+    the PQ codes score it — the composition the two indexes exist for."""
+    cos_xc = _cos("x.e", "c.e")
+    cos_qc = _cos("q2.e", "c.e")
+    parts = _pq_ctes() + [
+        f"""cent AS (SELECT vec_id AS centroid_id, e FROM v
+    WHERE vec_id % {C.IVF_CENTROID_MOD} = 0)""",
+        f"""assign AS (SELECT vec_id, centroid_id FROM (
+    SELECT x.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY {cos_xc} DESC, c.centroid_id) AS rn
+    FROM v x CROSS JOIN cent c) WHERE rn = 1)""",
+        f"""probes AS (SELECT vec_id, centroid_id FROM (
+    SELECT q2.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q2.vec_id
+               ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+    FROM v q2 CROSS JOIN cent c
+    WHERE q2.vec_id < {C.ANN_QUERY_MAX_ID}) WHERE rn <= {C.IVF_NPROBE})""",
+        """cand AS (SELECT p.vec_id AS qid, a.vec_id AS nid
+    FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> p.vec_id)""",
+    ]
+    terms = """terms AS (SELECT ca.qid, ca.nid, qs.m,
+    list_dot_product(qs.sv, w.c) AS term
+    FROM cand ca
+    JOIN sub qs ON qs.vec_id = ca.qid
+    JOIN codes co ON co.vec_id = ca.nid AND co.m = qs.m
+    JOIN cw w ON w.m = co.m AND w.centroid_id = co.code)"""
+    return _pq_score_sql(parts, terms, C.IVF_TOPK)
 
 
 def _ann_ivf_trained_sql() -> str:
@@ -1736,6 +1785,7 @@ GROUP BY source""",
     "ex_bpe_encode": _bpe_encode_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_ann_pq": _ann_pq_sql(),
+    "ex_ann_ivfpq": _ann_ivfpq_sql(),
     "ex_semdedup": _semdedup_sql(),
     "ex_semdedup_apply": _semdedup_apply_sql(),
     "ex_pagerank": _pagerank_sql(),

@@ -1952,6 +1952,17 @@ def ex_ann_pq(spark, sf_dir):
     return similarity.topk_pq(_t(spark, sf_dir, "embeddings"))
 
 
+def ex_ann_ivfpq(spark, sf_dir):
+    """IVFADC — IVF candidate pruning composed with PQ-ADC scoring, the
+    architecture of every billion-vector ANN deployment: the probe rule
+    cuts candidates to nprobe/n_centroids of the corpus, the PQ codes
+    cut candidate memory to PQ_M bytes/vector. Both halves are existing
+    DataFrames (ex_ann_ivf's candidate rule, ex_ann_pq's scorer) —
+    composing indexes is a join, not a new engine path; the oracle
+    assembles the same two CTE chains."""
+    return similarity.topk_ivfpq(_t(spark, sf_dir, "embeddings"))
+
+
 def ex_dq_checks(spark, sf_dir):
     """Data-quality constraint report (one row per check): primary-key
     duplicates, foreign-key orphans (big-big left-anti joins — the honest
@@ -3478,24 +3489,26 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 layout: positions 1-5 hold this round's five new entries
-    (tests/test_registry.py requires unproven ⊆ first-50); 6-7 are the
+    round-10 layout: positions 1-6 hold this round's six new entries
+    (tests/test_registry.py requires unproven ⊆ first-50); 7-8 are the
     as-of pair whose SEMANTICS changed this round (the event-clock
     rebase + epoch fix — their old green rows proved the vacuous
-    expression, so they re-prove); 8-50 are 43 of the 49 entries whose
-    latest green is still r6 (the oldest evidence anywhere). The six r6
-    leftovers that did not fit (st_quality_model, st_session_window,
-    st_sink_roundtrip, st_sliding_counts, st_stream_join,
-    st_window_counts) sit at the TAIL HEAD and rotate first in r11;
-    after them the tail lists r7-green, r8-green, then r9-green entries
-    (freshest evidence last).
+    expression, so they re-prove); 9-50 are 42 of the 49 entries whose
+    latest green is still r6 (the oldest evidence anywhere). The seven
+    r6 leftovers that did not fit (st_quality_gate — displaced at
+    position 51 by the sixth new entry — plus st_quality_model,
+    st_session_window, st_sink_roundtrip, st_sliding_counts,
+    st_stream_join, st_window_counts) sit at the TAIL HEAD and rotate
+    first in r11; after them the tail lists r7-green, r8-green, then
+    r9-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-5: round-10 additions (unproven must sit here) ---
+        # --- window 1-6: round-10 additions (unproven must sit here) ---
         "ex_asof_features_skew": ex_asof_features_skew,
         "ex_session_funnel": ex_session_funnel,
         "ex_knn_graph": ex_knn_graph,
         "ex_ann_pq": ex_ann_pq,
+        "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
         # --- window 6-7: round-10 semantic fixes (ADVICE r9 as-of rebase) ---
         "ex_asof_features": ex_asof_features,
@@ -3543,8 +3556,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_heavy_hitters": st_heavy_hitters,
         "st_latest_user": st_latest_user,
         "st_override_asof": st_override_asof,
+        # --- tail head: the 7 r6 leftovers (rotate first in r11) ---
         "st_quality_gate": st_quality_gate,
-        # --- tail head: the 6 r6 leftovers (rotate first in r11) ---
         "st_quality_model": st_quality_model,
         "st_session_window": st_session_window,
         "st_sink_roundtrip": st_sink_roundtrip,

@@ -2543,3 +2543,63 @@ def test_pq_codes_are_compact(spark, sf_dir):
     assert set(per_vec.values()) == {C.PQ_M}
     assert all(0 <= r["code"] < C.PQ_K for r in codes)
     assert len(per_vec) == emb.count()
+
+
+def test_ivfpq_neighbors_within_ivf_candidates(spark, sf_dir):
+    """IVFADC invariants: every returned neighbor must lie inside the IVF
+    candidate set (probed buckets — the pruning is real, not decorative),
+    and recall@3 vs brute force stays >= 0.25 (measured 0.37/0.38; IVF
+    alone reads ~0.47, so the floor separates 'compounded pruning+ADC
+    loss' from 'broken composition')."""
+    from pyspark.sql import functions as F
+
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import similarity
+    from espkinesis_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    got = similarity.topk_ivfpq(emb).collect()
+    assert len(got) > 0
+    q = emb.filter(F.col("vec_id") < C.ANN_QUERY_MAX_ID)
+    truth = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.topk_bruteforce(q, emb, k=C.IVF_TOPK).collect()
+    }
+    # a neighbor is valid iff its assigned centroid is one the query
+    # probed; rebuild the probe set via the same rounded-cosine
+    # top-nprobe rule
+    probed = {}
+    from espkinesis_spark.functions.similarity import (
+        Window,
+        cosine,
+        with_norm,
+    )
+
+    qc = (
+        with_norm(q)
+        .select("vec_id", F.col("embedding").alias("__v"), F.col("__norm").alias("__vn"))
+        .crossJoin(
+            with_norm(cents).select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("__c"),
+                F.col("__norm").alias("__cn"),
+            )
+        )
+        .withColumn("cos", cosine(F.col("__v"), F.col("__c"), F.col("__vn"), F.col("__cn")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    for r in (
+        qc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= C.IVF_NPROBE)
+        .collect()
+    ):
+        probed.setdefault(r["vec_id"], set()).add(r["centroid_id"])
+    for r in got:
+        assert assign[r["neighbor_id"]] in probed[r["vec_id"]]
+    hits = len(truth & {(r["vec_id"], r["neighbor_id"]) for r in got})
+    assert hits / len(truth) >= 0.25
