@@ -573,7 +573,12 @@ ORACLES: dict[str, str] = {
     "dq02": """SELECT event_id,
         CAST(FLOOR((value - 1000.0) * (1811 - 172) / (2000.0 - 1000.0)) AS BIGINT) + 172 AS sbus
         FROM events""",
-    "dq03": "SELECT event_id FROM events WHERE value BETWEEN 1000 AND 2000 OR value = -1",
+    # sentinel injected deterministically (event_id % 97) and the range
+    # rebased into the data so BOTH legs select rows (round-10 vacuity fix)
+    "dq03": """SELECT event_id FROM (
+        SELECT event_id,
+               CASE WHEN event_id % 97 = 0 THEN -1.0 ELSE value END AS v
+        FROM events) WHERE v BETWEEN 100 AND 200 OR v = -1""",
     "dq04": "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey = 42",
     "dq05": "SELECT s_suppkey, s_name FROM supplier ORDER BY s_name, s_suppkey LIMIT 1",
     "dq06": "SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) AS reg_id FROM customer",
@@ -605,7 +610,13 @@ ORACLES: dict[str, str] = {
     "dq17": """SELECT CASE WHEN value BETWEEN 1000 AND 2000 THEN 'valid'
                     WHEN value = -1 THEN 'skip' ELSE 'invalid' END AS cls,
         COUNT(*) AS n FROM events GROUP BY 1""",
-    "dq18": """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents
+    # every 50th doc replicated deterministically so the duplicate leg
+    # fires below sf0.1 too (round-10 vacuity fix)
+    "dq18": """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        WHERE doc_id % 50 = 0)
         GROUP BY text HAVING COUNT(*) > 1""",
     "dq19": f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, {_cos('a.e', 'b.e')} AS cos
@@ -804,8 +815,10 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
         WHERE EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
         GROUP BY o_orderpriority""",
-    "ex_except": """SELECT DISTINCT user_id AS k FROM events
-        EXCEPT SELECT DISTINCT c_custkey AS k FROM customer""",
+    # direction flipped: events' users ⊆ customer keys made the original
+    # form always-empty (round-10 vacuity fix)
+    "ex_except": """SELECT DISTINCT c_custkey AS k FROM customer
+        EXCEPT SELECT DISTINCT user_id AS k FROM events""",
     "ex_distinct_agg": """SELECT event_type, COUNT(DISTINCT user_id) AS nu,
         COUNT(*) AS n FROM events GROUP BY event_type""",
     "ex_volume_shipping": """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

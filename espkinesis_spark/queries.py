@@ -48,11 +48,22 @@ def dq02(spark, sf_dir):
 
 
 def dq03(spark, sf_dir):
-    """F6 range + sentinel predicate (ref: src/transmitter/main.cpp:190-213)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.filter(F.col("value").between(1000, 2000) | (F.col("value") == -1)).select(
-        "event_id"
+    """F6 range + sentinel predicate (ref: src/transmitter/main.cpp:190-213).
+
+    The fixture's value column spans [0, ~560] and carries no literal
+    sentinel, so the original [1000, 2000] ∪ {-1} predicate selected
+    ZERO rows at every SF — green parity over the empty set proves
+    neither leg (the round-10 vacuity audit). The range now sits inside
+    the data ([100, 200]) and the sentinel is injected deterministically
+    (every 97th event id — the ex_pii_scrub augmentation pattern),
+    mirrored in the oracle, so BOTH predicate legs select rows."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v",
+        F.expr("CASE WHEN event_id % 97 = 0 THEN -1.0 ELSE value END"),
     )
+    return ev.filter(
+        F.col("v").between(100, 200) | (F.col("v") == -1)
+    ).select("event_id")
 
 
 def dq04(spark, sf_dir):
@@ -180,10 +191,22 @@ def dq17(spark, sf_dir):
 
 
 def dq18(spark, sf_dir):
-    """Exact dedup groups with duplicates only."""
-    docs = _t(spark, sf_dir, "documents")
+    """Exact dedup groups with duplicates only.
+
+    The fixture corpus is duplicate-free below sf0.1 (checked raw AND
+    normalized), so the n > 1 filter returned the empty set at the
+    driver gate's SF — vacuous parity (round-10 audit). Every 50th
+    document is now replicated deterministically (offset id, same text —
+    the ex_pii_scrub augmentation pattern, mirrored in the oracle), so
+    the duplicate leg fires at every SF; organic sf0.1 duplicates ride
+    along."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
     return (
-        docs.groupBy("text")
+        docs.union(dups)
+        .groupBy("text")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
         .filter(F.col("n") > 1)
         .select("keep_id", "n")
@@ -812,10 +835,17 @@ def ex_exists_shipped(spark, sf_dir):
 
 
 def ex_except(spark, sf_dir):
-    """Set difference: event user ids that are not customer keys."""
+    """Set difference: customer keys that never appear as event users.
+
+    Direction matters for non-vacuous evidence: event user ids are a
+    SUBSET of customer keys at every SF, so the original
+    events-minus-customers form was always empty (round-10 vacuity
+    audit — a green hash over the empty set proves only that nothing
+    spurious is emitted). Customers-minus-event-users is large and
+    SF-sensitive, exercising the EXCEPT machinery for real."""
     ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    return ev.exceptAll(c.distinct())
+    return c.distinct().exceptAll(ev)
 
 
 def ex_distinct_agg(spark, sf_dir):
@@ -3490,17 +3520,18 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
     round-10 layout: positions 1-6 hold this round's six new entries
-    (tests/test_registry.py requires unproven ⊆ first-50); 7-8 are the
-    as-of pair whose SEMANTICS changed this round (the event-clock
-    rebase + epoch fix — their old green rows proved the vacuous
-    expression, so they re-prove); 9-50 are 42 of the 49 entries whose
-    latest green is still r6 (the oldest evidence anywhere). The seven
-    r6 leftovers that did not fit (st_quality_gate — displaced at
-    position 51 by the sixth new entry — plus st_quality_model,
-    st_session_window, st_sink_roundtrip, st_sliding_counts,
-    st_stream_join, st_window_counts) sit at the TAIL HEAD and rotate
-    first in r11; after them the tail lists r7-green, r8-green, then
-    r9-green entries (freshest evidence last).
+    (tests/test_registry.py requires unproven ⊆ first-50); 7-11 are the
+    five entries whose SEMANTICS changed this round (the as-of pair's
+    event-clock rebase + epoch fix, and the dq03/dq18/ex_except vacuity
+    fixes — their old green rows proved vacuous or wrong expressions,
+    so they re-prove); 12-50 hold 39 of the 49 entries whose latest
+    green is still r6 (the oldest evidence anywhere). The TEN r6
+    leftovers that did not fit sit at the TAIL HEAD and rotate first in
+    r11 (st_heavy_hitters, st_latest_user, st_override_asof,
+    st_quality_gate, st_quality_model, st_session_window,
+    st_sink_roundtrip, st_sliding_counts, st_stream_join,
+    st_window_counts); after them the tail lists r7-green, r8-green,
+    then r9-green entries (freshest evidence last).
     """
     return {
         # --- window 1-6: round-10 additions (unproven must sit here) ---
@@ -3510,10 +3541,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_pq": ex_ann_pq,
         "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
-        # --- window 6-7: round-10 semantic fixes (ADVICE r9 as-of rebase) ---
+        # --- window 7-11: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
-        # --- window 8-50: 43 of the 49 r6-vintage entries (oldest evidence) ---
+        "dq03": dq03,
+        "dq18": dq18,
+        "ex_except": ex_except,
+        # --- window 12-50: 39 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3553,10 +3587,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_console_roundtrip": st_console_roundtrip,
         "st_content_dedup": st_content_dedup,
         "st_dedup": st_dedup,
+        # --- tail head: the 10 r6 leftovers (rotate first in r11) ---
         "st_heavy_hitters": st_heavy_hitters,
         "st_latest_user": st_latest_user,
         "st_override_asof": st_override_asof,
-        # --- tail head: the 7 r6 leftovers (rotate first in r11) ---
         "st_quality_gate": st_quality_gate,
         "st_quality_model": st_quality_model,
         "st_session_window": st_session_window,
@@ -3576,7 +3610,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq13": dq13,
         "dq15": dq15,
         "dq17": dq17,
-        "dq18": dq18,
         "dq20": dq20,
         "dq23": dq23,
         "dq24": dq24,
@@ -3590,7 +3623,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_dedup_pipeline": ex_dedup_pipeline,
         "ex_dedup_substring": ex_dedup_substring,
         "ex_embed_gram": ex_embed_gram,
-        "ex_except": ex_except,
         "ex_fuzzy_match": ex_fuzzy_match,
         "ex_gapfill": ex_gapfill,
         "ex_hash_split": ex_hash_split,
@@ -3616,7 +3648,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_image_neardup": st_image_neardup,
         "st_video_neardup": st_video_neardup,
         "dq02": dq02,
-        "dq03": dq03,
         "dq04": dq04,
         "dq09": dq09,
         "dq14": dq14,
