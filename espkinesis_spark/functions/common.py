@@ -286,6 +286,30 @@ BM25_TOPK = 20
 BM25_SCALE = 1_000_000
 
 
+# Z-order (Morton) data layout: bits per dimension (the z-value is
+# 2*ZORDER_BITS wide) and the layout-report bucket = the z-value's top
+# ZORDER_REPORT_BITS bits (64 buckets = top 3 bits of EACH dimension, so
+# every bucket is simultaneously one user-range and one time-range —
+# the point of the curve). All exact integer bit math in both engines.
+ZORDER_BITS = 16
+ZORDER_REPORT_BITS = 6
+
+# semantic clustering over the mutual kNN graph: keep only STRONG edges
+# (6-dp rounded cosine >= this) before connected components — the raw
+# mutual 5-NN graph percolates into one giant component on any corpus
+# (measured: 1 cluster at every SF), so the threshold is what makes the
+# clusters semantic neighborhoods instead of the whole graph. 0.3 keeps
+# multi-cluster structure at every fixture SF (59 clusters at sf0.001,
+# 102 at sf0.1 — swept in NOTES.md).
+KNN_CLUSTER_MIN_COS = 0.3
+
+# CCNet perplexity terciles (Wenzek et al. 2020): thresholds are exact
+# DISCRETE quantiles over integer micro-unit scores (4-dp LM score x 10^4)
+# — no float interpolation, so both engines cut at identical values; a
+# score equal to a threshold takes the lower bucket.
+PPL_SCALE = 10_000
+
+
 def minhash_salt(j: int) -> str:
     """Salt for the j-th MinHash permutation; md5(salt || shingle)."""
     return f"mh{j:02d}|"

@@ -446,6 +446,65 @@ def bigram_logprob(
     )
 
 
+def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    every document is scored under the corpus-trained add-alpha bigram LM
+    (``bigram_logprob``) and cut into head / middle / tail TERCILES of
+    the corpus score distribution — head = the most-fluent third (lowest
+    per-bigram negative log-likelihood), the slice CCNet keeps for LM
+    training; tail = the noisiest third.
+
+    Thresholds are exact DISCRETE quantiles over integer micro-unit
+    scores (the 4-dp score x PPL_SCALE): t1 = the ceil(n/3)-th smallest,
+    t2 = the ceil(2n/3)-th smallest, ties take the LOWER bucket. No
+    float interpolation anywhere, so both engines cut at identical
+    values. Documents with < 2 tokens carry no LM score and emit no row
+    (the bigram_logprob contract).
+
+    Scale shape: the LM pipeline is bigram_logprob's (bigram-vocab-sized
+    tables, corpus probed map-side). The threshold pass adds one
+    aggregate over DISTINCT micro-scores (a cumulative window over a
+    score-cardinality-sized table — 4-dp scores, not corpus rows) and a
+    broadcast of two scalar cut points; the per-doc score table is
+    localCheckpointed once for its two consumers (threshold + label)."""
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(df, text_col).withColumn(
+        "__mu", F.round(F.col("bigram_logprob") * C.PPL_SCALE).cast("long")
+    )
+    scored = scored.localCheckpoint(eager=True)
+    counts = scored.groupBy("__mu").agg(F.count("*").cast("long").alias("__c"))
+    # single-partition window, but over distinct 4-dp scores — bounded by
+    # score cardinality (sketch-sized), never by corpus row count
+    cum = counts.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.orderBy("__mu").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n = scored.agg(F.count("*").cast("long").alias("__n"))
+    thr = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.min(
+                F.when(F.col("__cum") >= F.expr("(__n + 2) div 3"), F.col("__mu"))
+            ).alias("__t1"),
+            F.min(
+                F.when(F.col("__cum") >= F.expr("(2 * __n + 2) div 3"), F.col("__mu"))
+            ).alias("__t2"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "bigram_logprob",
+        F.when(F.col("__mu") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("__mu") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
 def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document Shannon entropy of the token distribution — the
     information-density quality signal (near-zero entropy = degenerate

@@ -55,6 +55,90 @@ SELECT da AS doc_a, db AS doc_b, jac AS jaccard
 FROM j WHERE jac >= {C.JACCARD_THRESHOLD}
 """
 
+# add-alpha bigram LM over the corpus (mirror of text.bigram_logprob):
+# bigram fan-out, LM counts, context marginals, vocab size, smoothed probs —
+# shared by ex_bigram_logprob and the CCNet tercile cut on top of it
+_BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS.format(t='text')} AS t FROM documents),
+        bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+               FROM t, UNNEST(range(1, len(t))) u(i)
+               WHERE length(t[CAST(i AS INT)]) > 0
+                 AND length(t[CAST(i AS INT) + 1]) > 0),
+        lm AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+        vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM (
+               SELECT DISTINCT w FROM (
+                 SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)
+               WHERE length(w) > 0)),
+        pr AS (SELECT lm.w1, lm.w2,
+                      (lm.c12 + {C.BIGRAM_ALPHA}) / (ctx.c1 + {C.BIGRAM_ALPHA} * vv.v) AS p
+               FROM lm JOIN ctx ON ctx.w1 = lm.w1 CROSS JOIN vv)"""
+
+
+def _knn_clusters_sql() -> str:
+    """Mutual-kNN edges (the ex_knn_graph CTE chain) + recursive reach CC
+    (the ex_dedup_clusters pattern) + per-cluster size decoration."""
+    bucket = " + ".join(
+        f"(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8)
+    )
+    probes = ", ".join(f"xor(bucket, {2**i})" for i in range(8))
+    return f"""
+WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+pr AS (SELECT vec_id, e, unnest([bucket, {probes}]) AS pb FROM b),
+sc AS (SELECT a.vec_id AS src, n.vec_id AS dst, {_cos('a.e', 'n.e')} AS cos
+       FROM pr a JOIN b n ON a.pb = n.bucket AND a.vec_id <> n.vec_id),
+kn AS (SELECT src, dst, cos,
+              row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       FROM sc),
+e2 AS (SELECT src, dst, cos FROM kn WHERE rnk <= {C.KNN_GRAPH_K}),
+m AS (SELECT a.src, a.dst FROM e2 a JOIN e2 r ON a.src = r.dst AND a.dst = r.src
+      WHERE a.src < a.dst AND a.cos >= {C.KNN_CLUSTER_MIN_COS}),
+edges AS (SELECT src AS u, dst AS w FROM m UNION ALL SELECT dst, src FROM m),
+reach(node, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT eg.u, rr.r FROM edges eg JOIN reach rr ON rr.node = eg.w
+),
+cc AS (SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM cc GROUP BY cluster_id)
+SELECT cc.node AS vec_id, cc.cluster_id, sz.cluster_size
+FROM cc JOIN sz USING (cluster_id)"""
+
+
+def _zorder_layout_sql(modular_time: bool) -> str:
+    """The 64-bucket z-layout report; ``modular_time`` selects the
+    streaming form (epoch-seconds mod grid — no corpus bounds) vs the
+    batch form (range-quantized over min/max millis)."""
+    from espkinesis_spark.functions import layout
+
+    grid = 1 << C.ZORDER_BITS
+    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    zsql = layout.z_value_sql("uq", "tq")
+    if modular_time:
+        q = f"""q AS (SELECT user_id, t_ms, user_id % {grid} AS uq,
+               (t_ms // 1000) % {grid} AS tq FROM e)"""
+        span_cols = ""
+    else:
+        q = f"""bd AS (SELECT min(t_ms) AS mn, max(t_ms) AS mx,
+                   min(user_id) AS umn, max(user_id) AS umx FROM e),
+        q AS (SELECT user_id, t_ms,
+              least(((t_ms - mn) * {grid}) // (mx - mn + 1), {grid - 1}) AS tq,
+              least(((user_id - umn) * {grid}) // (umx - umn + 1), {grid - 1}) AS uq
+              FROM e, bd)"""
+        span_cols = """
+               CAST(max(user_id) - min(user_id) AS BIGINT) AS u_span,"""
+    return f"""
+        WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms
+                   FROM events),
+        {q},
+        z AS (SELECT user_id, t_ms, {zsql} AS zv FROM q)
+        SELECT zv >> {shift} AS zbucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,{span_cols}
+               CAST(max(t_ms) - min(t_ms) AS BIGINT) AS t_span_ms
+        FROM z GROUP BY zv >> {shift}"""
+
+
 _STOP = {lg: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lg, ws in C.LANG_STOPWORDS.items()}
 
 _TEXT_STATS_BASE = f"""
@@ -732,6 +816,20 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
         SELECT a.src, a.dst, a.cos
         FROM e a JOIN e r ON a.src = r.dst AND a.dst = r.src
         WHERE a.src < a.dst""",
+    "ex_knn_clusters": _knn_clusters_sql(),
+    # class-balanced downsample: every lang reduced to the minority class
+    # size; membership = deterministic md5-order top-m per class
+    "ex_balance_classes": """
+        WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        mm AS (SELECT CAST(min(n) AS BIGINT) AS m FROM per),
+        r AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+              FROM documents)
+        SELECT doc_id, lang, CAST(rnk AS BIGINT) AS sample_rank
+        FROM r, mm WHERE rnk <= mm.m""",
+    "ex_zorder_layout": _zorder_layout_sql(modular_time=False),
+    "st_zorder_layout": _zorder_layout_sql(modular_time=True),
     "ex_lang_id": _lang_id_sql(),
     "ex_text_stats": _TEXT_STATS_BASE
     + f"""SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
@@ -2081,24 +2179,35 @@ GROUP BY source""",
                    '\\s+', ' ', 'g'))) AS norm_md5
         FROM documents""",
     "ex_bigram_logprob": f"""
-        WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS t FROM documents),
-        bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
-               FROM t, UNNEST(range(1, len(t))) u(i)
-               WHERE length(t[CAST(i AS INT)]) > 0
-                 AND length(t[CAST(i AS INT) + 1]) > 0),
-        lm AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2),
-        ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
-        vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM (
-               SELECT DISTINCT w FROM (
-                 SELECT unnest({_TOKS.format(t='text')}) AS w FROM documents)
-               WHERE length(w) > 0)),
-        pr AS (SELECT lm.w1, lm.w2,
-                      (lm.c12 + {C.BIGRAM_ALPHA}) / (ctx.c1 + {C.BIGRAM_ALPHA} * vv.v) AS p
-               FROM lm JOIN ctx ON ctx.w1 = lm.w1 CROSS JOIN vv)
+        WITH {_BIGRAM_CTES}
         SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                round(-avg(ln(pr.p)), 4) AS bigram_logprob
         FROM bg JOIN pr ON pr.w1 = bg.w1 AND pr.w2 = bg.w2
         GROUP BY bg.doc_id""",
+    # CCNet terciles: thresholds are exact DISCRETE quantiles over integer
+    # micro-unit scores (4-dp LM score x PPL_SCALE) — ceil(n/3)-th and
+    # ceil(2n/3)-th smallest, tie -> lower bucket; no float interpolation,
+    # so both engines cut identically (queries.ex_perplexity_buckets)
+    "ex_perplexity_buckets": f"""
+        WITH {_BIGRAM_CTES},
+        sc AS (SELECT bg.doc_id, round(-avg(ln(pr.p)), 4) AS bigram_logprob
+               FROM bg JOIN pr ON pr.w1 = bg.w1 AND pr.w2 = bg.w2
+               GROUP BY bg.doc_id),
+        mu AS (SELECT doc_id, bigram_logprob,
+                      CAST(round(bigram_logprob * {C.PPL_SCALE}) AS BIGINT) AS m
+               FROM sc),
+        cts AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM mu GROUP BY m),
+        cm AS (SELECT m, sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum
+               FROM cts),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mu),
+        thr AS (SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN m END) AS t1,
+                       min(CASE WHEN cum >= (2 * n + 2) // 3 THEN m END) AS t2
+                FROM cm, nn)
+        SELECT doc_id, bigram_logprob,
+               CASE WHEN m <= t1 THEN 'head'
+                    WHEN m <= t2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM mu, thr""",
     "ex_token_entropy": f"""
         WITH t AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents),
         pt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM t

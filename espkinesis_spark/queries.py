@@ -419,6 +419,127 @@ def ex_knn_graph(spark, sf_dir):
     return similarity.knn_graph(_t(spark, sf_dir, "embeddings"))
 
 
+def ex_knn_clusters(spark, sf_dir):
+    """Semantic clustering by CONNECTIVITY: the mutual-kNN graph
+    (ex_knn_graph's bounded LSH-multiprobe candidate source) pruned to
+    STRONG edges (rounded cosine >= KNN_CLUSTER_MIN_COS — the raw
+    mutual graph percolates into one giant component on any corpus),
+    then fed into the large-star/small-star connected-components
+    kernel — clusters = the pruned graph's components, cluster_id =
+    min member id (the dedup_clusters contract), decorated with each
+    cluster's size. The graph-native alternative to centroid
+    clustering: no k to pick, no centroid trajectory to replay, and
+    chain-shaped semantic neighborhoods stay single clusters where
+    k-means splits them. Scale: edges are n·k (mutual-filtered,
+    corpus-LINEAR), CC is O(log n) star rounds over that edge table,
+    the size decoration is one cluster-keyed count — the corpus itself
+    is never rescanned."""
+    edges = similarity.knn_graph(_t(spark, sf_dir, "embeddings")).filter(
+        F.col("cos") >= C.KNN_CLUSTER_MIN_COS
+    )
+    pairs = edges.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    cc = dedup.dedup_clusters(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def ex_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): every document
+    scored under the corpus-trained bigram LM, then cut into head /
+    middle / tail terciles of the corpus score distribution — the
+    standard model-based quality gate for web-crawl training data (keep
+    head, inspect middle, drop tail). Thresholds are exact discrete
+    quantiles in integer micro-units, so the cut is engine-portable;
+    ties take the lower bucket (pinned by test)."""
+    return text.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def ex_balance_classes(spark, sf_dir):
+    """Class-balanced downsampling: every language class reduced to the
+    MINORITY class size (exact equalization — the complement of
+    ex_domain_mix's temperature reweighting, which only tempers the
+    skew). Membership is a deterministic md5-order top-m per class, so
+    the sample is stable across runs, partitionings, and engines.
+    Scale: one class-keyed count, a scalar min broadcast, one per-class
+    window top-m — the window shuffles by class (5 langs here; at 100 TB
+    the class count stays small while rows grow, so the per-class sort
+    is the cost; a skewed giant class takes the salted two-phase top-m
+    route ex_topk_per_group documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("__n"))
+        .agg(F.min("__n").cast("long").alias("__m"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("__r", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("__r") <= F.col("__m"))
+        .select("doc_id", "lang", F.col("__r").cast("long").alias("sample_rank"))
+    )
+
+
+def ex_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout key over events — the multi-dimensional
+    clustering a 100 TB table wants at WRITE time: user_id and event
+    time EACH range-quantized onto a 16-bit grid (both bounds from ONE
+    scalar min/max pass, broadcast — a modular grid would leave any
+    axis whose values undershoot the grid stuck in its low bits, never
+    reaching the report's top bits), bits interleaved into one 32-bit
+    z-value, then a 64-bucket layout report of rows per z-range plus
+    the user- and time-EXTENT each range spans. Small extents on BOTH
+    axes at once are the point of the curve (each bucket = one
+    user-octile x one time-octile, so parquet footer stats prune on
+    either predicate; a plain sort gets one axis only). The production
+    write path is layout.zorder_write_plan (repartitionByRange +
+    sortWithinPartitions on z — RangePartitioning plan-audited in
+    tests); the report here is layout-key math + one bucket-keyed
+    aggregate, all exact integers."""
+    from espkinesis_spark.functions import layout
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    bounds = ev.agg(
+        F.min("t_ms").alias("__mn"),
+        F.max("t_ms").alias("__mx"),
+        F.min("user_id").cast("long").alias("__umn"),
+        F.max("user_id").cast("long").alias("__umx"),
+    )
+    q = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "t_ms",
+        layout.range_quantize("t_ms", "__mn", "__mx").alias("__tq"),
+        layout.range_quantize("user_id", "__umn", "__umx").alias("__uq"),
+    )
+    z = q.select(
+        "user_id",
+        "t_ms",
+        layout.z_value(F.col("__uq"), F.col("__tq")).alias("__z"),
+    )
+    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    return (
+        z.groupBy(F.shiftright(F.col("__z"), shift).alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            (F.max("user_id") - F.min("user_id")).cast("long").alias("u_span"),
+            (F.max("t_ms") - F.min("t_ms")).cast("long").alias("t_span_ms"),
+        )
+    )
+
+
 def ex_lang_id(spark, sf_dir):
     """Heuristic language identification."""
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
@@ -3510,6 +3631,19 @@ def st_text_stats(spark, sf_dir):
     return jobs.text_stats_stream(spark, sf_dir)
 
 
+def st_zorder_layout(spark, sf_dir):
+    """Streaming z-shard assignment: the Morton layout key computed at
+    ingest (stateless zero-shuffle projection — the stream writer
+    partitions by z, so events land clustered without a separate
+    OPTIMIZE pass). The time axis uses a modular grid (an endless
+    stream has no corpus bounds to range-quantize against — the one
+    deliberate divergence from ex_zorder_layout's batch form); the
+    drained store rolls up the same 64-bucket layout report."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.zorder_shard_stream(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 
 
@@ -3519,35 +3653,41 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 layout: positions 1-6 hold this round's six new entries
-    (tests/test_registry.py requires unproven ⊆ first-50); 7-11 are the
+    round-10 layout: positions 1-11 hold this round's eleven new entries
+    (tests/test_registry.py requires unproven ⊆ first-50); 12-16 are the
     five entries whose SEMANTICS changed this round (the as-of pair's
     event-clock rebase + epoch fix, and the dq03/dq18/ex_except vacuity
     fixes — their old green rows proved vacuous or wrong expressions,
-    so they re-prove); 12-50 hold 39 of the 49 entries whose latest
-    green is still r6 (the oldest evidence anywhere). The TEN r6
+    so they re-prove); 17-50 hold 34 of the 49 entries whose latest
+    green is still r6 (the oldest evidence anywhere). The FIFTEEN r6
     leftovers that did not fit sit at the TAIL HEAD and rotate first in
-    r11 (st_heavy_hitters, st_latest_user, st_override_asof,
-    st_quality_gate, st_quality_model, st_session_window,
-    st_sink_roundtrip, st_sliding_counts, st_stream_join,
-    st_window_counts); after them the tail lists r7-green, r8-green,
-    then r9-green entries (freshest evidence last).
+    r11 (st_anomaly, st_command_plane, st_console_roundtrip,
+    st_content_dedup, st_dedup, st_heavy_hitters, st_latest_user,
+    st_override_asof, st_quality_gate, st_quality_model,
+    st_session_window, st_sink_roundtrip, st_sliding_counts,
+    st_stream_join, st_window_counts); after them the tail lists
+    r7-green, r8-green, then r9-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-6: round-10 additions (unproven must sit here) ---
+        # --- window 1-11: round-10 additions (unproven must sit here) ---
+        "ex_knn_clusters": ex_knn_clusters,
+        "ex_perplexity_buckets": ex_perplexity_buckets,
+        "ex_balance_classes": ex_balance_classes,
+        "ex_zorder_layout": ex_zorder_layout,
+        "st_zorder_layout": st_zorder_layout,
         "ex_asof_features_skew": ex_asof_features_skew,
         "ex_session_funnel": ex_session_funnel,
         "ex_knn_graph": ex_knn_graph,
         "ex_ann_pq": ex_ann_pq,
         "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
-        # --- window 7-11: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
+        # --- window 12-16: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
         "dq03": dq03,
         "dq18": dq18,
         "ex_except": ex_except,
-        # --- window 12-50: 39 of the 49 r6-vintage entries (oldest evidence) ---
+        # --- window 17-50: 34 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3582,12 +3722,12 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_token_entropy": ex_token_entropy,
         "ex_ts_similarity": ex_ts_similarity,
         "st_ack_tracker": st_ack_tracker,
+        # --- tail head: the 15 r6 leftovers (rotate first in r11) ---
         "st_anomaly": st_anomaly,
         "st_command_plane": st_command_plane,
         "st_console_roundtrip": st_console_roundtrip,
         "st_content_dedup": st_content_dedup,
         "st_dedup": st_dedup,
-        # --- tail head: the 10 r6 leftovers (rotate first in r11) ---
         "st_heavy_hitters": st_heavy_hitters,
         "st_latest_user": st_latest_user,
         "st_override_asof": st_override_asof,

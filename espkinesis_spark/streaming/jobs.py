@@ -629,6 +629,43 @@ def text_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(text_stats(src), "st_text_stats_sink", "append")
 
 
+def zorder_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-shard assignment: the Morton layout key computed AT
+    INGEST as a stateless zero-shuffle projection — the production
+    placement when the stream writer itself partitions by z (events land
+    already clustered, no separate OPTIMIZE pass). An endless stream has
+    no corpus min/max to range-quantize against, so the time axis uses a
+    MODULAR grid (epoch seconds mod 2^16 — any sub-18.2-hour window is
+    contiguous on the grid) where the batch entry uses data-dependent
+    bounds; the oracle replays the modular form. The drained store then
+    rolls up the same 64-bucket layout report as ex_zorder_layout."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import layout
+
+    grid = 1 << C.ZORDER_BITS
+    src = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("t_ms"),
+    )
+    z = src.select(
+        "event_id",
+        "user_id",
+        "t_ms",
+        layout.z_value(
+            F.pmod(F.col("user_id"), F.lit(grid)).cast("long"),
+            F.pmod(F.expr("t_ms div 1000"), F.lit(grid)).cast("long"),
+        ).alias("z"),
+    )
+    store = _drain_to_memory(z, "st_zorder_sink", "append")
+    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    return store.groupBy(F.shiftright(F.col("z"), shift).alias("zbucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        (F.max("t_ms") - F.min("t_ms")).cast("long").alias("t_span_ms"),
+    )
+
+
 def vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus vocabulary: running token counts maintained
     incrementally as documents arrive (complete-mode aggregation — state is

@@ -2603,3 +2603,168 @@ def test_ivfpq_neighbors_within_ivf_candidates(spark, sf_dir):
         assert assign[r["neighbor_id"]] in probed[r["vec_id"]]
     hits = len(truth & {(r["vec_id"], r["neighbor_id"]) for r in got})
     assert hits / len(truth) >= 0.25
+
+
+# -- round-10 late wave: z-order layout, CCNet terciles, class balance, -----
+# -- knn clustering ---------------------------------------------------------
+
+
+def test_z_value_matches_python_interleave(spark):
+    """The codegen interleave equals the reference python bit-interleave
+    for values across the full 16-bit grid (corners + mixed patterns)."""
+    from espkinesis_spark.functions import layout
+
+    vals = [0, 1, 2, 3, 0x5555, 0xAAAA, 0x00FF, 0xFF00, 0xFFFF, 12345, 54321]
+    rows = [(x, y) for x in vals for y in vals]
+
+    def z_py(x: int, y: int) -> int:
+        out = 0
+        for i in range(C.ZORDER_BITS):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", layout.z_value(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == z_py(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_report_is_biaxially_local(spark, sf_dir):
+    """Every z-bucket spans at most one octile (+1 grid cell of rounding)
+    of EACH axis — the biaxial locality a plain time-sort cannot give
+    (its buckets span the full user range). Also pins that the report
+    actually uses both axes: more than 8 distinct buckets."""
+    from espkinesis_spark import queries
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long"), F.unix_millis("ts").alias("t_ms")
+    )
+    b = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("t_ms"), F.max("t_ms")
+    ).first()
+    umn, umx, tmn, tmx = b
+    rows = queries.ex_zorder_layout(spark, sf_dir).collect()
+    octiles = 1 << (C.ZORDER_REPORT_BITS // 2)
+    u_oct = (umx - umn) // octiles + 2
+    t_oct = (tmx - tmn) // octiles + 2
+    assert len(rows) > 8  # both axes contribute report bits
+    for r in rows:
+        assert r["u_span"] <= u_oct, (r["zbucket"], r["u_span"], u_oct)
+        assert r["t_span_ms"] <= t_oct, (r["zbucket"], r["t_span_ms"], t_oct)
+    assert sum(r["n"] for r in rows) == ev.count()
+
+
+def test_zorder_write_plan_range_partitions(spark, sf_dir):
+    """The production write path pins a RangePartitioning exchange + an
+    in-partition sort on the z column (contiguous z-ranges per file)."""
+    from espkinesis_spark.functions import layout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 1024).cast("long").alias("z")
+    )
+    plan = (
+        layout.zorder_write_plan(ev, "z", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "sort" in plan.lower()
+
+
+def test_perplexity_terciles_match_python_model(spark, sf_dir):
+    """Independent recompute of the tercile rule: collect the per-doc
+    micro-unit scores, derive thresholds as the ceil(n/3)-th /
+    ceil(2n/3)-th smallest in plain python, and require the Spark
+    bucket labels to replay exactly. Also pins non-vacuity (all three
+    buckets populated) and ties-to-lower (every doc scoring exactly t1
+    is labeled head)."""
+    from espkinesis_spark import queries
+    from espkinesis_spark.functions import text as text_fns
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["bigram_logprob"], r["ppl_bucket"])
+        for r in queries.ex_perplexity_buckets(spark, sf_dir).collect()
+    }
+    scored = {
+        r["doc_id"]: round(r["bigram_logprob"] * C.PPL_SCALE)
+        for r in text_fns.bigram_logprob(docs).collect()
+    }
+    mus = sorted(scored.values())
+    n = len(mus)
+    t1 = mus[(n + 2) // 3 - 1]
+    t2 = mus[(2 * n + 2) // 3 - 1]
+    assert set(scored) == set(got)
+    buckets = {"head": 0, "middle": 0, "tail": 0}
+    for doc_id, mu in scored.items():
+        want = "head" if mu <= t1 else ("middle" if mu <= t2 else "tail")
+        assert got[doc_id][1] == want, (doc_id, mu, t1, t2)
+        buckets[want] += 1
+    assert all(v > 0 for v in buckets.values()), buckets
+    for doc_id, mu in scored.items():  # ties-to-lower pinned explicitly
+        if mu == t1:
+            assert got[doc_id][1] == "head"
+
+
+def test_balance_classes_equalizes_to_minority(spark, sf_dir):
+    """Every class is cut to exactly the minority size, the sample is
+    deterministic across runs, and the op is non-vacuous (something is
+    actually dropped at every SF)."""
+    from espkinesis_spark import queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    m = min(per.values())
+    kept = queries.ex_balance_classes(spark, sf_dir).collect()
+    by_lang: dict[str, int] = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+        assert 1 <= r["sample_rank"] <= m
+    assert by_lang == {lang: m for lang in per}
+    assert len(kept) < sum(per.values())  # non-vacuous: majority classes cut
+    again = {(r["doc_id"], r["lang"]) for r in queries.ex_balance_classes(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["lang"]) for r in kept}
+
+
+def test_knn_clusters_match_python_union_find(spark, sf_dir):
+    """Independent CC recompute: union-find in plain python over the
+    (driver-proven) mutual kNN edge table must reproduce every label
+    and size; cluster_id is the min member id by contract."""
+    from espkinesis_spark import queries
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in similarity.knn_graph(load_table(spark, sf_dir, "embeddings")).collect()
+        if r["cos"] >= C.KNN_CLUSTER_MIN_COS
+    ]
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp: dict[int, list[int]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    want: dict[int, tuple[int, int]] = {}
+    for members in comp.values():
+        lo, size = min(members), len(members)
+        for nd in members:
+            want[nd] = (lo, size)
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in queries.ex_knn_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len({cid for cid, _ in got.values()}) > 1  # non-vacuous clustering
