@@ -401,6 +401,15 @@ def bigram_logprob(
     they fit; a 100 TB corpus's bigram table falls back to a shuffled
     equi-join) and reduces per doc_id.
     """
+    pairs = _bigram_pairs(df, text_col)
+    v = _word_freqs(df, text_col).agg(F.count("*").cast("double").alias("v"))
+    return _bigram_score(pairs, v, alpha)
+
+
+def _bigram_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w1, w2) — raw-adjacency bigram fan-out (empty tokens are
+    filtered AFTER pairing, so a blank token breaks adjacency exactly as
+    the oracle's UNNEST(range) replay does)."""
     toks_df = df.select("doc_id", tokens(F.col(text_col)).alias("__t"))
     t = F.col("__t")
     n = F.size(t)
@@ -414,18 +423,57 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = (
+    return (
         toks_df.select("doc_id", F.explode(big).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
         .filter((F.length("w1") > 0) & (F.length("w2") > 0))
     )
+
+
+def token_positions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, tok) — the raw positional token table (NO empty-token
+    filter: position adjacency must survive so bigram reconstruction
+    matches the in-array fan-out). A stateless zero-shuffle projection,
+    which is what lets the streaming leg extract it at ingest."""
+    return df.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+
+
+def bigram_logprob_from_tokens(
+    tok_positions_df: DataFrame, alpha: float = C.BIGRAM_ALPHA
+) -> DataFrame:
+    """``bigram_logprob`` over a drained (doc_id, pos, tok) store: pairs
+    rebuilt by positional adjacency (one per-doc window lead), vocab =
+    distinct non-empty tokens. Equals the in-array form exactly — the
+    streaming leg's post-drain scorer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok_positions_df.withColumn("__w2", F.lead("tok").over(w))
+        .filter(F.col("__w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), F.col("__w2").alias("w2"))
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    v = (
+        tok_positions_df.filter(F.length("tok") > 0)
+        .select("tok")
+        .distinct()
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    return _bigram_score(pairs, v, alpha)
+
+
+def _bigram_score(pairs: DataFrame, v: DataFrame, alpha: float) -> DataFrame:
+    """Train the add-alpha LM on the pair table and score per doc; ``v``
+    is a 1-row frame holding the corpus vocab size."""
     lm = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
     # the LM table feeds its own context marginal (c1 = Σ_w2 c12) and the
     # scoring probe — materialize the bigram-vocab-sized table once and
     # derive ctx from it instead of re-running the corpus fan-out
     lm = lm.localCheckpoint(eager=True)
     ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    v = _word_freqs(df, text_col).agg(F.count("*").cast("double").alias("v"))
     a = F.lit(alpha)
     probs = (
         lm.join(ctx, "w1")
@@ -468,9 +516,16 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     score-cardinality-sized table — 4-dp scores, not corpus rows) and a
     broadcast of two scalar cut points; the per-doc score table is
     localCheckpointed once for its two consumers (threshold + label)."""
+    return perplexity_buckets_from(bigram_logprob(df, text_col))
+
+
+def perplexity_buckets_from(bigram_scored: DataFrame) -> DataFrame:
+    """The tercile cut over an already-scored (doc_id, n_bigrams,
+    bigram_logprob) frame — shared by the batch op and the streaming
+    leg's post-drain rollup."""
     from pyspark.sql import Window
 
-    scored = bigram_logprob(df, text_col).withColumn(
+    scored = bigram_scored.withColumn(
         "__mu", F.round(F.col("bigram_logprob") * C.PPL_SCALE).cast("long")
     )
     scored = scored.localCheckpoint(eager=True)

@@ -2643,6 +2643,10 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
 # before flagging, so it shares ex_anomaly's oracle verbatim
 ORACLES["st_anomaly"] = ORACLES["ex_anomaly"]
 
+# the streaming CCNet leg drains the positional token table and rebuilds
+# the exact in-array bigrams by adjacency, so one tercile oracle serves both
+ORACLES["st_perplexity_buckets"] = ORACLES["ex_perplexity_buckets"]
+
 # streaming heavy hitters maintains the same token counts complete-mode;
 # the drained snapshot equals the batch table, so one oracle serves both
 ORACLES["st_heavy_hitters"] = ORACLES["ex_heavy_hitters"]

@@ -3631,6 +3631,18 @@ def st_text_stats(spark, sf_dir):
     return jobs.text_stats_stream(spark, sf_dir)
 
 
+def st_perplexity_buckets(spark, sf_dir):
+    """Streaming CCNet perplexity terciles: positional token extraction
+    at ingest (stateless zero-shuffle), parquet drain, bigram LM +
+    exact-integer tercile cut over the drained store (the corpus-global
+    LM is no stream query's state to hold — the established
+    extract/drain/rollup lambda split). Shares ex_perplexity_buckets'
+    oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.perplexity_buckets_stream(spark, sf_dir)
+
+
 def st_zorder_layout(spark, sf_dir):
     """Streaming z-shard assignment: the Morton layout key computed at
     ingest (stateless zero-shuffle projection — the stream writer
@@ -3653,25 +3665,26 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 layout: positions 1-11 hold this round's eleven new entries
-    (tests/test_registry.py requires unproven ⊆ first-50); 12-16 are the
+    round-10 layout: positions 1-12 hold this round's twelve new entries
+    (tests/test_registry.py requires unproven ⊆ first-50); 13-17 are the
     five entries whose SEMANTICS changed this round (the as-of pair's
     event-clock rebase + epoch fix, and the dq03/dq18/ex_except vacuity
     fixes — their old green rows proved vacuous or wrong expressions,
-    so they re-prove); 17-50 hold 34 of the 49 entries whose latest
-    green is still r6 (the oldest evidence anywhere). The FIFTEEN r6
+    so they re-prove); 18-50 hold 33 of the 49 entries whose latest
+    green is still r6 (the oldest evidence anywhere). The SIXTEEN r6
     leftovers that did not fit sit at the TAIL HEAD and rotate first in
-    r11 (st_anomaly, st_command_plane, st_console_roundtrip,
-    st_content_dedup, st_dedup, st_heavy_hitters, st_latest_user,
-    st_override_asof, st_quality_gate, st_quality_model,
+    r11 (st_ack_tracker, st_anomaly, st_command_plane,
+    st_console_roundtrip, st_content_dedup, st_dedup, st_heavy_hitters,
+    st_latest_user, st_override_asof, st_quality_gate, st_quality_model,
     st_session_window, st_sink_roundtrip, st_sliding_counts,
     st_stream_join, st_window_counts); after them the tail lists
     r7-green, r8-green, then r9-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-11: round-10 additions (unproven must sit here) ---
+        # --- window 1-12: round-10 additions (unproven must sit here) ---
         "ex_knn_clusters": ex_knn_clusters,
         "ex_perplexity_buckets": ex_perplexity_buckets,
+        "st_perplexity_buckets": st_perplexity_buckets,
         "ex_balance_classes": ex_balance_classes,
         "ex_zorder_layout": ex_zorder_layout,
         "st_zorder_layout": st_zorder_layout,
@@ -3681,13 +3694,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_pq": ex_ann_pq,
         "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
-        # --- window 12-16: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
+        # --- window 13-17: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
         "dq03": dq03,
         "dq18": dq18,
         "ex_except": ex_except,
-        # --- window 17-50: 34 of the 49 r6-vintage entries (oldest evidence) ---
+        # --- window 18-50: 33 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3721,8 +3734,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_tfidf": ex_tfidf,
         "ex_token_entropy": ex_token_entropy,
         "ex_ts_similarity": ex_ts_similarity,
+        # --- tail head: the 16 r6 leftovers (rotate first in r11) ---
         "st_ack_tracker": st_ack_tracker,
-        # --- tail head: the 15 r6 leftovers (rotate first in r11) ---
         "st_anomaly": st_anomaly,
         "st_command_plane": st_command_plane,
         "st_console_roundtrip": st_console_roundtrip,

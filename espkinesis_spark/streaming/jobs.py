@@ -629,6 +629,25 @@ def text_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(text_stats(src), "st_text_stats_sink", "append")
 
 
+def perplexity_buckets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CCNet terciles: the positional token table is extracted
+    AT INGEST (stateless zero-shuffle posexplode — the corpus text is
+    touched exactly once; the LM itself is corpus-global state no
+    stream query should hold), the corpus-proportional token store
+    drains through the executor-parallel parquet sink, and the bigram
+    LM + tercile cut run over the drained store. Positional adjacency
+    rebuilds the exact in-array bigrams, so ex_perplexity_buckets'
+    oracle is exact."""
+    from espkinesis_spark.functions import text as text_fns
+
+    src = _documents_stream(spark, sf_dir)
+    toks = text_fns.token_positions(src)
+    store = _drain_to_parquet(toks, "st_perplexity_sink")
+    return text_fns.perplexity_buckets_from(
+        text_fns.bigram_logprob_from_tokens(store)
+    )
+
+
 def zorder_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming z-shard assignment: the Morton layout key computed AT
     INGEST as a stateless zero-shuffle projection — the production
