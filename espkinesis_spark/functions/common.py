@@ -303,6 +303,12 @@ ZORDER_REPORT_BITS = 6
 # 102 at sf0.1 — swept in NOTES.md).
 KNN_CLUSTER_MIN_COS = 0.3
 
+# two-phase (salted) class-balance top-m: phase-1 partial top-m per
+# (class, doc_id % BALANCE_SALTS) slice bounds every sort to ~rows/SALTS;
+# phase 2 re-ranks the <= SALTS*m survivors. Lossless: a global top-m row
+# is necessarily in its slice's top-m.
+BALANCE_SALTS = 64
+
 # CCNet perplexity terciles (Wenzek et al. 2020): thresholds are exact
 # DISCRETE quantiles over integer micro-unit scores (4-dp LM score x 10^4)
 # — no float interpolation, so both engines cut at identical values; a

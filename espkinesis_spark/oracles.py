@@ -74,9 +74,9 @@ _BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS.format(t='text')} AS t FROM docum
                FROM lm JOIN ctx ON ctx.w1 = lm.w1 CROSS JOIN vv)"""
 
 
-def _knn_clusters_sql() -> str:
-    """Mutual-kNN edges (the ex_knn_graph CTE chain) + recursive reach CC
-    (the ex_dedup_clusters pattern) + per-cluster size decoration."""
+def _knn_cc_ctes() -> str:
+    """The shared mutual-kNN edge + recursive-reach CC chain (through the
+    ``cc`` CTE) — consumed by the cluster report and the dedup apply."""
     bucket = " + ".join(
         f"(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8)
     )
@@ -99,11 +99,27 @@ reach(node, r) AS (
     UNION
     SELECT eg.u, rr.r FROM edges eg JOIN reach rr ON rr.node = eg.w
 ),
-cc AS (SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node),
+cc AS (SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node)"""
+
+
+def _knn_clusters_sql() -> str:
+    """Cluster report: per-node label + per-cluster size decoration."""
+    return f"""{_knn_cc_ctes()},
 sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
        FROM cc GROUP BY cluster_id)
 SELECT cc.node AS vec_id, cc.cluster_id, sz.cluster_size
 FROM cc JOIN sz USING (cluster_id)"""
+
+
+def _knn_dedup_apply_sql() -> str:
+    """Dedup apply: keep each cluster's min-id representative, drop every
+    other member, summarize survivors per label."""
+    return f"""{_knn_cc_ctes()}
+SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(vec_id) AS BIGINT) AS sum_ids
+FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+GROUP BY label"""
 
 
 def _zorder_layout_sql(modular_time: bool) -> str:
@@ -817,6 +833,7 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
         FROM e a JOIN e r ON a.src = r.dst AND a.dst = r.src
         WHERE a.src < a.dst""",
     "ex_knn_clusters": _knn_clusters_sql(),
+    "ex_knn_dedup_apply": _knn_dedup_apply_sql(),
     # class-balanced downsample: every lang reduced to the minority class
     # size; membership = deterministic md5-order top-m per class
     "ex_balance_classes": """
@@ -2646,6 +2663,10 @@ ORACLES["st_anomaly"] = ORACLES["ex_anomaly"]
 # the streaming CCNet leg drains the positional token table and rebuilds
 # the exact in-array bigrams by adjacency, so one tercile oracle serves both
 ORACLES["st_perplexity_buckets"] = ORACLES["ex_perplexity_buckets"]
+
+# the salted two-phase top-m is lossless (a global top-m row is in its
+# slice's top-m), so the skew route shares the plain balance oracle
+ORACLES["ex_balance_classes_skew"] = ORACLES["ex_balance_classes"]
 
 # streaming heavy hitters maintains the same token counts complete-mode;
 # the drained snapshot equals the batch table, so one oracle serves both

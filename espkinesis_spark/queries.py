@@ -451,6 +451,34 @@ def ex_knn_clusters(spark, sf_dir):
     )
 
 
+def ex_knn_dedup_apply(spark, sf_dir):
+    """Semantic dedup APPLIED via the kNN-graph clusters (completes the
+    apply symmetry for the new cluster source — every cluster/pairs
+    source ends in a dedup apply): each connectivity cluster keeps its
+    min-id representative, the drop set is every other member, and the
+    subtraction is the shared routed anti join (``apply_drop_set``,
+    key='vec_id') — the embedding corpus scan is never shuffled.
+    Survivor summary per label with an exact-integer id checksum."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(vecs).filter(
+        F.col("cos") >= C.KNN_CLUSTER_MIN_COS
+    )
+    cc = dedup.dedup_clusters(
+        edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    )
+    drops = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return (
+        dedup.apply_drop_set(vecs, drops, key="vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("sum_ids"),
+        )
+    )
+
+
 def ex_perplexity_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (Wenzek et al. 2020): every document
     scored under the corpus-trained bigram LM, then cut into head /
@@ -485,6 +513,41 @@ def ex_balance_classes(spark, sf_dir):
     return (
         docs.withColumn("__r", F.row_number().over(w))
         .crossJoin(F.broadcast(m))
+        .filter(F.col("__r") <= F.col("__m"))
+        .select("doc_id", "lang", F.col("__r").cast("long").alias("sample_rank"))
+    )
+
+
+def ex_balance_classes_skew(spark, sf_dir):
+    """The HOT-CLASS route for class balancing (the caveat
+    ex_balance_classes documents, driver-proven — the
+    ex_asof_features_skew precedent): the md5-order top-m per class runs
+    in TWO phases — per (class, salt) partial top-m over
+    BALANCE_SALTS deterministic salt partitions (each sort touches
+    ~rows/SALTS — a giant class never serializes on one sort task),
+    then the global per-class top-m over the ≤ SALTS·m phase-1
+    survivors (a row can only be in the global top-m if it is in its
+    salt-slice's top-m, so phase 1 is lossless). Output identical to
+    ex_balance_classes; shares its oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("__n"))
+        .agg(F.min("__n").cast("long").alias("__m"))
+    )
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    salted = docs.withColumn(
+        "__salt", F.pmod(F.col("doc_id"), F.lit(C.BALANCE_SALTS))
+    )
+    w1 = Window.partitionBy("lang", "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("__r1") <= F.col("__m"))
+    )
+    w2 = Window.partitionBy("lang").orderBy(*order)
+    return (
+        survivors.withColumn("__r", F.row_number().over(w2))
         .filter(F.col("__r") <= F.col("__m"))
         .select("doc_id", "lang", F.col("__r").cast("long").alias("sample_rank"))
     )
@@ -3665,26 +3728,29 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 layout: positions 1-12 hold this round's twelve new entries
-    (tests/test_registry.py requires unproven ⊆ first-50); 13-17 are the
-    five entries whose SEMANTICS changed this round (the as-of pair's
-    event-clock rebase + epoch fix, and the dq03/dq18/ex_except vacuity
-    fixes — their old green rows proved vacuous or wrong expressions,
-    so they re-prove); 18-50 hold 33 of the 49 entries whose latest
-    green is still r6 (the oldest evidence anywhere). The SIXTEEN r6
-    leftovers that did not fit sit at the TAIL HEAD and rotate first in
-    r11 (st_ack_tracker, st_anomaly, st_command_plane,
-    st_console_roundtrip, st_content_dedup, st_dedup, st_heavy_hitters,
-    st_latest_user, st_override_asof, st_quality_gate, st_quality_model,
+    round-10 layout: positions 1-14 hold this round's fourteen new
+    entries (tests/test_registry.py requires unproven ⊆ first-50); 15-19
+    are the five entries whose SEMANTICS changed this round (the as-of
+    pair's event-clock rebase + epoch fix, and the dq03/dq18/ex_except
+    vacuity fixes — their old green rows proved vacuous or wrong
+    expressions, so they re-prove); 20-50 hold 31 of the 49 entries
+    whose latest green is still r6 (the oldest evidence anywhere). The
+    EIGHTEEN r6 leftovers that did not fit sit at the TAIL HEAD and
+    rotate first in r11 (ex_token_entropy, ex_ts_similarity,
+    st_ack_tracker, st_anomaly, st_command_plane, st_console_roundtrip,
+    st_content_dedup, st_dedup, st_heavy_hitters, st_latest_user,
+    st_override_asof, st_quality_gate, st_quality_model,
     st_session_window, st_sink_roundtrip, st_sliding_counts,
     st_stream_join, st_window_counts); after them the tail lists
     r7-green, r8-green, then r9-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-12: round-10 additions (unproven must sit here) ---
+        # --- window 1-14: round-10 additions (unproven must sit here) ---
         "ex_knn_clusters": ex_knn_clusters,
+        "ex_knn_dedup_apply": ex_knn_dedup_apply,
         "ex_perplexity_buckets": ex_perplexity_buckets,
         "st_perplexity_buckets": st_perplexity_buckets,
+        "ex_balance_classes_skew": ex_balance_classes_skew,
         "ex_balance_classes": ex_balance_classes,
         "ex_zorder_layout": ex_zorder_layout,
         "st_zorder_layout": st_zorder_layout,
@@ -3694,13 +3760,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_pq": ex_ann_pq,
         "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
-        # --- window 13-17: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
+        # --- window 15-19: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
         "dq03": dq03,
         "dq18": dq18,
         "ex_except": ex_except,
-        # --- window 18-50: 33 of the 49 r6-vintage entries (oldest evidence) ---
+        # --- window 20-50: 31 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3732,9 +3798,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_simhash": ex_simhash,
         "ex_sketch_quantile": ex_sketch_quantile,
         "ex_tfidf": ex_tfidf,
+        # --- tail head: the 18 r6 leftovers (rotate first in r11) ---
         "ex_token_entropy": ex_token_entropy,
         "ex_ts_similarity": ex_ts_similarity,
-        # --- tail head: the 16 r6 leftovers (rotate first in r11) ---
         "st_ack_tracker": st_ack_tracker,
         "st_anomaly": st_anomaly,
         "st_command_plane": st_command_plane,

@@ -2768,3 +2768,41 @@ def test_knn_clusters_match_python_union_find(spark, sf_dir):
     }
     assert got == want
     assert len({cid for cid, _ in got.values()}) > 1  # non-vacuous clustering
+
+
+def test_balance_classes_skew_equals_plain(spark, sf_dir):
+    """The salted two-phase top-m is LOSSLESS: identical rows (incl.
+    sample_rank) to the single-window form at every SF."""
+    from espkinesis_spark import queries
+
+    plain = {
+        (r["doc_id"], r["lang"], r["sample_rank"])
+        for r in queries.ex_balance_classes(spark, sf_dir).collect()
+    }
+    skew = {
+        (r["doc_id"], r["lang"], r["sample_rank"])
+        for r in queries.ex_balance_classes_skew(spark, sf_dir).collect()
+    }
+    assert skew == plain and len(plain) > 0
+
+
+def test_knn_dedup_apply_keeps_cluster_representatives(spark, sf_dir):
+    """Survivors = corpus minus every non-representative cluster member;
+    recomputed per label from the cluster report + the raw corpus."""
+    from espkinesis_spark import queries
+
+    clusters = queries.ex_knn_clusters(spark, sf_dir).collect()
+    dropped = {r["vec_id"] for r in clusters if r["vec_id"] != r["cluster_id"]}
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    want: dict[str, tuple[int, int]] = {}
+    for r in vecs:
+        if r["vec_id"] in dropped:
+            continue
+        n, s = want.get(r["label"], (0, 0))
+        want[r["label"]] = (n + 1, s + r["vec_id"])
+    got = {
+        r["label"]: (r["n_kept"], r["sum_ids"])
+        for r in queries.ex_knn_dedup_apply(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert dropped, "apply is vacuous: no cluster member was dropped"
