@@ -93,3 +93,65 @@ def test_table_stats_counts_partitions_files_rows(spark, events, tmp_path_factor
     assert set(stats) == {f"event_type={t}" for t in types}
     assert sum(r["n_rows"] for r in stats.values()) == events.count()
     assert all(r["n_files"] >= 1 and r["n_bytes"] > 0 for r in stats.values())
+
+
+def test_zorder_write_files_carry_tight_biaxial_stats(spark, sf_dir, tmp_path_factory):
+    """Write the events table through the z-ordered layout plan and check
+    the claim the layout makes, comparatively: per-file min/max stats
+    bound BOTH axes (every file's time span is a fraction of the range,
+    and the MEAN user-span fraction stays small — sampled range
+    boundaries need not align to z-box corners, so an individual
+    straddler file may span wider), while the counterfactual plain
+    time-sorted write leaves the user axis effectively UNBOUNDED per
+    file. That asymmetry is exactly what footer-stat pruning buys."""
+    from pyspark.sql import functions as F
+
+    from espkinesis_spark.functions import layout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    b = ev.agg(
+        F.min("t_ms").alias("__mn"), F.max("t_ms").alias("__mx"),
+        F.min("user_id").cast("long").alias("__umn"),
+        F.max("user_id").cast("long").alias("__umx"),
+    )
+    z = ev.crossJoin(F.broadcast(b)).select(
+        "event_id", "user_id", "t_ms",
+        layout.z_value(
+            layout.range_quantize("user_id", "__umn", "__umx"),
+            layout.range_quantize("t_ms", "__mn", "__mx"),
+        ).alias("z"),
+    )
+    bounds = b.first()
+    u_range = bounds["__umx"] - bounds["__umn"] + 1
+    t_range = bounds["__mx"] - bounds["__mn"] + 1
+    n_files = 16
+
+    def file_spans(df, sort_col):
+        path = str(tmp_path_factory.mktemp("zorder") / sort_col)
+        layout.zorder_write_plan(df, sort_col, n_files).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("u_span"),
+                (F.max("t_ms") - F.min("t_ms")).alias("t_span"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+
+    zf = file_spans(z, "z")
+    tf = file_spans(z.withColumnRenamed("t_ms", "t_sort").withColumn(
+        "t_ms", F.col("t_sort")), "t_sort")
+    assert len(zf) >= n_files // 2 and sum(r["n"] for r in zf) == ev.count()
+    mean_u_z = sum(r["u_span"] for r in zf) / len(zf) / u_range
+    mean_u_t = sum(r["u_span"] for r in tf) / len(tf) / u_range
+    for r in zf:  # every z-file bounds the time axis to a range fraction
+        assert r["t_span"] <= t_range * 0.6, (r["f"], r["t_span"], t_range)
+    assert mean_u_z < 0.6, mean_u_z       # z-order bounds the user axis too
+    assert mean_u_t > 0.8, mean_u_t       # a plain time sort does not
+    assert mean_u_z < mean_u_t / 1.5      # the asymmetry is material
