@@ -667,6 +667,10 @@ def zorder_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_millis("ts").alias("t_ms"),
     )
+    # pre-1970 timestamps are out of contract for the modular grid: Spark's
+    # `div`/pmod truncate-vs-floor differs from DuckDB's `//`/`%` on
+    # NEGATIVE operands, so the oracle mirror only holds for t_ms >= 0
+    # (same non-negative-epoch assumption the as-of composite documents)
     z = src.select(
         "event_id",
         "user_id",
