@@ -506,9 +506,14 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     Thresholds are exact DISCRETE quantiles over integer micro-unit
     scores (the 4-dp score x PPL_SCALE): t1 = the ceil(n/3)-th smallest,
     t2 = the ceil(2n/3)-th smallest, ties take the LOWER bucket. No
-    float interpolation anywhere, so both engines cut at identical
-    values. Documents with < 2 tokens carry no LM score and emit no row
-    (the bigram_logprob contract).
+    float interpolation in the CUT itself, so the residual cross-engine
+    risk is the one every 4-dp score column already carries (a doc whose
+    avg(ln p) lands within 1 ulp of a .00005 boundary could round apart;
+    here a flip would also relabel the doc discretely — accepted under
+    the same empirically-engine-consistent rounding discipline as
+    bigram_logprob/BM25, not claimed impossible). Documents with < 2
+    tokens carry no LM score and emit no row (the bigram_logprob
+    contract).
 
     Scale shape: the LM pipeline is bigram_logprob's (bigram-vocab-sized
     tables, corpus probed map-side). The threshold pass adds one
@@ -538,7 +543,8 @@ def perplexity_buckets_from(bigram_scored: DataFrame) -> DataFrame:
             Window.orderBy("__mu").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    n = scored.agg(F.count("*").cast("long").alias("__n"))
+    # n comes from the distinct-score table, not a second corpus pass
+    n = counts.agg(F.sum("__c").cast("long").alias("__n"))
     thr = (
         cum.crossJoin(F.broadcast(n))
         .agg(

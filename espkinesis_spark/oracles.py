@@ -74,15 +74,17 @@ _BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS.format(t='text')} AS t FROM docum
                FROM lm JOIN ctx ON ctx.w1 = lm.w1 CROSS JOIN vv)"""
 
 
-def _knn_cc_ctes() -> str:
-    """The shared mutual-kNN edge + recursive-reach CC chain (through the
-    ``cc`` CTE) — consumed by the cluster report and the dedup apply."""
+def _knn_edge_ctes() -> str:
+    """The directed-top-k kNN candidate chain (through the ``e2`` CTE:
+    per-vector top-K by cosine over the 8-bit sign-bucket multiprobe
+    candidates) — the ONE copy shared by the graph, cluster, and
+    dedup-apply oracles (the _BIGRAM_CTES discipline: a change to the
+    probe set or degree cap edits exactly one fragment)."""
     bucket = " + ".join(
         f"(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8)
     )
     probes = ", ".join(f"xor(bucket, {2**i})" for i in range(8))
-    return f"""
-WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 b AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
 pr AS (SELECT vec_id, e, unnest([bucket, {probes}]) AS pb FROM b),
 sc AS (SELECT a.vec_id AS src, n.vec_id AS dst, {_cos('a.e', 'n.e')} AS cos
@@ -90,7 +92,23 @@ sc AS (SELECT a.vec_id AS src, n.vec_id AS dst, {_cos('a.e', 'n.e')} AS cos
 kn AS (SELECT src, dst, cos,
               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
        FROM sc),
-e2 AS (SELECT src, dst, cos FROM kn WHERE rnk <= {C.KNN_GRAPH_K}),
+e2 AS (SELECT src, dst, cos FROM kn WHERE rnk <= {C.KNN_GRAPH_K})"""
+
+
+def _knn_graph_sql() -> str:
+    """Mutual-edge symmetrization over the shared candidate chain."""
+    return f"""
+WITH {_knn_edge_ctes()}
+SELECT a.src, a.dst, a.cos
+FROM e2 a JOIN e2 r ON a.src = r.dst AND a.dst = r.src
+WHERE a.src < a.dst"""
+
+
+def _knn_cc_ctes() -> str:
+    """The shared mutual-kNN edge + recursive-reach CC chain (through the
+    ``cc`` CTE) — consumed by the cluster report and the dedup apply."""
+    return f"""
+WITH RECURSIVE {_knn_edge_ctes()},
 m AS (SELECT a.src, a.dst FROM e2 a JOIN e2 r ON a.src = r.dst AND a.dst = r.src
       WHERE a.src < a.dst AND a.cos >= {C.KNN_CLUSTER_MIN_COS}),
 edges AS (SELECT src AS u, dst AS w FROM m UNION ALL SELECT dst, src FROM m),
@@ -123,34 +141,42 @@ GROUP BY label"""
 
 
 def _zorder_layout_sql(modular_time: bool) -> str:
-    """The 64-bucket z-layout report; ``modular_time`` selects the
-    streaming form (epoch-seconds mod grid — no corpus bounds) vs the
-    batch form (range-quantized over min/max millis)."""
+    """``modular_time=False``: the batch 64-bucket LOCALITY report (both
+    axes range-quantized over min/max, buckets = the z-value's TOP bits,
+    per-bucket extents). ``modular_time=True``: the streaming SHARD
+    report (modular grids — no corpus bounds in an endless stream;
+    shards = the z-value's LOW bits, which vary fastest and spread
+    uniformly — the top-bits form degenerates when an axis undershoots
+    the modular grid, the batch entry's pmod lesson)."""
     from espkinesis_spark.functions import layout
 
     grid = 1 << C.ZORDER_BITS
-    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
     zsql = layout.z_value_sql("uq", "tq")
+    events_ms = """e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms
+                   FROM events)"""
     if modular_time:
-        q = f"""q AS (SELECT user_id, t_ms, user_id % {grid} AS uq,
-               (t_ms // 1000) % {grid} AS tq FROM e)"""
-        span_cols = ""
-    else:
-        q = f"""bd AS (SELECT min(t_ms) AS mn, max(t_ms) AS mx,
+        shards = 1 << C.ZORDER_REPORT_BITS
+        return f"""
+        WITH {events_ms},
+        q AS (SELECT user_id, t_ms, user_id % {grid} AS uq,
+              (t_ms // 1000) % {grid} AS tq FROM e),
+        z AS (SELECT user_id, t_ms, {zsql} AS zv FROM q)
+        SELECT zv % {shards} AS zshard, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM z GROUP BY zv % {shards}"""
+    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    return f"""
+        WITH {events_ms},
+        bd AS (SELECT min(t_ms) AS mn, max(t_ms) AS mx,
                    min(user_id) AS umn, max(user_id) AS umx FROM e),
         q AS (SELECT user_id, t_ms,
               least(((t_ms - mn) * {grid}) // (mx - mn + 1), {grid - 1}) AS tq,
               least(((user_id - umn) * {grid}) // (umx - umn + 1), {grid - 1}) AS uq
-              FROM e, bd)"""
-        span_cols = """
-               CAST(max(user_id) - min(user_id) AS BIGINT) AS u_span,"""
-    return f"""
-        WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms
-                   FROM events),
-        {q},
+              FROM e, bd),
         z AS (SELECT user_id, t_ms, {zsql} AS zv FROM q)
         SELECT zv >> {shift} AS zbucket, CAST(count(*) AS BIGINT) AS n,
-               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,{span_cols}
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(max(user_id) - min(user_id) AS BIGINT) AS u_span,
                CAST(max(t_ms) - min(t_ms) AS BIGINT) AS t_span_ms
         FROM z GROUP BY zv >> {shift}"""
 
@@ -814,24 +840,7 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
           FROM p) WHERE rnk <= {C.IVF_TOPK}""",
     # directed LSH-candidate top-k per vector, then mutual-edge filter:
     # both endpoints must name each other (src < dst canonical order)
-    "ex_knn_graph": f"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        b AS (SELECT vec_id, e,
-              CAST({' + '.join(f'(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)' for i in range(8))}
-                   AS BIGINT) AS bucket FROM v),
-        pr AS (SELECT vec_id, e,
-               unnest([bucket, {', '.join(f'xor(bucket, {2**i})' for i in range(8))}]) AS pb
-               FROM b),
-        sc AS (SELECT a.vec_id AS src, n.vec_id AS dst, {_cos('a.e', 'n.e')} AS cos
-               FROM pr a JOIN b n ON a.pb = n.bucket AND a.vec_id <> n.vec_id),
-        kn AS (SELECT src, dst, cos,
-                      row_number() OVER (PARTITION BY src
-                          ORDER BY cos DESC, dst) AS rnk
-               FROM sc),
-        e AS (SELECT src, dst, cos FROM kn WHERE rnk <= {C.KNN_GRAPH_K})
-        SELECT a.src, a.dst, a.cos
-        FROM e a JOIN e r ON a.src = r.dst AND a.dst = r.src
-        WHERE a.src < a.dst""",
+    "ex_knn_graph": _knn_graph_sql(),
     "ex_knn_clusters": _knn_clusters_sql(),
     "ex_knn_dedup_apply": _knn_dedup_apply_sql(),
     # class-balanced downsample: every lang reduced to the minority class

@@ -3707,13 +3707,15 @@ def st_perplexity_buckets(spark, sf_dir):
 
 
 def st_zorder_layout(spark, sf_dir):
-    """Streaming z-shard assignment: the Morton layout key computed at
-    ingest (stateless zero-shuffle projection — the stream writer
-    partitions by z, so events land clustered without a separate
-    OPTIMIZE pass). The time axis uses a modular grid (an endless
-    stream has no corpus bounds to range-quantize against — the one
-    deliberate divergence from ex_zorder_layout's batch form); the
-    drained store rolls up the same 64-bucket layout report."""
+    """Streaming z-SHARD assignment: the Morton key computed at ingest
+    (stateless zero-shuffle projection), sharded by its LOW interleaved
+    bits — the streaming goal is BALANCED SPREAD across writers, not
+    the batch entry's locality (locality needs corpus bounds an endless
+    stream lacks; top-bits-of-modular-grid buckets degenerate whenever
+    an axis undershoots the grid — caught by review on this fixture).
+    64 shards, all populated and balanced (pinned by test); hierarchical
+    splitting still holds (dropping one low z-bit merges shard pairs
+    adjacent in both axes' low bits)."""
     from espkinesis_spark.streaming import jobs
 
     return jobs.zorder_shard_stream(spark, sf_dir)

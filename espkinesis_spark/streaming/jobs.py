@@ -649,15 +649,18 @@ def perplexity_buckets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zorder_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming z-shard assignment: the Morton layout key computed AT
-    INGEST as a stateless zero-shuffle projection — the production
-    placement when the stream writer itself partitions by z (events land
-    already clustered, no separate OPTIMIZE pass). An endless stream has
-    no corpus min/max to range-quantize against, so the time axis uses a
-    MODULAR grid (epoch seconds mod 2^16 — any sub-18.2-hour window is
-    contiguous on the grid) where the batch entry uses data-dependent
-    bounds; the oracle replays the modular form. The drained store then
-    rolls up the same 64-bucket layout report as ex_zorder_layout."""
+    """Streaming z-SHARD assignment: the Morton key computed AT INGEST as
+    a stateless zero-shuffle projection, bucketed by its LOW interleaved
+    bits — the streaming goal is BALANCED SPREAD across writers (the low
+    3 bits of each axis vary fastest), not the batch entry's locality
+    (which needs corpus min/max bounds no endless stream has; the first
+    cut bucketed the TOP bits of a modular grid and the report
+    degenerated to 8 buckets with near-full spans on this fixture — the
+    pmod-undershoot vacuity NOTES.md documents for the batch form). The
+    interleave still buys hierarchical splitting: dropping one low
+    z-bit merges shard pairs that are adjacent in BOTH axes' low bits.
+    The drained store rolls up rows + user spread per shard; balance is
+    pinned by test."""
     from espkinesis_spark.functions import common as C
     from espkinesis_spark.functions import layout
 
@@ -667,10 +670,10 @@ def zorder_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_millis("ts").alias("t_ms"),
     )
-    # pre-1970 timestamps are out of contract for the modular grid: Spark's
-    # `div`/pmod truncate-vs-floor differs from DuckDB's `//`/`%` on
-    # NEGATIVE operands, so the oracle mirror only holds for t_ms >= 0
-    # (same non-negative-epoch assumption the as-of composite documents)
+    # pre-1970 timestamps are out of contract: Spark's `div`/pmod
+    # truncate-vs-floor differs from DuckDB's `//`/`%` on NEGATIVE
+    # operands, so the oracle mirror only holds for t_ms >= 0 (the same
+    # non-negative-epoch assumption the as-of composite documents)
     z = src.select(
         "event_id",
         "user_id",
@@ -681,11 +684,10 @@ def zorder_shard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     )
     store = _drain_to_memory(z, "st_zorder_sink", "append")
-    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
-    return store.groupBy(F.shiftright(F.col("z"), shift).alias("zbucket")).agg(
+    shards = 1 << C.ZORDER_REPORT_BITS
+    return store.groupBy(F.pmod(F.col("z"), F.lit(shards)).alias("zshard")).agg(
         F.count("*").cast("long").alias("n"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
-        (F.max("t_ms") - F.min("t_ms")).cast("long").alias("t_span_ms"),
     )
 
 

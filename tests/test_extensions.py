@@ -2806,3 +2806,18 @@ def test_knn_dedup_apply_keeps_cluster_representatives(spark, sf_dir):
     }
     assert got == want
     assert dropped, "apply is vacuous: no cluster member was dropped"
+
+
+def test_st_zorder_shards_are_balanced_and_full(spark, sf_dir):
+    """The streaming z-shard report must be NON-degenerate: all 64 low-bit
+    shards populated and balanced (no shard over 3x the mean) — the
+    property the first top-bits-of-modular-grid cut silently lacked
+    (8 buckets, near-full spans; caught by review)."""
+    from espkinesis_spark import queries
+
+    rows = queries.st_zorder_layout(spark, sf_dir).collect()
+    assert len(rows) == 1 << (C.ZORDER_REPORT_BITS), len(rows)
+    counts = [r["n"] for r in rows]
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 3 * mean, (max(counts), mean)
+    assert min(counts) > 0

@@ -145,8 +145,7 @@ def test_zorder_write_files_carry_tight_biaxial_stats(spark, sf_dir, tmp_path_fa
         )
 
     zf = file_spans(z, "z")
-    tf = file_spans(z.withColumnRenamed("t_ms", "t_sort").withColumn(
-        "t_ms", F.col("t_sort")), "t_sort")
+    tf = file_spans(z, "t_ms")  # counterfactual: a plain time sort
     assert len(zf) >= n_files // 2 and sum(r["n"] for r in zf) == ev.count()
     mean_u_z = sum(r["u_span"] for r in zf) / len(zf) / u_range
     mean_u_t = sum(r["u_span"] for r in tf) / len(tf) / u_range
