@@ -350,6 +350,36 @@ WHERE len(d.w) > 0 GROUP BY d.doc_id"""
     )
 
 
+def _bpe_fertility_sql() -> str:
+    """Per-language fertility over the shared trained-merge chain: the
+    per-doc encode aggregate re-grouped by the language dimension."""
+    parts, rounds = _bpe_ctes()
+    parts.append(
+        f"""final AS (SELECT w,
+  CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sub
+  FROM s{rounds + 1})"""
+    )
+    parts.append(
+        f"""docw AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS w
+  FROM documents)"""
+    )
+    parts.append(
+        """per AS (SELECT d.doc_id, count(*) AS n_words, sum(f.n_sub) AS n_sub
+  FROM docw d JOIN final f USING (w)
+  WHERE len(d.w) > 0 GROUP BY d.doc_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT l.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(per.n_words) AS BIGINT) AS n_words,
+       CAST(sum(per.n_sub) AS BIGINT) AS n_subwords,
+       round(sum(per.n_sub) * 1.0 / sum(per.n_words), 4) AS fertility
+FROM per JOIN documents l USING (doc_id) GROUP BY l.lang"""
+    )
+
+
 def _kmeans_sql() -> str:
     parts, cur = _kmeans_ctes()
     parts.append(_kmeans_assign_cte(cur, "af"))
@@ -1920,6 +1950,7 @@ GROUP BY source""",
     "ex_kmeans": _kmeans_sql(),
     "ex_bpe_train": _bpe_sql(),
     "ex_bpe_encode": _bpe_encode_sql(),
+    "ex_bpe_fertility": _bpe_fertility_sql(),
     "ex_ann_ivf_trained": _ann_ivf_trained_sql(),
     "ex_ann_pq": _ann_pq_sql(),
     "ex_ann_ivfpq": _ann_ivfpq_sql(),

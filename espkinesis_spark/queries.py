@@ -2278,6 +2278,30 @@ def ex_bpe_encode(spark, sf_dir):
     return text.bpe_encode(_t(spark, sf_dir, "documents"))
 
 
+def ex_bpe_fertility(spark, sf_dir):
+    """Tokenizer FAIRNESS rollup: fertility (subwords per word) of the
+    corpus-trained BPE, aggregated PER LANGUAGE — the standard
+    multilingual-tokenizer eval (a language whose fertility runs high
+    pays more sequence length per sentence and is effectively
+    undertrained at a fixed token budget). Rides the existing encode
+    chain (merge application on the vocab-sized distinct-words table
+    only), joins the language dimension, and reduces to one row per
+    language: doc/word/subword exact-integer sums and the 4-dp
+    fertility ratio derived from them."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = text.bpe_encode(docs)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.round(F.sum("n_subwords") / F.sum("n_words"), 4).alias("fertility"),
+        )
+    )
+
+
 def ex_domain_mix(spark, sf_dir):
     """Temperature-scaled domain-mixture sampling (weights ∝ sqrt(n),
     deterministic md5-bucket quotas): per-source docs, mix weight,
@@ -3730,15 +3754,15 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 layout: positions 1-14 hold this round's fourteen new
-    entries (tests/test_registry.py requires unproven ⊆ first-50); 15-19
+    round-10 layout: positions 1-15 hold this round's fifteen new
+    entries (tests/test_registry.py requires unproven ⊆ first-50); 16-20
     are the five entries whose SEMANTICS changed this round (the as-of
     pair's event-clock rebase + epoch fix, and the dq03/dq18/ex_except
     vacuity fixes — their old green rows proved vacuous or wrong
-    expressions, so they re-prove); 20-50 hold 31 of the 49 entries
+    expressions, so they re-prove); 21-50 hold 30 of the 49 entries
     whose latest green is still r6 (the oldest evidence anywhere). The
-    EIGHTEEN r6 leftovers that did not fit sit at the TAIL HEAD and
-    rotate first in r11 (ex_token_entropy, ex_ts_similarity,
+    NINETEEN r6 leftovers that did not fit sit at the TAIL HEAD and
+    rotate first in r11 (ex_tfidf, ex_token_entropy, ex_ts_similarity,
     st_ack_tracker, st_anomaly, st_command_plane, st_console_roundtrip,
     st_content_dedup, st_dedup, st_heavy_hitters, st_latest_user,
     st_override_asof, st_quality_gate, st_quality_model,
@@ -3747,12 +3771,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r7-green, r8-green, then r9-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-14: round-10 additions (unproven must sit here) ---
+        # --- window 1-15: round-10 additions (unproven must sit here) ---
         "ex_knn_clusters": ex_knn_clusters,
         "ex_knn_dedup_apply": ex_knn_dedup_apply,
         "ex_perplexity_buckets": ex_perplexity_buckets,
         "st_perplexity_buckets": st_perplexity_buckets,
         "ex_balance_classes_skew": ex_balance_classes_skew,
+        "ex_bpe_fertility": ex_bpe_fertility,
         "ex_balance_classes": ex_balance_classes,
         "ex_zorder_layout": ex_zorder_layout,
         "st_zorder_layout": st_zorder_layout,
@@ -3762,13 +3787,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_pq": ex_ann_pq,
         "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
-        # --- window 15-19: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
+        # --- window 16-20: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
         "dq03": dq03,
         "dq18": dq18,
         "ex_except": ex_except,
-        # --- window 20-50: 31 of the 49 r6-vintage entries (oldest evidence) ---
+        # --- window 21-50: 30 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3799,8 +3824,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_semdedup": ex_semdedup,
         "ex_simhash": ex_simhash,
         "ex_sketch_quantile": ex_sketch_quantile,
+        # --- tail head: the 19 r6 leftovers (rotate first in r11) ---
         "ex_tfidf": ex_tfidf,
-        # --- tail head: the 18 r6 leftovers (rotate first in r11) ---
         "ex_token_entropy": ex_token_entropy,
         "ex_ts_similarity": ex_ts_similarity,
         "st_ack_tracker": st_ack_tracker,
