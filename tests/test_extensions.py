@@ -2821,3 +2821,43 @@ def test_st_zorder_shards_are_balanced_and_full(spark, sf_dir):
     mean = sum(counts) / len(counts)
     assert max(counts) <= 3 * mean, (max(counts), mean)
     assert min(counts) > 0
+
+
+def test_z_value_bijective_and_monotone_python_model():
+    """Property test over the PYTHON twin of the interleave (the Spark
+    expression equals it — pinned by test_z_value_matches_python_interleave):
+    z is a bijection on the 16-bit grid square (deinterleave recovers
+    both coordinates) and is monotone in each coordinate when the other
+    is held fixed — the two facts the layout claims rest on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    grid = st.integers(min_value=0, max_value=(1 << C.ZORDER_BITS) - 1)
+
+    def z_py(x: int, y: int) -> int:
+        out = 0
+        for i in range(C.ZORDER_BITS):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    def unz_py(z: int) -> tuple[int, int]:
+        x = y = 0
+        for i in range(C.ZORDER_BITS):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    @given(x=grid, y=grid, d=st.integers(min_value=1, max_value=255))
+    @settings(max_examples=300, deadline=None)
+    def check(x: int, y: int, d: int) -> None:
+        z = z_py(x, y)
+        assert 0 <= z < 1 << (2 * C.ZORDER_BITS)
+        assert unz_py(z) == (x, y)  # bijective
+        hi = (1 << C.ZORDER_BITS) - 1
+        if x + d <= hi:
+            assert z_py(x + d, y) > z  # monotone in x at fixed y
+        if y + d <= hi:
+            assert z_py(x, y + d) > z  # monotone in y at fixed x
+
+    check()
