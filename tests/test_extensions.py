@@ -2861,3 +2861,33 @@ def test_z_value_bijective_and_monotone_python_model():
             assert z_py(x, y + d) > z  # monotone in y at fixed x
 
     check()
+
+
+def test_bpe_fertility_consistent_with_per_doc_encode(spark, sf_dir):
+    """Independent cross-entry recompute (the magnitude-audit discipline
+    for a mirrored-oracle ratio): the per-language rollup must equal
+    plain python sums over ex_bpe_encode's per-doc rows joined to the
+    lang dimension — and the fertility column must NOT be constant
+    across languages (the constant-payload vacuity class)."""
+    from espkinesis_spark import queries
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    agg: dict[str, list[int]] = {}
+    for r in queries.ex_bpe_encode(spark, sf_dir).collect():
+        a = agg.setdefault(langs[r["doc_id"]], [0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_words"]
+        a[2] += r["n_subwords"]
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_subwords"], r["fertility"])
+        for r in queries.ex_bpe_fertility(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (nd, nw, ns) in agg.items():
+        gnd, gnw, gns, fert = got[lang]
+        assert (gnd, gnw, gns) == (nd, nw, ns), lang
+        assert fert == round(ns / nw, 4), lang
+    assert len({f for _, _, _, f in got.values()}) > 1, "fertility constant"

@@ -11,7 +11,12 @@ runs every entry once and reports:
 - entries returning 0 rows (the whole comparison is vacuous),
 - columns that are NULL in EVERY row (a join/lookup leg never fires),
 - single-row entries where every numeric cell is 0 (scalar rollups
-  whose filters select nothing).
+  whose filters select nothing),
+- multi-row entries whose VALUE PAYLOAD is constant: at most one column
+  varies across >10 rows (the review-caught shape class — e.g. a
+  connected-components report that is secretly one giant cluster, or a
+  bucket report collapsed onto a single bucket; parity stays green
+  because the oracle replays the same degenerate math).
 
 Hits are REPORTED for review, not auto-failed: some are legitimate
 (an anti-join dedup report can be empty when there are no duplicates),
@@ -44,17 +49,32 @@ EXPECTED: dict[str, str] = {
     "approx-median range violations; empty = contract holds",
 }
 
+# entry -> why an (n > 10, at-most-one-varying-column) payload is correct
+EXPECTED_CONSTANT: dict[str, str] = {
+    "ex_dedup_exact": "the raw corpus is organically duplicate-free "
+    "below sf0.1, so every group's multiplicity is 1 at the gate SF "
+    "(verified: 0 dup groups at sf0.01, 8 at sf0.1 where n>1 fires); "
+    "the multiplicity leg is non-vacuously proven at every SF by dq18, "
+    "the deterministically-replicated twin added for exactly this "
+    "fixture fact",
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark()
-    empty, all_null, zero_scalar, broken = [], [], [], []
+    empty, all_null, zero_scalar, constant, broken = [], [], [], [], []
     for name, fn in queries.registry().items():
         try:
             df = fn(spark, sf_dir)
-            aggs = [F.count(F.lit(1)).alias("__n")] + [
-                F.count(c).alias(f"__nn_{i}") for i, c in enumerate(df.columns)
-            ]
+            aggs = (
+                [F.count(F.lit(1)).alias("__n")]
+                + [F.count(c).alias(f"__nn_{i}") for i, c in enumerate(df.columns)]
+                + [
+                    F.countDistinct(c).alias(f"__cd_{i}")
+                    for i, c in enumerate(df.columns)
+                ]
+            )
             row = df.agg(*aggs).collect()[0]
             n = row["__n"]
             if n == 0:
@@ -67,6 +87,17 @@ def main() -> None:
             ]
             if null_cols:
                 all_null.append((name, null_cols))
+            if n > 10 and len(df.columns) >= 2:
+                varying = sum(
+                    1
+                    for i in range(len(df.columns))
+                    if row[f"__cd_{i}"] > 1
+                )
+                if varying <= 1:
+                    constant.append(
+                        (name, [c for i, c in enumerate(df.columns)
+                                if row[f"__cd_{i}"] <= 1])
+                    )
             if n == 1:
                 # flag only when EVERY cell is degenerate (0 / None /
                 # empty string) — a single-row lookup whose id happens
@@ -82,10 +113,12 @@ def main() -> None:
         [e for e in empty if e not in EXPECTED]
         + [n for n, _ in all_null if n not in EXPECTED]
         + [z for z in zero_scalar if z not in EXPECTED]
+        + [c for c, _ in constant if c not in EXPECTED_CONSTANT]
     )
     print(f"empty ({len(empty)}): {empty}")
     print(f"all_null_columns ({len(all_null)}): {all_null}")
     print(f"all_zero_scalar ({len(zero_scalar)}): {zero_scalar}")
+    print(f"constant_payload ({len(constant)}): {constant}")
     print(f"broken ({len(broken)}): {broken}")
     if broken or unexplained:
         print(f"VACUITY AUDIT: REVIEW NEEDED — unexplained: {unexplained}")
