@@ -2708,6 +2708,11 @@ ORACLES["st_perplexity_buckets"] = ORACLES["ex_perplexity_buckets"]
 # slice's top-m), so the skew route shares the plain balance oracle
 ORACLES["ex_balance_classes_skew"] = ORACLES["ex_balance_classes"]
 
+# sampling / routing are row-local hash decisions, so the ingest-time
+# streaming legs drain exactly the batch result sets
+ORACLES["st_stratified_sample"] = ORACLES["ex_stratified_sample"]
+ORACLES["st_hash_split"] = ORACLES["ex_hash_split"]
+
 # streaming heavy hitters maintains the same token counts complete-mode;
 # the drained snapshot equals the batch table, so one oracle serves both
 ORACLES["st_heavy_hitters"] = ORACLES["ex_heavy_hitters"]

@@ -3718,6 +3718,26 @@ def st_text_stats(spark, sf_dir):
     return jobs.text_stats_stream(spark, sf_dir)
 
 
+def st_stratified_sample(spark, sf_dir):
+    """Streaming stratified sampling at ingest (rows the sampler drops
+    are never persisted — the production rebalancing placement): the
+    md5-bucket acceptance is row-local, hence a stateless zero-shuffle
+    stream projection. Shares ex_stratified_sample's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.stratified_sample_stream(spark, sf_dir)
+
+
+def st_hash_split(spark, sf_dir):
+    """Streaming train/val/test routing at ingest (stateless hash-bucket
+    projection; the writer partitions by split), with the per-split
+    per-language audit rolled up over the drained store. Shares
+    ex_hash_split's oracle."""
+    from espkinesis_spark.streaming import jobs
+
+    return jobs.hash_split_stream(spark, sf_dir)
+
+
 def st_perplexity_buckets(spark, sf_dir):
     """Streaming CCNet perplexity terciles: positional token extraction
     at ingest (stateless zero-shuffle), parquet drain, bigram LM +
@@ -3754,30 +3774,33 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 layout: positions 1-15 hold this round's fifteen new
-    entries (tests/test_registry.py requires unproven ⊆ first-50); 16-20
+    round-10 layout: positions 1-17 hold this round's seventeen new
+    entries (tests/test_registry.py requires unproven ⊆ first-50); 18-22
     are the five entries whose SEMANTICS changed this round (the as-of
     pair's event-clock rebase + epoch fix, and the dq03/dq18/ex_except
     vacuity fixes — their old green rows proved vacuous or wrong
-    expressions, so they re-prove); 21-50 hold 30 of the 49 entries
+    expressions, so they re-prove); 23-50 hold 28 of the 49 entries
     whose latest green is still r6 (the oldest evidence anywhere). The
-    NINETEEN r6 leftovers that did not fit sit at the TAIL HEAD and
-    rotate first in r11 (ex_tfidf, ex_token_entropy, ex_ts_similarity,
-    st_ack_tracker, st_anomaly, st_command_plane, st_console_roundtrip,
-    st_content_dedup, st_dedup, st_heavy_hitters, st_latest_user,
-    st_override_asof, st_quality_gate, st_quality_model,
-    st_session_window, st_sink_roundtrip, st_sliding_counts,
-    st_stream_join, st_window_counts); after them the tail lists
-    r7-green, r8-green, then r9-green entries (freshest evidence last).
+    TWENTY-ONE r6 leftovers that did not fit sit at the TAIL HEAD and
+    rotate first in r11 (ex_simhash, ex_sketch_quantile, ex_tfidf,
+    ex_token_entropy, ex_ts_similarity, st_ack_tracker, st_anomaly,
+    st_command_plane, st_console_roundtrip, st_content_dedup, st_dedup,
+    st_heavy_hitters, st_latest_user, st_override_asof,
+    st_quality_gate, st_quality_model, st_session_window,
+    st_sink_roundtrip, st_sliding_counts, st_stream_join,
+    st_window_counts); after them the tail lists r7-green, r8-green,
+    then r9-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-15: round-10 additions (unproven must sit here) ---
+        # --- window 1-17: round-10 additions (unproven must sit here) ---
         "ex_knn_clusters": ex_knn_clusters,
         "ex_knn_dedup_apply": ex_knn_dedup_apply,
         "ex_perplexity_buckets": ex_perplexity_buckets,
         "st_perplexity_buckets": st_perplexity_buckets,
         "ex_balance_classes_skew": ex_balance_classes_skew,
         "ex_bpe_fertility": ex_bpe_fertility,
+        "st_stratified_sample": st_stratified_sample,
+        "st_hash_split": st_hash_split,
         "ex_balance_classes": ex_balance_classes,
         "ex_zorder_layout": ex_zorder_layout,
         "st_zorder_layout": st_zorder_layout,
@@ -3787,13 +3810,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_pq": ex_ann_pq,
         "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
-        # --- window 16-20: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
+        # --- window 18-22: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
         "dq03": dq03,
         "dq18": dq18,
         "ex_except": ex_except,
-        # --- window 21-50: 30 of the 49 r6-vintage entries (oldest evidence) ---
+        # --- window 23-50: 28 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3822,9 +3845,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_retention": ex_retention,
         "ex_retention_matrix": ex_retention_matrix,
         "ex_semdedup": ex_semdedup,
+        # --- tail head: the 21 r6 leftovers (rotate first in r11) ---
         "ex_simhash": ex_simhash,
         "ex_sketch_quantile": ex_sketch_quantile,
-        # --- tail head: the 19 r6 leftovers (rotate first in r11) ---
         "ex_tfidf": ex_tfidf,
         "ex_token_entropy": ex_token_entropy,
         "ex_ts_similarity": ex_ts_similarity,

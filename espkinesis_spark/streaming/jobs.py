@@ -629,6 +629,36 @@ def text_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(text_stats(src), "st_text_stats_sink", "append")
 
 
+def stratified_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stratified sampling AT INGEST — the production placement
+    for rebalancing (rows the sampler drops are never persisted at all):
+    the md5-bucket acceptance is row-local, so the filter is a stateless
+    zero-shuffle projection on the stream. Shares
+    ex_stratified_sample's oracle."""
+    from espkinesis_spark.functions import sampling
+
+    src = _documents_stream(spark, sf_dir)
+    out = sampling.stratified_sample(
+        src, "lang", rates={"en": 10}, default_pct=50, key_col="doc_id"
+    ).select("doc_id", "lang", "source")
+    return _drain_to_memory(out, "st_stratified_sink", "append")
+
+
+def hash_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming train/val/test routing at ingest: the hash-bucket split
+    decision is row-local (stateless append projection — downstream the
+    writer partitions by split), the drained store rolls up the same
+    per-split-per-language audit. Shares ex_hash_split's oracle."""
+    from espkinesis_spark.functions import sampling
+
+    src = _documents_stream(spark, sf_dir)
+    split = sampling.hash_split(src, "doc_id", {"train": 90, "val": 5, "test": 5})
+    store = _drain_to_memory(
+        split.select("split", "lang"), "st_hash_split_sink", "append"
+    )
+    return store.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
 def perplexity_buckets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CCNet terciles: the positional token table is extracted
     AT INGEST (stateless zero-shuffle posexplode — the corpus text is
