@@ -884,6 +884,27 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
               FROM documents)
         SELECT doc_id, lang, CAST(rnk AS BIGINT) AS sample_rank
         FROM r, mm WHERE rnk <= mm.m""",
+    # token-budget mixture: identical double budget expression both
+    # engines (two IEEE ops -> bit-identical), md5-order prefix per source
+    "ex_token_budget_mix": f"""
+        WITH d AS (SELECT doc_id, source,
+                   CAST(len({_TOKS.format(t='text')}) AS BIGINT) AS n_tok
+                   FROM documents),
+        per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS ts
+                FROM d GROUP BY source),
+        tot AS (SELECT CAST(sum(ts) AS BIGINT) AS tt,
+                       sum(sqrt(CAST(ts AS DOUBLE))) AS z FROM per),
+        bud AS (SELECT source,
+                CAST(floor(round(sqrt(CAST(ts AS DOUBLE)) / z, 9) * tt / 2.0)
+                     AS BIGINT) AS budget
+                FROM per, tot),
+        c AS (SELECT doc_id, source, n_tok,
+              CAST(sum(n_tok) OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_cum
+              FROM d)
+        SELECT c.doc_id, c.source, c.n_tok, c.tok_cum
+        FROM c JOIN bud USING (source) WHERE c.tok_cum <= bud.budget""",
     "ex_zorder_layout": _zorder_layout_sql(modular_time=False),
     "st_zorder_layout": _zorder_layout_sql(modular_time=True),
     "ex_lang_id": _lang_id_sql(),

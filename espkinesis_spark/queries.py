@@ -2302,6 +2302,45 @@ def ex_bpe_fertility(spark, sf_dir):
     )
 
 
+def ex_token_budget_mix(spark, sf_dir):
+    """TOKEN-budget mixture: the pretraining-corpus assembly op — a
+    global token budget (50% of the corpus) is split across sources by
+    temperature weights (∝ sqrt of the source's token mass, 9-dp
+    rounded — the ex_domain_mix discipline), and each source
+    contributes its deterministic md5-order PREFIX of whole documents
+    until its budget is exhausted. Exact budgeting in tokens is what
+    real mixtures specify ("N billion tokens from source X") —
+    ex_domain_mix's rate-based acceptance only hits quotas in
+    expectation. The per-source budget is floor(p_s * T_total / 2)
+    computed with the IDENTICAL double expression in both engines
+    (bit-identical: two IEEE ops); at extreme corpus sizes the double
+    ulp perturbs the budget by a few tokens, which only moves the one
+    boundary document — budgets are approximate by nature, and the
+    cross-engine cut stays identical because the expression does.
+    Scale: one source-keyed token rollup, a broadcast weight table,
+    one per-source window cumsum (the pack_sequences shape)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    per = docs.groupBy("source").agg(F.sum("n_tok").alias("__ts"))
+    tot = per.agg(F.sum("__ts").alias("__tt"), F.sum(F.sqrt("__ts")).alias("__z"))
+    budgets = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            "CAST(floor(round(sqrt(__ts) / __z, 9) * __tt / 2.0) AS BIGINT)"
+        ).alias("__budget"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("tok_cum", F.sum("n_tok").over(w))
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("tok_cum") <= F.col("__budget"))
+        .select("doc_id", "source", "n_tok", "tok_cum")
+    )
+
+
 def ex_domain_mix(spark, sf_dir):
     """Temperature-scaled domain-mixture sampling (weights ∝ sqrt(n),
     deterministic md5-bucket quotas): per-source docs, mix weight,
@@ -3774,25 +3813,25 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 layout: positions 1-17 hold this round's seventeen new
-    entries (tests/test_registry.py requires unproven ⊆ first-50); 18-22
+    round-10 layout: positions 1-18 hold this round's eighteen new
+    entries (tests/test_registry.py requires unproven ⊆ first-50); 19-23
     are the five entries whose SEMANTICS changed this round (the as-of
     pair's event-clock rebase + epoch fix, and the dq03/dq18/ex_except
     vacuity fixes — their old green rows proved vacuous or wrong
-    expressions, so they re-prove); 23-50 hold 28 of the 49 entries
+    expressions, so they re-prove); 24-50 hold 27 of the 49 entries
     whose latest green is still r6 (the oldest evidence anywhere). The
-    TWENTY-ONE r6 leftovers that did not fit sit at the TAIL HEAD and
-    rotate first in r11 (ex_simhash, ex_sketch_quantile, ex_tfidf,
-    ex_token_entropy, ex_ts_similarity, st_ack_tracker, st_anomaly,
-    st_command_plane, st_console_roundtrip, st_content_dedup, st_dedup,
-    st_heavy_hitters, st_latest_user, st_override_asof,
-    st_quality_gate, st_quality_model, st_session_window,
-    st_sink_roundtrip, st_sliding_counts, st_stream_join,
-    st_window_counts); after them the tail lists r7-green, r8-green,
-    then r9-green entries (freshest evidence last).
+    TWENTY-TWO r6 leftovers that did not fit sit at the TAIL HEAD and
+    rotate first in r11 (ex_semdedup, ex_simhash, ex_sketch_quantile,
+    ex_tfidf, ex_token_entropy, ex_ts_similarity, st_ack_tracker,
+    st_anomaly, st_command_plane, st_console_roundtrip,
+    st_content_dedup, st_dedup, st_heavy_hitters, st_latest_user,
+    st_override_asof, st_quality_gate, st_quality_model,
+    st_session_window, st_sink_roundtrip, st_sliding_counts,
+    st_stream_join, st_window_counts); after them the tail lists
+    r7-green, r8-green, then r9-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-17: round-10 additions (unproven must sit here) ---
+        # --- window 1-18: round-10 additions (unproven must sit here) ---
         "ex_knn_clusters": ex_knn_clusters,
         "ex_knn_dedup_apply": ex_knn_dedup_apply,
         "ex_perplexity_buckets": ex_perplexity_buckets,
@@ -3801,6 +3840,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_bpe_fertility": ex_bpe_fertility,
         "st_stratified_sample": st_stratified_sample,
         "st_hash_split": st_hash_split,
+        "ex_token_budget_mix": ex_token_budget_mix,
         "ex_balance_classes": ex_balance_classes,
         "ex_zorder_layout": ex_zorder_layout,
         "st_zorder_layout": st_zorder_layout,
@@ -3810,13 +3850,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_pq": ex_ann_pq,
         "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
-        # --- window 18-22: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
+        # --- window 19-23: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
         "dq03": dq03,
         "dq18": dq18,
         "ex_except": ex_except,
-        # --- window 23-50: 28 of the 49 r6-vintage entries (oldest evidence) ---
+        # --- window 24-50: 27 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3844,8 +3884,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_quality_model": ex_quality_model,
         "ex_retention": ex_retention,
         "ex_retention_matrix": ex_retention_matrix,
+        # --- tail head: the 22 r6 leftovers (rotate first in r11) ---
         "ex_semdedup": ex_semdedup,
-        # --- tail head: the 21 r6 leftovers (rotate first in r11) ---
         "ex_simhash": ex_simhash,
         "ex_sketch_quantile": ex_sketch_quantile,
         "ex_tfidf": ex_tfidf,

@@ -2891,3 +2891,43 @@ def test_bpe_fertility_consistent_with_per_doc_encode(spark, sf_dir):
         assert (gnd, gnw, gns) == (nd, nw, ns), lang
         assert fert == round(ns / nw, 4), lang
     assert len({f for _, _, _, f in got.values()}) > 1, "fertility constant"
+
+
+def test_token_budget_mix_prefix_is_maximal(spark, sf_dir):
+    """Python recompute of the budgeting rule: per source, the kept set
+    must be exactly the maximal md5-order prefix of whole documents
+    within floor(p_s * T_total / 2) tokens — under budget, and the next
+    document would overflow it. Non-vacuity: every source keeps some
+    but not all documents' tokens."""
+    import hashlib
+    import math
+
+    from espkinesis_spark import queries
+    from espkinesis_spark.functions import text as text_fns
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.size(text_fns.tokens(F.col("text"))).alias("n_tok"))
+        .collect()
+    )
+    by_src: dict[str, list[tuple[str, int, int]]] = {}
+    for r in docs:
+        key = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        by_src.setdefault(r["source"], []).append((key, r["doc_id"], r["n_tok"]))
+    totals = {s: sum(t for _, _, t in rows) for s, rows in by_src.items()}
+    tt = sum(totals.values())
+    z = sum(math.sqrt(t) for t in totals.values())
+    kept = {}
+    for r in queries.ex_token_budget_mix(spark, sf_dir).collect():
+        kept.setdefault(r["source"], set()).add(r["doc_id"])
+    for s, rows in by_src.items():
+        budget = math.floor(round(math.sqrt(totals[s]) / z, 9) * tt / 2.0)
+        rows.sort()
+        cum, want = 0, set()
+        for _, doc_id, t in rows:
+            if cum + t > budget:
+                break
+            cum += t
+            want.add(doc_id)
+        assert kept.get(s, set()) == want, s
+        assert 0 < len(want) < len(rows), (s, len(want), len(rows))
