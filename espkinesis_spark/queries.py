@@ -3813,7 +3813,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 layout: positions 1-18 hold this round's eighteen new
+    round-10 final layout: positions 1-18 hold this round's eighteen new
     entries (tests/test_registry.py requires unproven ⊆ first-50); 19-23
     are the five entries whose SEMANTICS changed this round (the as-of
     pair's event-clock rebase + epoch fix, and the dq03/dq18/ex_except
