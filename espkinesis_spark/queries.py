@@ -2322,7 +2322,14 @@ def ex_token_budget_mix(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tok")
     )
-    per = docs.groupBy("source").agg(F.sum("n_tok").alias("__ts"))
+    # per feeds BOTH the grand total and the budget table — materialize the
+    # source-cardinality-sized rollup once so the corpus tokenize pass
+    # doesn't run twice (the Q11/winnow shared-consumer rule)
+    per = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tok").alias("__ts"))
+        .localCheckpoint(eager=True)
+    )
     tot = per.agg(F.sum("__ts").alias("__tt"), F.sum(F.sqrt("__ts")).alias("__z"))
     budgets = per.crossJoin(F.broadcast(tot)).select(
         "source",
