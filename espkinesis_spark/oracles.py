@@ -325,9 +325,11 @@ def _bpe_sql() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + finals
 
 
-def _bpe_encode_sql() -> str:
-    """Per-doc tokenization under the trained merges: join the final
-    per-word segmentation (s{rounds+1}) back to the exploded corpus."""
+def _bpe_apply_ctes() -> list[str]:
+    """The trained-merge chain + the TWO fragments every encode-side
+    oracle shares (the _knn_edge_ctes one-copy discipline): ``final``
+    (per-word subword count under the two-space segmentation
+    convention) and ``docw`` (the exploded corpus)."""
     parts, rounds = _bpe_ctes()
     parts.append(
         f"""final AS (SELECT w,
@@ -338,9 +340,15 @@ def _bpe_encode_sql() -> str:
         f"""docw AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS w
   FROM documents)"""
     )
+    return parts
+
+
+def _bpe_encode_sql() -> str:
+    """Per-doc tokenization under the trained merges: join the final
+    per-word segmentation back to the exploded corpus."""
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_bpe_apply_ctes())
         + """
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(f.n_sub) AS BIGINT) AS n_subwords,
@@ -353,16 +361,7 @@ WHERE len(d.w) > 0 GROUP BY d.doc_id"""
 def _bpe_fertility_sql() -> str:
     """Per-language fertility over the shared trained-merge chain: the
     per-doc encode aggregate re-grouped by the language dimension."""
-    parts, rounds = _bpe_ctes()
-    parts.append(
-        f"""final AS (SELECT w,
-  CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sub
-  FROM s{rounds + 1})"""
-    )
-    parts.append(
-        f"""docw AS (SELECT doc_id, unnest({_TOKS.format(t='text')}) AS w
-  FROM documents)"""
-    )
+    parts = _bpe_apply_ctes()
     parts.append(
         """per AS (SELECT d.doc_id, count(*) AS n_words, sum(f.n_sub) AS n_sub
   FROM docw d JOIN final f USING (w)
@@ -884,8 +883,10 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
               FROM documents)
         SELECT doc_id, lang, CAST(rnk AS BIGINT) AS sample_rank
         FROM r, mm WHERE rnk <= mm.m""",
-    # token-budget mixture: identical double budget expression both
-    # engines (two IEEE ops -> bit-identical), md5-order prefix per source
+    # token-budget mixture: every float op is a correctly-rounded IEEE
+    # primitive in a pinned order — z folds sqrt(ts) SEQUENTIALLY over
+    # sources sorted by name (list_reduce mirrors Spark's aggregate fold),
+    # so the budget is bit-identical; md5-order prefix per source
     "ex_token_budget_mix": f"""
         WITH d AS (SELECT doc_id, source,
                    CAST(len({_TOKS.format(t='text')}) AS BIGINT) AS n_tok
@@ -893,9 +894,15 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
         per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS ts
                 FROM d GROUP BY source),
         tot AS (SELECT CAST(sum(ts) AS BIGINT) AS tt,
-                       sum(sqrt(CAST(ts AS DOUBLE))) AS z FROM per),
+                       list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(
+                             list(ts ORDER BY source),
+                             s -> sqrt(CAST(s AS DOUBLE)))),
+                         (acc, x) -> acc + x) AS z
+                FROM per),
         bud AS (SELECT source,
-                CAST(floor(round(sqrt(CAST(ts AS DOUBLE)) / z, 9) * tt / 2.0)
+                CAST(floor(sqrt(CAST(ts AS DOUBLE)) / z * tt / 2.0)
                      AS BIGINT) AS budget
                 FROM per, tot),
         c AS (SELECT doc_id, source, n_tok,

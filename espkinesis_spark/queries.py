@@ -2311,14 +2311,17 @@ def ex_token_budget_mix(spark, sf_dir):
     until its budget is exhausted. Exact budgeting in tokens is what
     real mixtures specify ("N billion tokens from source X") —
     ex_domain_mix's rate-based acceptance only hits quotas in
-    expectation. The per-source budget is floor(p_s * T_total / 2)
-    computed with the IDENTICAL double expression in both engines
-    (bit-identical: two IEEE ops); at extreme corpus sizes the double
-    ulp perturbs the budget by a few tokens, which only moves the one
-    boundary document — budgets are approximate by nature, and the
-    cross-engine cut stays identical because the expression does.
-    Scale: one source-keyed token rollup, a broadcast weight table,
-    one per-source window cumsum (the pack_sequences shape)."""
+    expectation. The per-source budget floor(sqrt(ts)/z * tt / 2) is
+    BIT-identical across engines because every float op in it is a
+    correctly-rounded IEEE primitive evaluated in a pinned order:
+    sqrt/div/mul are single ops, and z (the one cross-row float sum)
+    is folded SEQUENTIALLY over sources sorted by name in both engines
+    (the ADC bit-stable-order discipline — a groupBy sum would be
+    partition-order-dependent, and a 9-dp round would hit the two
+    engines' different decimal-rounding rules). Scale: one source-keyed
+    token rollup (source-cardinality-sized, checkpointed for its two
+    consumers), a broadcast weight table, one per-source window cumsum
+    (the pack_sequences shape)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tok")
     )
@@ -2330,11 +2333,21 @@ def ex_token_budget_mix(spark, sf_dir):
         .agg(F.sum("n_tok").alias("__ts"))
         .localCheckpoint(eager=True)
     )
-    tot = per.agg(F.sum("__ts").alias("__tt"), F.sum(F.sqrt("__ts")).alias("__z"))
+    # z = Σ sqrt(ts) folded in sorted-source order (bit-stable); tt is an
+    # exact integer sum — both engines then evaluate the identical
+    # sqrt/div/mul/floor chain on identical inputs
+    tot = per.agg(
+        F.sum("__ts").alias("__tt"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, __ts))),"
+            " CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + sqrt(CAST(x.__ts AS DOUBLE)))"
+        ).alias("__z"),
+    )
     budgets = per.crossJoin(F.broadcast(tot)).select(
         "source",
         F.expr(
-            "CAST(floor(round(sqrt(__ts) / __z, 9) * __tt / 2.0) AS BIGINT)"
+            "CAST(floor(sqrt(CAST(__ts AS DOUBLE)) / __z * __tt / 2.0) AS BIGINT)"
         ).alias("__budget"),
     )
     w = Window.partitionBy("source").orderBy(

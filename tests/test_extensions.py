@@ -2916,12 +2916,14 @@ def test_token_budget_mix_prefix_is_maximal(spark, sf_dir):
         by_src.setdefault(r["source"], []).append((key, r["doc_id"], r["n_tok"]))
     totals = {s: sum(t for _, _, t in rows) for s, rows in by_src.items()}
     tt = sum(totals.values())
-    z = sum(math.sqrt(t) for t in totals.values())
+    z = 0.0  # the bit-stable fold: sqrt added in sorted-source order
+    for s in sorted(totals):
+        z += math.sqrt(float(totals[s]))
     kept = {}
     for r in queries.ex_token_budget_mix(spark, sf_dir).collect():
         kept.setdefault(r["source"], set()).add(r["doc_id"])
     for s, rows in by_src.items():
-        budget = math.floor(round(math.sqrt(totals[s]) / z, 9) * tt / 2.0)
+        budget = math.floor(math.sqrt(float(totals[s])) / z * tt / 2.0)
         rows.sort()
         cum, want = 0, set()
         for _, doc_id, t in rows:

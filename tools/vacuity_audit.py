@@ -67,13 +67,14 @@ def main() -> None:
     for name, fn in queries.registry().items():
         try:
             df = fn(spark, sf_dir)
+            # constancy via min/max (NOT countDistinct: one distinct
+            # aggregate per column triggers Spark's Expand rewrite and
+            # multiplies the scanned rows by ~1+n_columns — review catch)
             aggs = (
                 [F.count(F.lit(1)).alias("__n")]
                 + [F.count(c).alias(f"__nn_{i}") for i, c in enumerate(df.columns)]
-                + [
-                    F.countDistinct(c).alias(f"__cd_{i}")
-                    for i, c in enumerate(df.columns)
-                ]
+                + [F.min(c).alias(f"__mn_{i}") for i, c in enumerate(df.columns)]
+                + [F.max(c).alias(f"__mx_{i}") for i, c in enumerate(df.columns)]
             )
             row = df.agg(*aggs).collect()[0]
             n = row["__n"]
@@ -91,12 +92,12 @@ def main() -> None:
                 varying = sum(
                     1
                     for i in range(len(df.columns))
-                    if row[f"__cd_{i}"] > 1
+                    if row[f"__mn_{i}"] != row[f"__mx_{i}"]
                 )
                 if varying <= 1:
                     constant.append(
                         (name, [c for i, c in enumerate(df.columns)
-                                if row[f"__cd_{i}"] <= 1])
+                                if row[f"__mn_{i}"] == row[f"__mx_{i}"]])
                     )
             if n == 1:
                 # flag only when EVERY cell is degenerate (0 / None /
