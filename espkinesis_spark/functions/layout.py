@@ -62,6 +62,22 @@ def range_quantize(col: str, mn: str, mx: str, bits: int = C.ZORDER_BITS) -> Col
     ).cast("long")
 
 
+def bucket_axis_bits(bucket: Column, axis: int, report_bits: int = C.ZORDER_REPORT_BITS) -> Column:
+    """De-interleave one axis' bits out of a z-REPORT bucket id: axis 0 is
+    the LOW axis of each pair (x in ``z_value``), axis 1 the high (y).
+    For the 6-bit report bucket this returns the axis' 3-bit octile —
+    the exact top-3 grid bits of that axis (floor-div composition:
+    (v * 2^bits div span) div 2^(bits-3) == v * 8 div span), which is
+    what makes octile-range pruning LOSSLESS and monotone."""
+    out: Column | None = None
+    for i in range(report_bits // 2):
+        bit = F.shiftright(bucket, 2 * i + axis).bitwiseAND(F.lit(1))
+        term = F.shiftleft(bit, i)
+        out = term if out is None else out + term
+    assert out is not None
+    return out.cast("long")
+
+
 def zorder_write_plan(df: DataFrame, zcol: str, num_files: int) -> DataFrame:
     """The production z-ordered WRITE layout: range-partition the frame on
     the z-key (RangePartitioning — contiguous z-ranges per output file)

@@ -603,6 +603,67 @@ def ex_zorder_layout(spark, sf_dir):
     )
 
 
+def ex_zrange_query(spark, sf_dir):
+    """Z-range box query — the READ side of the z-order layout: a
+    (user-range × time-range) box is answered by first pruning to the
+    z-buckets whose octile rectangles intersect the box, then applying
+    the exact predicate to the survivors. The prefilter is LOSSLESS by
+    the floor-div composition identity (octile(v) = (v-lo)·8 div span
+    is monotone and equals the de-interleaved top-3 bucket bits), and
+    the oracle answers the SAME box with the direct predicate and NO
+    z-math at all — the equivalence IS the proof that bucket pruning
+    dismisses nothing (the ex_range_join pattern). The pruning itself
+    (≤25 of 64 octile cells for the quarter-box — half-range per axis
+    spans 4-5 octiles) is pinned by test, along with losslessness over
+    a sweep of box shapes; on a z-ordered file layout the same bucket
+    set becomes parquet file skipping via footer stats (tests/test_io's
+    write-path test)."""
+    from espkinesis_spark.functions import layout
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    bounds = ev.agg(
+        F.min("t_ms").alias("__mn"),
+        F.max("t_ms").alias("__mx"),
+        F.min("user_id").cast("long").alias("__umn"),
+        F.max("user_id").cast("long").alias("__umx"),
+    )
+    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    q = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("__uq", layout.range_quantize("user_id", "__umn", "__umx"))
+        .withColumn("__tq", layout.range_quantize("t_ms", "__mn", "__mx"))
+        .withColumn(
+            "__bucket",
+            F.shiftright(layout.z_value(F.col("__uq"), F.col("__tq")), shift),
+        )
+        # the middle-half box on each axis, in raw units (exact ints)
+        .withColumn("__qulo", F.expr("__umn + (__umx - __umn + 1) div 4"))
+        .withColumn("__quhi", F.expr("__umn + (3 * (__umx - __umn + 1)) div 4 - 1"))
+        .withColumn("__qtlo", F.expr("__mn + (__mx - __mn + 1) div 4"))
+        .withColumn("__qthi", F.expr("__mn + (3 * (__mx - __mn + 1)) div 4 - 1"))
+    )
+    pre = q.filter(
+        layout.bucket_axis_bits(F.col("__bucket"), 0).between(
+            F.expr("(__qulo - __umn) * 8 div (__umx - __umn + 1)"),
+            F.expr("(__quhi - __umn) * 8 div (__umx - __umn + 1)"),
+        )
+        & layout.bucket_axis_bits(F.col("__bucket"), 1).between(
+            F.expr("(__qtlo - __mn) * 8 div (__mx - __mn + 1)"),
+            F.expr("(__qthi - __mn) * 8 div (__mx - __mn + 1)"),
+        )
+    )
+    exact = pre.filter(
+        F.col("user_id").between(F.col("__qulo"), F.col("__quhi"))
+        & F.col("t_ms").between(F.col("__qtlo"), F.col("__qthi"))
+    )
+    return exact.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def ex_lang_id(spark, sf_dir):
     """Heuristic language identification."""
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
@@ -3833,17 +3894,17 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 final layout: positions 1-18 hold this round's eighteen new
-    entries (tests/test_registry.py requires unproven ⊆ first-50); 19-23
+    round-10 final layout: positions 1-19 hold this round's nineteen new
+    entries (tests/test_registry.py requires unproven ⊆ first-50); 20-24
     are the five entries whose SEMANTICS changed this round (the as-of
     pair's event-clock rebase + epoch fix, and the dq03/dq18/ex_except
     vacuity fixes — their old green rows proved vacuous or wrong
-    expressions, so they re-prove); 24-50 hold 27 of the 49 entries
+    expressions, so they re-prove); 25-50 hold 26 of the 49 entries
     whose latest green is still r6 (the oldest evidence anywhere). The
-    TWENTY-TWO r6 leftovers that did not fit sit at the TAIL HEAD and
-    rotate first in r11 (ex_semdedup, ex_simhash, ex_sketch_quantile,
-    ex_tfidf, ex_token_entropy, ex_ts_similarity, st_ack_tracker,
-    st_anomaly, st_command_plane, st_console_roundtrip,
+    TWENTY-THREE r6 leftovers that did not fit sit at the TAIL HEAD and
+    rotate first in r11 (ex_retention_matrix, ex_semdedup, ex_simhash,
+    ex_sketch_quantile, ex_tfidf, ex_token_entropy, ex_ts_similarity,
+    st_ack_tracker, st_anomaly, st_command_plane, st_console_roundtrip,
     st_content_dedup, st_dedup, st_heavy_hitters, st_latest_user,
     st_override_asof, st_quality_gate, st_quality_model,
     st_session_window, st_sink_roundtrip, st_sliding_counts,
@@ -3851,7 +3912,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r7-green, r8-green, then r9-green entries (freshest evidence last).
     """
     return {
-        # --- window 1-18: round-10 additions (unproven must sit here) ---
+        # --- window 1-19: round-10 additions (unproven must sit here) ---
         "ex_knn_clusters": ex_knn_clusters,
         "ex_knn_dedup_apply": ex_knn_dedup_apply,
         "ex_perplexity_buckets": ex_perplexity_buckets,
@@ -3861,6 +3922,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_stratified_sample": st_stratified_sample,
         "st_hash_split": st_hash_split,
         "ex_token_budget_mix": ex_token_budget_mix,
+        "ex_zrange_query": ex_zrange_query,
         "ex_balance_classes": ex_balance_classes,
         "ex_zorder_layout": ex_zorder_layout,
         "st_zorder_layout": st_zorder_layout,
@@ -3870,13 +3932,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_ann_pq": ex_ann_pq,
         "ex_ann_ivfpq": ex_ann_ivfpq,
         "st_repetition_stats": st_repetition_stats,
-        # --- window 19-23: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
+        # --- window 20-24: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
         "dq03": dq03,
         "dq18": dq18,
         "ex_except": ex_except,
-        # --- window 24-50: 27 of the 49 r6-vintage entries (oldest evidence) ---
+        # --- window 25-50: 26 of the 49 r6-vintage entries (oldest evidence) ---
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
@@ -3903,8 +3965,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_pagerank": ex_pagerank,
         "ex_quality_model": ex_quality_model,
         "ex_retention": ex_retention,
+        # --- tail head: the 23 r6 leftovers (rotate first in r11) ---
         "ex_retention_matrix": ex_retention_matrix,
-        # --- tail head: the 22 r6 leftovers (rotate first in r11) ---
         "ex_semdedup": ex_semdedup,
         "ex_simhash": ex_simhash,
         "ex_sketch_quantile": ex_sketch_quantile,

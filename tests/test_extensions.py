@@ -2933,3 +2933,70 @@ def test_token_budget_mix_prefix_is_maximal(spark, sf_dir):
             want.add(doc_id)
         assert kept.get(s, set()) == want, s
         assert 0 < len(want) < len(rows), (s, len(want), len(rows))
+
+
+def test_zrange_prefilter_prunes_and_is_lossless(spark, sf_dir):
+    """The z-bucket octile prefilter must PRUNE (keep < 64 of the 64
+    report buckets for the quarter-box) and must be LOSSLESS for many
+    box shapes: for a sweep of deterministic boxes, rows kept by the
+    bucket prefilter + exact predicate equal the direct predicate —
+    checked in plain python over the quantized table."""
+    from espkinesis_spark.functions import layout
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("long"), F.unix_millis("ts").alias("t_ms"))
+        .collect()
+    )
+    umn = min(r["user_id"] for r in ev); umx = max(r["user_id"] for r in ev)
+    mn = min(r["t_ms"] for r in ev); mx = max(r["t_ms"] for r in ev)
+    su, st_ = umx - umn + 1, mx - mn + 1
+
+    def oct_u(u): return (u - umn) * 8 // su
+    def oct_t(t): return (t - mn) * 8 // st_
+
+    boxes = [
+        (umn + su // 4, umn + 3 * su // 4 - 1, mn + st_ // 4, mn + 3 * st_ // 4 - 1),
+        (umn, umn, mn, mx),                      # 1-unit user slice
+        (umn, umx, mn + st_ // 2, mn + st_ // 2),  # 1-ms time slice
+        (umn + su // 8, umn + su // 3, mn + st_ // 5, mn + st_ // 2),
+        (umx, umx, mx, mx),                      # corner point
+    ]
+    for qulo, quhi, qtlo, qthi in boxes:
+        direct = [
+            r for r in ev
+            if qulo <= r["user_id"] <= quhi and qtlo <= r["t_ms"] <= qthi
+        ]
+        pre = [
+            r for r in ev
+            if oct_u(qulo) <= oct_u(r["user_id"]) <= oct_u(quhi)
+            and oct_t(qtlo) <= oct_t(r["t_ms"]) <= oct_t(qthi)
+        ]
+        exact = [
+            r for r in pre
+            if qulo <= r["user_id"] <= quhi and qtlo <= r["t_ms"] <= qthi
+        ]
+        assert len(exact) == len(direct), (qulo, quhi, qtlo, qthi)
+    # pruning effectiveness on the quarter-box: the half-range box spans
+    # 4-5 octiles per axis -> at most 25 of the 64 octile cells survive
+    qulo, quhi, qtlo, qthi = boxes[0]
+    kept_cells = (oct_u(quhi) - oct_u(qulo) + 1) * (oct_t(qthi) - oct_t(qtlo) + 1)
+    assert kept_cells < 64 and kept_cells <= 25, kept_cells
+    # and the de-interleave helper agrees with the direct octile math
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("long"), F.unix_millis("ts").alias("t_ms"))
+        .crossJoin(F.broadcast(spark.createDataFrame(
+            [(umn, umx, mn, mx)], "__umn long, __umx long, __mn long, __mx long")))
+        .withColumn("__uq", layout.range_quantize("user_id", "__umn", "__umx"))
+        .withColumn("__tq", layout.range_quantize("t_ms", "__mn", "__mx"))
+        .withColumn("__b", F.shiftright(layout.z_value(F.col("__uq"), F.col("__tq")), 26))
+        .select(
+            "user_id", "t_ms",
+            layout.bucket_axis_bits(F.col("__b"), 0).alias("bu"),
+            layout.bucket_axis_bits(F.col("__b"), 1).alias("bt"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["bu"] == oct_u(r["user_id"]) and r["bt"] == oct_t(r["t_ms"])
