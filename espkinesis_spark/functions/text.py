@@ -509,8 +509,11 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     float interpolation in the CUT itself, so the residual cross-engine
     risk is the one every 4-dp score column already carries (a doc whose
     avg(ln p) lands within 1 ulp of a .00005 boundary could round apart;
-    here a flip would also relabel the doc discretely — accepted under
-    the same empirically-engine-consistent rounding discipline as
+    a flip relabels that doc discretely — and because t1/t2 are the k-th
+    smallest of these same micro-scores, a flip AT a threshold score can
+    move t1/t2 themselves and relabel every doc tied at the old
+    threshold, not just the flipping doc — accepted under the same
+    empirically-engine-consistent rounding discipline as
     bigram_logprob/BM25, not claimed impossible). Documents with < 2
     tokens carry no LM score and emit no row (the bigram_logprob
     contract).

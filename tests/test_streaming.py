@@ -649,3 +649,33 @@ def test_winnow_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
     got = {tuple(r) for r in winnow_candidates_from(store).collect()}
     want = {tuple(r) for r in winnow_candidates_from(winnow_fingerprints(docs)).collect()}
     assert got == want and len(want) > 0
+
+
+def test_drain_rowstore_routes_by_source_size(spark, sf_dir, monkeypatch):
+    """The shared per-row drain policy (jobs._drain_rowstore) must pin
+    BOTH routes: below the source-size bound the fingerprint store
+    drains through the memory sink; with the bound forced to 0 the SAME
+    job crosses to the executor-parallel parquet drain — and the
+    analysis result over the drained store is identical either way
+    (route choice is a pure placement decision, never a semantics one)."""
+    from espkinesis_spark.streaming import jobs
+
+    def run():
+        return {
+            (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+            for r in jobs.image_neardup_stream(spark, sf_dir).collect()
+        }
+
+    # default bound (256 MB) >> any fixture table: memory route
+    monkeypatch.delenv("ESPK_MEMORY_DRAIN_MAX_BYTES", raising=False)
+    via_memory = run()
+    # the memory route leaves a registered sink table behind
+    assert spark.catalog.tableExists("st_image_neardup_sink")
+    spark.catalog.dropTempView("st_image_neardup_sink")
+
+    # bound forced to 0: every source is "too big", parquet route
+    monkeypatch.setenv("ESPK_MEMORY_DRAIN_MAX_BYTES", "0")
+    via_parquet = run()
+    # the parquet route never registers the memory-sink table
+    assert not spark.catalog.tableExists("st_image_neardup_sink")
+    assert via_parquet == via_memory and len(via_memory) > 0

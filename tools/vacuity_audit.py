@@ -89,16 +89,23 @@ def main() -> None:
             if null_cols:
                 all_null.append((name, null_cols))
             if n > 10 and len(df.columns) >= 2:
+                # all-NULL columns (non-null count 0) have min==max==None
+                # and would read as "constant" here — they are already
+                # reported via all_null_columns, so exclude them from the
+                # varying<=1 computation entirely (ADVICE r10)
+                live = [
+                    i for i in range(len(df.columns)) if row[f"__nn_{i}"] > 0
+                ]
                 varying = sum(
-                    1
-                    for i in range(len(df.columns))
-                    if row[f"__mn_{i}"] != row[f"__mx_{i}"]
+                    1 for i in live if row[f"__mn_{i}"] != row[f"__mx_{i}"]
                 )
-                if varying <= 1:
-                    constant.append(
-                        (name, [c for i, c in enumerate(df.columns)
-                                if row[f"__mn_{i}"] == row[f"__mx_{i}"]])
-                    )
+                const_cols = [
+                    df.columns[i]
+                    for i in live
+                    if row[f"__mn_{i}"] == row[f"__mx_{i}"]
+                ]
+                if len(live) >= 2 and varying <= 1 and const_cols:
+                    constant.append((name, const_cols))
             if n == 1:
                 # flag only when EVERY cell is degenerate (0 / None /
                 # empty string) — a single-row lookup whose id happens
