@@ -205,9 +205,22 @@ def _drain_rowstore(
     bound = int(
         os.environ.get("ESPK_MEMORY_DRAIN_MAX_BYTES", MEMORY_DRAIN_MAX_SOURCE_BYTES)
     )
-    if os.path.getsize(table_path(sf_dir, table)) > bound:
+    if _source_bytes(table_path(sf_dir, table)) > bound:
         return _drain_to_parquet(df, name)
     return _drain_to_memory(df, name, "append")
+
+
+def _source_bytes(path: str) -> int:
+    """On-disk bytes of a parquet source — file OR directory-style
+    table (os.path.getsize on a directory returns the ~4 KB inode size,
+    which would silently pin the router to the memory sink forever)."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, names in os.walk(path)
+            for f in names
+        )
+    return os.path.getsize(path)
 
 
 def latest_per_user_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,7 +456,10 @@ def video_dedup_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _documents_stream(spark, sf_dir)
     frames = sample_frames(attach_binary(src))
-    store = _drain_rowstore(frames, "st_video_dedup_apply_sink", sf_dir)
+    # several keyframe rows PER document (sample_frames explodes the
+    # payload) — the corpus-sized class _drain_rowstore excludes, so
+    # this store always takes the executor-parallel parquet drain
+    store = _drain_to_parquet(frames, "st_video_dedup_apply_sink")
     pairs = shared_frame_neardup(store).select(
         F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
     )
@@ -509,7 +525,9 @@ def video_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _documents_stream(spark, sf_dir)
     frames = sample_frames(attach_binary(src))
-    store = _drain_rowstore(frames, "st_video_neardup_sink", sf_dir)
+    # several keyframe rows per document — always the parquet drain
+    # (the _drain_rowstore policy routes only one-row-per-doc stores)
+    store = _drain_to_parquet(frames, "st_video_neardup_sink")
     return shared_frame_neardup(store)
 
 

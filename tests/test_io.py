@@ -180,10 +180,11 @@ def test_zrange_bucket_set_skips_zordered_files(spark, sf_dir, tmp_path_factory)
         F.max("user_id").cast("long").alias("umx"),
     ).first()
     umn, umx, mn, mx = b["umn"], b["umx"], b["mn"], b["mx"]
-    bounds = ev.agg(
-        F.min("t_ms").alias("__mn"), F.max("t_ms").alias("__mx"),
-        F.min("user_id").cast("long").alias("__umn"),
-        F.max("user_id").cast("long").alias("__umx"),
+    # reuse the collected bounds row — a second identical full-scan agg
+    # would just risk the two copies drifting apart in future edits
+    bounds = spark.range(1).select(
+        F.lit(mn).alias("__mn"), F.lit(mx).alias("__mx"),
+        F.lit(umn).alias("__umn"), F.lit(umx).alias("__umx"),
     )
     z = ev.crossJoin(F.broadcast(bounds)).select(
         "event_id", "user_id", "t_ms",
