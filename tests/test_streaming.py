@@ -679,3 +679,34 @@ def test_drain_rowstore_routes_by_source_size(spark, sf_dir, monkeypatch):
     # the parquet route never registers the memory-sink table
     assert not spark.catalog.tableExists("st_image_neardup_sink")
     assert via_parquet == via_memory and len(via_memory) > 0
+
+
+def test_video_frame_stores_never_use_memory_sink(spark, sf_dir):
+    """The per-FRAME video stores are several rows per document — the
+    corpus-sized class the drain policy excludes from memory-sink
+    routing — so both video legs must drain through the parquet sink
+    unconditionally: no memory-sink table may exist after a run."""
+    from espkinesis_spark.streaming import jobs
+
+    assert jobs.video_neardup_stream(spark, sf_dir).count() >= 0
+    assert not spark.catalog.tableExists("st_video_neardup_sink")
+    assert jobs.video_dedup_apply_stream(spark, sf_dir).count() > 0
+    assert not spark.catalog.tableExists("st_video_dedup_apply_sink")
+
+
+def test_source_bytes_sums_directory_style_tables(tmp_path):
+    """os.path.getsize on a directory returns the inode size (~4 KB),
+    which would silently pin the drain router to the memory sink for
+    any directory-style parquet table — _source_bytes must sum the
+    files underneath instead."""
+    from espkinesis_spark.streaming.jobs import _source_bytes
+
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"x" * 1000)
+    assert _source_bytes(str(f)) == 1000
+
+    d = tmp_path / "table.parquet"
+    (d / "part0").mkdir(parents=True)
+    (d / "part0" / "a.parquet").write_bytes(b"x" * 600)
+    (d / "b.parquet").write_bytes(b"x" * 400)
+    assert _source_bytes(str(d)) == 1000
