@@ -710,3 +710,99 @@ def test_source_bytes_sums_directory_style_tables(tmp_path):
     (d / "part0" / "a.parquet").write_bytes(b"x" * 600)
     (d / "b.parquet").write_bytes(b"x" * 400)
     assert _source_bytes(str(d)) == 1000
+
+
+def test_hash_split_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The in-stream complete-mode (split, lang) audit must accumulate
+    the exact batch counts across micro-batch splits — streaming-agg
+    state carries the partial counts between triggers (the single-file
+    fixture replay exercises only one micro-batch, so this pins the
+    multi-batch leg of the r11 plan change)."""
+    from espkinesis_spark.functions import sampling
+    from espkinesis_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    chunk_dir = tmp_path_factory.mktemp("hsplit_chunks")
+    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(3))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "docs"))
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "docs"))
+    )
+    pcts = {"train": 90, "val": 5, "test": 5}
+    agg = (
+        sampling.hash_split(src, "doc_id", pcts)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hsplit_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1  # genuinely multi-batch
+    got = {tuple(r) for r in spark.table("hsplit_mb").collect()}
+    want = {
+        tuple(r)
+        for r in sampling.hash_split(docs, "doc_id", pcts)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_zorder_stream_parquet_drain_multibatch_accumulates(
+    spark, sf_dir, tmp_path_factory
+):
+    """The z-shard store's parquet drain (the r11 reroute off the driver
+    memory sink) must accumulate EXACTLY the per-event z rows across
+    micro-batch splits — append-mode file-sink semantics, no loss, no
+    duplication — so the post-drain rollup equals the batch form."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import layout
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    chunk_dir = tmp_path_factory.mktemp("zshard_chunks")
+    ev.withColumn("__c", F.pmod(F.hash("event_id"), F.lit(3))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "ev"))
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "ev"))
+    )
+    grid = 1 << C.ZORDER_BITS
+
+    def zproj(df):
+        return df.select(
+            "event_id",
+            layout.z_value(
+                F.pmod(F.col("user_id"), F.lit(grid)).cast("long"),
+                F.pmod(F.expr("t_ms div 1000"), F.lit(grid)).cast("long"),
+            ).alias("z"),
+        )
+
+    out_dir = str(chunk_dir / "sink")
+    q = (
+        zproj(src)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(chunk_dir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) > 1  # genuinely multi-batch
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    want = {tuple(r) for r in zproj(ev).collect()}
+    assert got == want and len(want) > 0
