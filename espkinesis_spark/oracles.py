@@ -723,6 +723,105 @@ FROM c
 """
 
 
+# ---- shared perceptual-oracle fragments (the one-copy discipline: the
+# r10 review's _bpe_apply_ctes / _knn_edge_ctes precedent, applied to
+# the image/audio/video dedup family whose CTE chains had drifted into
+# four hand-copied variants each) ----
+
+# 16-bit LSH band packing over (doc_id, bitk, bit) rows — the tail every
+# Hamming-fingerprint chain shares
+_HAM_BANDS_CTE = f"""bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
+                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
+                              AS BIGINT) AS val
+                  FROM bits GROUP BY 1, 2)"""
+
+# image dHash derivation: length-gated docs -> strided gray pixels ->
+# horizontal brightness-gradient bits -> LSH bands
+_IMG_DHASH_CTES = f"""d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
+        px AS (SELECT doc_id, CAST(k AS INT) AS k,
+                      unicode(substr(text,
+                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
+               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
+        bits AS (SELECT a.doc_id,
+                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
+                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
+                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+                 FROM px a JOIN px b
+                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
+                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
+        {_HAM_BANDS_CTE}"""
+
+# audio envelope-hash derivation: length-gated docs -> windowed energy
+# sums -> envelope-gradient bits -> LSH bands
+_AUD_ENVELOPE_CTES = f"""d AS (SELECT doc_id, text FROM documents
+                   WHERE length(text) >= {C.AUD_FP_SAMPLES}),
+        w AS (SELECT doc_id, CAST(k AS INT) // {C.AUD_FP_WINDOW} AS win,
+                     sum(unicode(substr(text, CAST(k AS INT) + 1, 1)) % 256) AS e
+              FROM d, UNNEST(range({C.AUD_FP_SAMPLES})) t(k) GROUP BY 1, 2),
+        bits AS (SELECT a.doc_id, a.win AS bitk,
+                        CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+                 FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.win = a.win + 1
+                 WHERE a.win < {C.AUD_FP_SAMPLES // C.AUD_FP_WINDOW} - 1),
+        {_HAM_BANDS_CTE}"""
+
+# video keyframe sampling: per-doc 64-char frames, every 3rd sampled,
+# hot frames df-capped
+_VID_FRAME_CTES = f"""f AS (SELECT doc_id, text,
+            unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+              AS frame_idx
+            FROM documents),
+        fr AS (SELECT DISTINCT doc_id,
+                      md5(substring(text, frame_idx * 64 + 1, 64)) AS h
+               FROM f WHERE frame_idx % 3 = 0),
+        rare AS (SELECT h FROM fr GROUP BY h
+                 HAVING count(*) <= {C.VID_FRAME_DF_CAP})"""
+
+# shared-band candidate pairs, ordered (the banding rule)
+_HAM_CAND_CTE = """cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)"""
+
+
+def _ham_verify_select(alias_a: str, alias_b: str, max_ham: int) -> str:
+    """Exact xor-popcount verify over the banded candidates (terminal
+    SELECT of the neardup report oracles)."""
+    return f"""SELECT cand.ia AS {alias_a}, cand.ib AS {alias_b},
+               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
+        FROM cand
+        JOIN bands x ON x.doc_id = cand.ia
+        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
+        GROUP BY 1, 2
+        HAVING sum(bit_count(xor(x.val, y.val))) <= {max_ham}"""
+
+
+def _ham_pairs_cte(max_ham: int) -> str:
+    """The same exact verify as a CTE (apply oracles feed it to CC)."""
+    return f"""pairs AS (SELECT cand.ia AS da, cand.ib AS db
+                  FROM cand
+                  JOIN bands x ON x.doc_id = cand.ia
+                  JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
+                  GROUP BY 1, 2
+                  HAVING sum(bit_count(xor(x.val, y.val))) <= {max_ham})"""
+
+
+# recursive-CTE connected components over undirected pairs(da, db), the
+# non-canonical drop set, and the per-source survivor rollup — the tail
+# every *_dedup_apply oracle shares
+_CC_APPLY_EPILOGUE = """edges AS (SELECT da AS u, db AS v FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
+        ),
+        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+        GROUP BY source"""
+
+
 ORACLES: dict[str, str] = {
     "dq01": "SELECT COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id FROM events",
     "dq02": """SELECT event_id,
@@ -1460,33 +1559,9 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
     # grids (unit-tested), so the oracle re-derives pixels/samples from
     # the text and replays the integer-exact bits/bands/Hamming pipeline.
     "ex_image_neardup": f"""
-        WITH d AS (SELECT doc_id, text FROM documents
-                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
-        px AS (SELECT doc_id, CAST(k AS INT) AS k,
-                      unicode(substr(text,
-                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
-               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
-        bits AS (SELECT a.doc_id,
-                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
-                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
-                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
-                 FROM px a JOIN px b
-                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
-                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
-        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
-                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
-                              AS BIGINT) AS val
-                  FROM bits GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
-        SELECT cand.ia AS doc_id_a, cand.ib AS doc_id_b,
-               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
-        FROM cand
-        JOIN bands x ON x.doc_id = cand.ia
-        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
-        GROUP BY 1, 2
-        HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+        WITH {_IMG_DHASH_CTES},
+        {_HAM_CAND_CTE}
+        {_ham_verify_select('doc_id_a', 'doc_id_b', C.IMG_HAM_MAX)}""",
     # the correlated form the Spark plan decorrelates: one row per sole
     # late (supplier, order) via EXISTS (another supplier on the order)
     # AND NOT EXISTS (another LATE supplier on the order); numwait counts
@@ -1511,184 +1586,49 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
     # the audio-neardup chain + recursive connected components + the
     # drop-set anti join (the same dedup_apply tail as the image chain)
     "ex_audio_dedup_apply": f"""
-        WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
-                   WHERE length(text) >= {C.AUD_FP_SAMPLES}),
-        w AS (SELECT doc_id, CAST(k AS INT) // {C.AUD_FP_WINDOW} AS win,
-                     sum(unicode(substr(text, CAST(k AS INT) + 1, 1)) % 256) AS e
-              FROM d, UNNEST(range({C.AUD_FP_SAMPLES})) t(k) GROUP BY 1, 2),
-        bits AS (SELECT a.doc_id, a.win AS bitk,
-                        CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
-                 FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.win = a.win + 1
-                 WHERE a.win < {C.AUD_FP_SAMPLES // C.AUD_FP_WINDOW} - 1),
-        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
-                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
-                              AS BIGINT) AS val
-                  FROM bits GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
-        pairs AS (SELECT cand.ia AS da, cand.ib AS db
-                  FROM cand
-                  JOIN bands x ON x.doc_id = cand.ia
-                  JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
-                  GROUP BY 1, 2
-                  HAVING sum(bit_count(xor(x.val, y.val))) <= {C.AUD_HAM_MAX}),
-        edges AS (SELECT da AS u, db AS v FROM pairs
-                  UNION ALL SELECT db, da FROM pairs),
-        reach(node, r) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
-        ),
-        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
-        GROUP BY source""",
+        WITH RECURSIVE {_AUD_ENVELOPE_CTES},
+        {_HAM_CAND_CTE},
+        {_ham_pairs_cte(C.AUD_HAM_MAX)},
+        {_CC_APPLY_EPILOGUE}""",
     # the video shared-keyframe chain + the same CC/apply tail
     "ex_video_dedup_apply": f"""
-        WITH RECURSIVE f AS (SELECT doc_id, text,
-            unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
-              AS frame_idx
-            FROM documents),
-        fr AS (SELECT DISTINCT doc_id,
-                      md5(substring(text, frame_idx * 64 + 1, 64)) AS h
-               FROM f WHERE frame_idx % 3 = 0),
-        rare AS (SELECT h FROM fr GROUP BY h
-                 HAVING count(*) <= {C.VID_FRAME_DF_CAP}),
+        WITH RECURSIVE {_VID_FRAME_CTES},
         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
                   FROM fr a JOIN rare USING (h)
                   JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
                   GROUP BY 1, 2
                   HAVING count(*) >= {C.VID_SHARED_FRAMES}),
-        edges AS (SELECT da AS u, db AS v FROM pairs
-                  UNION ALL SELECT db, da FROM pairs),
-        reach(node, r) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
-        ),
-        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
-        GROUP BY source""",
+        {_CC_APPLY_EPILOGUE}""",
     # the image chain with the INCREMENTAL candidate rule: new-batch
     # (doc_id % 10 == 0) bands join the corpus store only
     "ex_image_neardup_incr": f"""
-        WITH d AS (SELECT doc_id, text FROM documents
-                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
-        px AS (SELECT doc_id, CAST(k AS INT) AS k,
-                      unicode(substr(text,
-                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
-               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
-        bits AS (SELECT a.doc_id,
-                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
-                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
-                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
-                 FROM px a JOIN px b
-                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
-                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
-        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
-                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
-                              AS BIGINT) AS val
-                  FROM bits GROUP BY 1, 2),
+        WITH {_IMG_DHASH_CTES},
         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.val = b.val
                  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
-        SELECT cand.ia AS doc_new, cand.ib AS doc_old,
-               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
-        FROM cand
-        JOIN bands x ON x.doc_id = cand.ia
-        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
-        GROUP BY 1, 2
-        HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+        {_ham_verify_select('doc_new', 'doc_old', C.IMG_HAM_MAX)}""",
     # the image-neardup chain with bucket_bands=2 candidates: two adjacent
     # bands form one bucket keyed by the band-ordered value concatenation
     # (exactly hamming_neardup's grouped-bucket rule)
     "ex_image_neardup_wide": f"""
-        WITH d AS (SELECT doc_id, text FROM documents
-                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
-        px AS (SELECT doc_id, CAST(k AS INT) AS k,
-                      unicode(substr(text,
-                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
-               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
-        bits AS (SELECT a.doc_id,
-                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
-                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
-                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
-                 FROM px a JOIN px b
-                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
-                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
-        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
-                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
-                              AS BIGINT) AS val
-                  FROM bits GROUP BY 1, 2),
+        WITH {_IMG_DHASH_CTES},
         gb AS (SELECT doc_id, CAST(band // 2 AS INT) AS grp,
                       string_agg(CAST(val AS VARCHAR), ',' ORDER BY band) AS key
                FROM bands GROUP BY 1, 2),
         cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
                  FROM gb a JOIN gb b
                    ON a.grp = b.grp AND a.key = b.key AND a.doc_id < b.doc_id)
-        SELECT cand.ia AS doc_id_a, cand.ib AS doc_id_b,
-               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
-        FROM cand
-        JOIN bands x ON x.doc_id = cand.ia
-        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
-        GROUP BY 1, 2
-        HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}""",
+        {_ham_verify_select('doc_id_a', 'doc_id_b', C.IMG_HAM_MAX)}""",
     # the image-neardup hash/band/hamming chain + recursive connected
     # components + the drop-set anti join (the dedup_apply tail)
     "ex_image_dedup_apply": f"""
-        WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
-                   WHERE length(text) >= {C.IMG_MIN_CHARS}),
-        px AS (SELECT doc_id, CAST(k AS INT) AS k,
-                      unicode(substr(text,
-                          CAST(k * {C.IMG_STRIDE} AS INT) + 1, 1)) % 256 AS g
-               FROM d, UNNEST(range({C.IMG_DHASH_COLS * C.IMG_DHASH_ROWS})) t(k)),
-        bits AS (SELECT a.doc_id,
-                        (a.k // {C.IMG_DHASH_COLS}) * ({C.IMG_DHASH_COLS} - 1)
-                          + (a.k % {C.IMG_DHASH_COLS}) AS bitk,
-                        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
-                 FROM px a JOIN px b
-                   ON b.doc_id = a.doc_id AND b.k = a.k + 1
-                 WHERE a.k % {C.IMG_DHASH_COLS} < {C.IMG_DHASH_COLS} - 1),
-        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
-                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
-                              AS BIGINT) AS val
-                  FROM bits GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
-        pairs AS (SELECT cand.ia AS da, cand.ib AS db
-                  FROM cand
-                  JOIN bands x ON x.doc_id = cand.ia
-                  JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
-                  GROUP BY 1, 2
-                  HAVING sum(bit_count(xor(x.val, y.val))) <= {C.IMG_HAM_MAX}),
-        edges AS (SELECT da AS u, db AS v FROM pairs
-                  UNION ALL SELECT db, da FROM pairs),
-        reach(node, r) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
-        ),
-        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
-        GROUP BY source""",
+        WITH RECURSIVE {_IMG_DHASH_CTES},
+        {_HAM_CAND_CTE},
+        {_ham_pairs_cte(C.IMG_HAM_MAX)},
+        {_CC_APPLY_EPILOGUE}""",
     "ex_video_neardup": f"""
-        WITH f AS (SELECT doc_id, text,
-            unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
-              AS frame_idx
-            FROM documents),
-        fr AS (SELECT DISTINCT doc_id,
-                      md5(substring(text, frame_idx * 64 + 1, 64)) AS h
-               FROM f WHERE frame_idx % 3 = 0),
-        rare AS (SELECT h FROM fr GROUP BY h
-                 HAVING count(*) <= {C.VID_FRAME_DF_CAP})
+        WITH {_VID_FRAME_CTES}
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                CAST(count(*) AS BIGINT) AS n_shared
         FROM fr a JOIN rare USING (h)
@@ -1696,29 +1636,9 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
         GROUP BY 1, 2
         HAVING count(*) >= {C.VID_SHARED_FRAMES}""",
     "ex_audio_neardup": f"""
-        WITH d AS (SELECT doc_id, text FROM documents
-                   WHERE length(text) >= {C.AUD_FP_SAMPLES}),
-        w AS (SELECT doc_id, CAST(k AS INT) // {C.AUD_FP_WINDOW} AS win,
-                     sum(unicode(substr(text, CAST(k AS INT) + 1, 1)) % 256) AS e
-              FROM d, UNNEST(range({C.AUD_FP_SAMPLES})) t(k) GROUP BY 1, 2),
-        bits AS (SELECT a.doc_id, a.win AS bitk,
-                        CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
-                 FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.win = a.win + 1
-                 WHERE a.win < {C.AUD_FP_SAMPLES // C.AUD_FP_WINDOW} - 1),
-        bands AS (SELECT doc_id, CAST(bitk // {C.HAM_BAND_BITS} AS INT) AS band,
-                         CAST(sum(bit * (1 << (bitk % {C.HAM_BAND_BITS})))
-                              AS BIGINT) AS val
-                  FROM bits GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
-        SELECT cand.ia AS doc_id_a, cand.ib AS doc_id_b,
-               CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
-        FROM cand
-        JOIN bands x ON x.doc_id = cand.ia
-        JOIN bands y ON y.doc_id = cand.ib AND y.band = x.band
-        GROUP BY 1, 2
-        HAVING sum(bit_count(xor(x.val, y.val))) <= {C.AUD_HAM_MAX}""",
+        WITH {_AUD_ENVELOPE_CTES},
+        {_HAM_CAND_CTE}
+        {_ham_verify_select('doc_id_a', 'doc_id_b', C.AUD_HAM_MAX)}""",
     # --- round 2 additions ---
     "ex_dedup_clusters": f"""
 WITH RECURSIVE {_SHINGLES},
@@ -1884,20 +1804,10 @@ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
-j AS (SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da
+pairs AS (SELECT da, db FROM inter JOIN sizes sa ON sa.doc_id = da
       JOIN sizes sb ON sb.doc_id = db
       WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {C.JACCARD_THRESHOLD}),
-edges AS (SELECT da AS u, db AS v FROM j UNION ALL SELECT db, da FROM j),
-reach(node, r) AS (
-    SELECT u, u FROM edges
-    UNION
-    SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
-),
-drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
-GROUP BY source""",
+{_CC_APPLY_EPILOGUE}""",
     "ex_ann_recall": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, {_cos('a.e', 'b.e')} AS cos
@@ -2727,18 +2637,7 @@ FROM j WHERE jac >= {C.JACCARD_THRESHOLD}""",
                     ON a.fp = b.fp AND a.doc_id < b.doc_id
                   GROUP BY 1, 2
                   HAVING count(*) >= {C.WINNOW_MIN_SHARED}),
-        edges AS (SELECT da AS u, db AS v FROM pairs
-                  UNION ALL SELECT db, da FROM pairs),
-        reach(node, r) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.node = e.v
-        ),
-        drops AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
-        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
-        GROUP BY source""",
+        {_CC_APPLY_EPILOGUE}""",
 }
 
 # the streaming-lambda anomaly entry drains the identical hourly table
