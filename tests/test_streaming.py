@@ -155,16 +155,7 @@ def test_multibatch_replay_equals_single_batch(spark, sf_dir, tmp_path_factory):
     from espkinesis_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    chunk_dir = tmp_path_factory.mktemp("chunks")
-    ev.withColumn("__c", F.pmod(F.hash("user_id"), F.lit(4))).write.partitionBy(
-        "__c"
-    ).mode("overwrite").parquet(str(chunk_dir / "ev"))
-
-    src = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(chunk_dir / "ev"))
-    )
+    src = _chunked_replay(spark, tmp_path_factory, "mb", ev, "user_id", n_chunks=4)
     agg = src.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s")
     )
@@ -388,24 +379,30 @@ def test_keyed_sink_trigger_cadence_modes(spark, tmp_path):
         q2.stop()
 
 
-def _chunked_doc_stream(spark, sf_dir, tmp_path_factory, label, n_chunks=3):
-    """Shared multi-micro-batch replay scaffolding for the stream-vs-batch
-    document tests: write the documents table chunked by a doc_id hash,
-    return (batch_docs, streaming_source) where the source replays one
+def _chunked_replay(spark, tmp_path_factory, label, df, key_col, n_chunks=3):
+    """Generic multi-micro-batch replay scaffolding: write ``df`` chunked
+    by a hash of ``key_col``, return a streaming source that replays one
     chunk file per micro-batch under availableNow."""
+    chunk_dir = tmp_path_factory.mktemp(f"{label}_chunks")
+    df.withColumn("__c", F.pmod(F.hash(key_col), F.lit(n_chunks))).write.partitionBy(
+        "__c"
+    ).mode("overwrite").parquet(str(chunk_dir / "data"))
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir / "data"))
+    )
+
+
+def _chunked_doc_stream(spark, sf_dir, tmp_path_factory, label, n_chunks=3):
+    """The documents-table form of ``_chunked_replay`` (the common case):
+    returns (batch_docs, streaming_source)."""
     from espkinesis_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chunk_dir = tmp_path_factory.mktemp(f"{label}_chunks")
-    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(n_chunks))).write.partitionBy(
-        "__c"
-    ).mode("overwrite").parquet(str(chunk_dir / "docs"))
-    src = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(chunk_dir / "docs"))
+    return docs, _chunked_replay(
+        spark, tmp_path_factory, label, docs, "doc_id", n_chunks
     )
-    return docs, src
 
 
 def test_quality_gate_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
@@ -688,7 +685,7 @@ def test_video_frame_stores_never_use_memory_sink(spark, sf_dir):
     unconditionally: no memory-sink table may exist after a run."""
     from espkinesis_spark.streaming import jobs
 
-    assert jobs.video_neardup_stream(spark, sf_dir).count() >= 0
+    assert jobs.video_neardup_stream(spark, sf_dir).count() > 0
     assert not spark.catalog.tableExists("st_video_neardup_sink")
     assert jobs.video_dedup_apply_stream(spark, sf_dir).count() > 0
     assert not spark.catalog.tableExists("st_video_dedup_apply_sink")
@@ -722,15 +719,7 @@ def test_hash_split_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_facto
     from espkinesis_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    chunk_dir = tmp_path_factory.mktemp("hsplit_chunks")
-    docs.withColumn("__c", F.pmod(F.hash("doc_id"), F.lit(3))).write.partitionBy(
-        "__c"
-    ).mode("overwrite").parquet(str(chunk_dir / "docs"))
-    src = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(chunk_dir / "docs"))
-    )
+    src = _chunked_replay(spark, tmp_path_factory, "hsplit", docs, "doc_id")
     pcts = {"train": 90, "val": 5, "test": 5}
     agg = (
         sampling.hash_split(src, "doc_id", pcts)
@@ -771,15 +760,8 @@ def test_zorder_stream_parquet_drain_multibatch_accumulates(
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_millis("ts").alias("t_ms")
     )
-    chunk_dir = tmp_path_factory.mktemp("zshard_chunks")
-    ev.withColumn("__c", F.pmod(F.hash("event_id"), F.lit(3))).write.partitionBy(
-        "__c"
-    ).mode("overwrite").parquet(str(chunk_dir / "ev"))
-    src = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(chunk_dir / "ev"))
-    )
+    src = _chunked_replay(spark, tmp_path_factory, "zshard", ev, "event_id")
+    sink_dir = tmp_path_factory.mktemp("zshard_sink")
     grid = 1 << C.ZORDER_BITS
 
     def zproj(df):
@@ -791,18 +773,22 @@ def test_zorder_stream_parquet_drain_multibatch_accumulates(
             ).alias("z"),
         )
 
-    out_dir = str(chunk_dir / "sink")
+    out_dir = str(sink_dir / "data")
     q = (
         zproj(src)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", str(chunk_dir / "ckpt"))
+        .option("checkpointLocation", str(sink_dir / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     assert len(q.recentProgress) > 1  # genuinely multi-batch
-    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    drained = spark.read.parquet(out_dir)
+    # exact count pins NO-DUPLICATION (a set compare alone would collapse
+    # a twice-written micro-batch); the set compare pins no-loss
+    assert drained.count() == ev.count()
+    got = {tuple(r) for r in drained.collect()}
     want = {tuple(r) for r in zproj(ev).collect()}
     assert got == want and len(want) > 0

@@ -46,6 +46,11 @@ from espkinesis_spark.session import get_spark
 # per decade; true per-row stores grow the full ~10x)
 GROWTH_LIMIT = 5.0
 
+# absolute floor: a store this small at the BIG SF is trivially bounded
+# even when its growth ratio is large or infinite (a 0 -> 5 row alert
+# sink would otherwise flag with ratio=inf), so it never flags
+MIN_FLAG_ROWS = 1000
+
 # sink name -> why >GROWTH_LIMIT growth is correct for this store
 EXPECTED_GROWTH: dict[str, str] = {
     "st_image_neardup_sink": "policy-routed per-doc fingerprint store: "
@@ -79,6 +84,11 @@ def _run_entries(spark, sf_dir: str):
         for qname in sorted(jobs.LAST_STREAM_PLANS):
             if spark.catalog.tableExists(qname):
                 sizes[qname] = spark.table(qname).count()
+                # drop after counting: memory-sink temp views persist in
+                # the session, and a later run that routes the SAME query
+                # name to the parquet drain would otherwise read this
+                # run's stale table as a phantom memory-sink store
+                spark.catalog.dropTempView(qname)
         out[name] = (sizes, n_result)
     return out
 
@@ -99,7 +109,7 @@ def main() -> None:
         for sink in sorted(set(lo_sizes) | set(hi_sizes)):
             a, b = lo_sizes.get(sink, 0), hi_sizes.get(sink, 0)
             ratio = (b / a) if a else (float("inf") if b else 1.0)
-            if ratio <= GROWTH_LIMIT:
+            if ratio <= GROWTH_LIMIT or b < MIN_FLAG_ROWS:
                 status = "ok"
             elif b == hi_result:
                 status = "result leg (sink rows == returned rows)"
