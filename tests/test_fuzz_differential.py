@@ -1,0 +1,126 @@
+"""Randomized differential fuzz of the relational core (SQLancer-style).
+
+Every declared registry entry is a FIXED query checked against a FIXED
+oracle; this suite instead GENERATES filter/group/aggregate specs with
+hypothesis and compiles each spec twice — once to a DataFrame plan (the
+engine's real user surface, NOT spark.sql, so Catalyst's DataFrame path
+is what's exercised) and once to DuckDB SQL — then compares results with
+the exact driver-gate comparator. Random predicates reach corners fixed
+queries never do (empty selections, one-row groups, boundary literals,
+IN-lists that match nothing).
+
+Determinism discipline (the cross-engine float rules from NOTES.md):
+aggregates are restricted to order-exact operations — count(*), exact
+integer sums, and min/max on doubles (selection, not accumulation).
+A float SUM would be partition-order-dependent and falsely diverge;
+comparisons against double literals are exact because both engines
+parse the same decimal literal to the same IEEE double and compare
+per-row. Modulus appears only on user_id, which is non-negative in the
+fixture — Spark pmod/% and DuckDB % diverge on NEGATIVE operands (the
+NOTES.md cross-engine rule), so the spec space deliberately never
+applies % to a signed expression.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from espkinesis_spark.tables import load_table
+from tests.oracle_util import compare, duck_connection
+
+EVENT_TYPES = ["click", "view", "purchase", "login", "error"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_ctx(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev = ev.localCheckpoint(eager=True)  # one scan; 40 examples re-use it
+    con = duck_connection(sf_dir)
+    types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    return ev, con, types
+
+
+_SPEC = st.fixed_dictionaries(
+    {
+        # user_id predicate (or none)
+        "u_op": st.sampled_from(["<", ">=", "%", "none"]),
+        "u_lit": st.integers(min_value=0, max_value=200),
+        # value predicate against a 2-dp double literal (or none)
+        "v_op": st.sampled_from(["<", ">=", "none"]),
+        "v_cents": st.integers(min_value=-100, max_value=60000),
+        # event_type IN-list by index (may select nothing)
+        "t_idx": st.lists(st.integers(min_value=0, max_value=9), max_size=3),
+        "t_neg": st.booleans(),
+        # grouping shape
+        "group": st.sampled_from(["none", "event_type", "user_mod"]),
+        "mod": st.integers(min_value=2, max_value=9),
+    }
+)
+
+
+def _build(spec, ev, types):
+    """Compile one spec to (spark DataFrame, duckdb SQL) — same semantics."""
+    conds_sql, df = [], ev
+    if spec["u_op"] == "%":
+        m = 2 + spec["u_lit"] % 7
+        df = df.filter(F.col("user_id") % m == 0)
+        conds_sql.append(f"user_id % {m} = 0")
+    elif spec["u_op"] != "none":
+        df = df.filter(F.expr(f"user_id {spec['u_op']} {spec['u_lit']}"))
+        conds_sql.append(f"user_id {spec['u_op']} {spec['u_lit']}")
+    if spec["v_op"] != "none":
+        lit = spec["v_cents"] / 100.0  # same decimal literal both engines
+        df = df.filter(F.expr(f"value {spec['v_op']} {lit!r}"))
+        conds_sql.append(f"value {spec['v_op']} {lit!r}")
+    if spec["t_idx"]:
+        chosen = sorted({types[i % len(types)] for i in spec["t_idx"]})
+        inlist = ", ".join(f"'{t}'" for t in chosen)
+        neg = "NOT " if spec["t_neg"] else ""
+        df = df.filter(
+            ~F.col("event_type").isin(chosen)
+            if spec["t_neg"]
+            else F.col("event_type").isin(chosen)
+        )
+        conds_sql.append(f"event_type {neg}IN ({inlist})")
+    where = (" WHERE " + " AND ".join(conds_sql)) if conds_sql else ""
+
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("su"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.countDistinct("event_type").cast("long").alias("nt"),
+    ]
+    agg_sql = (
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(user_id) AS BIGINT) AS su, "
+        "min(value) AS mn, max(value) AS mx, "
+        "CAST(count(DISTINCT event_type) AS BIGINT) AS nt"
+    )
+    if spec["group"] == "event_type":
+        out = df.groupBy("event_type").agg(*aggs)
+        sql = f"SELECT event_type, {agg_sql} FROM events{where} GROUP BY event_type"
+    elif spec["group"] == "user_mod":
+        g = spec["mod"]
+        out = df.groupBy((F.col("user_id") % g).alias("g")).agg(*aggs)
+        sql = f"SELECT user_id % {g} AS g, {agg_sql} FROM events{where} GROUP BY 1"
+    else:
+        out = df.agg(*aggs)
+        sql = f"SELECT {agg_sql} FROM events{where}"
+    return out, sql
+
+
+@given(spec=_SPEC)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_filter_group_agg(fuzz_ctx, spec):
+    ev, con, types = fuzz_ctx
+    out, sql = _build(spec, ev, types)
+    compare(out, con.execute(sql).df())
