@@ -31,9 +31,6 @@ from pyspark.sql import functions as F
 from espkinesis_spark.tables import load_table
 from tests.oracle_util import compare, duck_connection
 
-EVENT_TYPES = ["click", "view", "purchase", "login", "error"]
-
-
 @pytest.fixture(scope="module")
 def fuzz_ctx(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
@@ -123,4 +120,84 @@ def _build(spec, ev, types):
 def test_differential_filter_group_agg(fuzz_ctx, spec):
     ev, con, types = fuzz_ctx
     out, sql = _build(spec, ev, types)
+    compare(out, con.execute(sql).df())
+
+
+_JOIN_SPEC = st.fixed_dictionaries(
+    {
+        "how": st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+        # events-side filter: user_id < lit (lit may exceed the domain = no-op)
+        "u_max": st.integers(min_value=0, max_value=250),
+        # customer-side filter: c_custkey % m = 1 (0 = no filter) — makes
+        # semi/anti legs non-degenerate (unfiltered, every user matches)
+        "c_mod": st.sampled_from([0, 2, 3, 5, 7]),
+        "group": st.sampled_from(["none", "event_type"]),
+    }
+)
+
+
+def _build_join(spec, ev, con_types_unused):
+    """Join spec -> (spark DataFrame, duckdb SQL). Side filters are applied
+    BEFORE the join on both engines (a WHERE after a LEFT JOIN would
+    change semantics — the pre-filtered-subquery form keeps the two
+    compilations aligned by construction)."""
+    ev_where = f"user_id < {spec['u_max']}"
+    c_where = f"c_custkey % {spec['c_mod']} = 1" if spec["c_mod"] else "TRUE"
+    ev_sub = f"(SELECT event_id, user_id, event_type FROM events WHERE {ev_where}) e"
+    c_sub = f"(SELECT c_custkey FROM customer WHERE {c_where}) c"
+    join_kw = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "left_semi": "SEMI JOIN",
+        "left_anti": "ANTI JOIN",
+    }[spec["how"]]
+
+    def agg_parts(with_cust):
+        aggs = [
+            F.count("*").cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("su"),
+        ]
+        sql = "CAST(count(*) AS BIGINT) AS n, CAST(sum(user_id) AS BIGINT) AS su"
+        if with_cust:  # NULL-skipping integer sum — identical both engines
+            aggs.append(F.sum("c_custkey").cast("long").alias("sk"))
+            sql += ", CAST(sum(c_custkey) AS BIGINT) AS sk"
+        return aggs, sql
+
+    return ev_sub, c_sub, join_kw, agg_parts
+
+
+@given(spec=_JOIN_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_joins(fuzz_ctx, spark, sf_dir, spec):
+    ev, con, _ = fuzz_ctx
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ev_f = ev.select("event_id", "user_id", "event_type").filter(
+        F.col("user_id") < spec["u_max"]
+    )
+    c_f = (
+        cust.filter(F.col("c_custkey") % spec["c_mod"] == 1)
+        if spec["c_mod"]
+        else cust
+    )
+    joined = ev_f.join(c_f, ev_f.user_id == c_f.c_custkey, how=spec["how"])
+
+    ev_sub, c_sub, join_kw, agg_parts = _build_join(spec, ev, None)
+    with_cust = spec["how"] in ("inner", "left")
+    aggs, agg_sql = agg_parts(with_cust)
+    if spec["group"] == "event_type":
+        out = joined.groupBy("event_type").agg(*aggs)
+        sql = (
+            f"SELECT event_type, {agg_sql} FROM {ev_sub} {join_kw} {c_sub}"
+            f" ON e.user_id = c.c_custkey GROUP BY event_type"
+        )
+    else:
+        out = joined.agg(*aggs)
+        sql = (
+            f"SELECT {agg_sql} FROM {ev_sub} {join_kw} {c_sub}"
+            f" ON e.user_id = c.c_custkey"
+        )
     compare(out, con.execute(sql).df())
