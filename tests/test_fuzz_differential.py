@@ -201,3 +201,66 @@ def test_differential_joins(fuzz_ctx, spark, sf_dir, spec):
             f" ON e.user_id = c.c_custkey"
         )
     compare(out, con.execute(sql).df())
+
+
+_WIN_SPEC = st.fixed_dictionaries(
+    {
+        "part": st.sampled_from(["none", "event_type", "user_mod"]),
+        "mod": st.integers(min_value=2, max_value=9),
+        "desc": st.booleans(),
+        # keep a filter in front so frames start at random boundaries
+        "u_max": st.integers(min_value=5, max_value=250),
+        "fn": st.sampled_from(["row_number", "lag", "cumsum", "rank_val"]),
+    }
+)
+
+
+@given(spec=_WIN_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_windows(fuzz_ctx, spec):
+    """Window functions ordered by the UNIQUE event_id (ties impossible,
+    so every function here is deterministic — rank over a non-unique key
+    would be engine-stable but row_number would not). All payloads are
+    exact integers."""
+    from pyspark.sql import Window
+
+    ev, con, _ = fuzz_ctx
+    df = ev.filter(F.col("user_id") < spec["u_max"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    if spec["part"] == "event_type":
+        part_cols, part_sql = [F.col("event_type")], "PARTITION BY event_type"
+    elif spec["part"] == "user_mod":
+        g = spec["mod"]
+        df = df.withColumn("g", F.col("user_id") % g)
+        part_cols, part_sql = [F.col("g")], f"PARTITION BY user_id % {g}"
+    else:
+        part_cols, part_sql = [], ""
+    order = F.col("event_id").desc() if spec["desc"] else F.col("event_id").asc()
+    order_sql = "event_id DESC" if spec["desc"] else "event_id ASC"
+    w = Window.partitionBy(*part_cols).orderBy(order)
+    over = f"OVER ({part_sql} ORDER BY {order_sql})".replace("( ", "(")
+
+    if spec["fn"] == "row_number":
+        expr, esql = F.row_number().over(w).cast("long"), f"row_number() {over}"
+    elif spec["fn"] == "lag":
+        expr, esql = F.lag("user_id", 1).over(w), f"lag(user_id, 1) {over}"
+    elif spec["fn"] == "cumsum":
+        wf = w.rowsBetween(Window.unboundedPreceding, 0)
+        expr = F.sum("user_id").over(wf)
+        esql = (f"sum(user_id) OVER ({part_sql} ORDER BY {order_sql} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)").replace("( ", "(")
+    else:  # rank over the unique key == row_number, but exercises the op
+        expr, esql = F.rank().over(w).cast("long"), f"rank() {over}"
+
+    out = df.select("event_id", expr.alias("x"))
+    where = f"WHERE user_id < {spec['u_max']}"
+    sql = (
+        f"SELECT event_id, CAST({esql} AS BIGINT) AS x "
+        f"FROM events {where}"
+    )
+    compare(out, con.execute(sql).df())
