@@ -264,3 +264,56 @@ def test_differential_windows(fuzz_ctx, spec):
         f"FROM events {where}"
     )
     compare(out, con.execute(sql).df())
+
+
+_SET_SPEC = st.fixed_dictionaries(
+    {
+        # two overlapping user_id slices [a_lo, a_hi) and [b_lo, b_hi)
+        "a_lo": st.integers(min_value=0, max_value=100),
+        "a_len": st.integers(min_value=0, max_value=150),
+        "b_lo": st.integers(min_value=0, max_value=100),
+        "b_len": st.integers(min_value=0, max_value=150),
+        "op": st.sampled_from(
+            ["union_all", "union", "except", "except_all", "intersect", "intersect_all"]
+        ),
+    }
+)
+
+
+@given(spec=_SET_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_set_ops(fuzz_ctx, spec):
+    """Set operations between two overlapping slices, comparing the FULL
+    row multiset (the comparator is order-insensitive). DISTINCT vs ALL
+    semantics differ subtly across engines' method names — Spark
+    subtract/intersect are the DISTINCT forms, union is UNION ALL — so
+    the mapping itself is part of what this pins."""
+    ev, con, _ = fuzz_ctx
+    proj = ev.select("user_id", "event_type")
+
+    def side(lo, ln):
+        return (
+            proj.filter((F.col("user_id") >= lo) & (F.col("user_id") < lo + ln)),
+            f"(SELECT user_id, event_type FROM events "
+            f"WHERE user_id >= {lo} AND user_id < {lo + ln})",
+        )
+
+    a_df, a_sql = side(spec["a_lo"], spec["a_len"])
+    b_df, b_sql = side(spec["b_lo"], spec["b_len"])
+    if spec["op"] == "union_all":
+        out, op_sql = a_df.union(b_df), "UNION ALL"
+    elif spec["op"] == "union":
+        out, op_sql = a_df.union(b_df).distinct(), "UNION"
+    elif spec["op"] == "except":
+        out, op_sql = a_df.subtract(b_df), "EXCEPT"
+    elif spec["op"] == "except_all":
+        out, op_sql = a_df.exceptAll(b_df), "EXCEPT ALL"
+    elif spec["op"] == "intersect":
+        out, op_sql = a_df.intersect(b_df), "INTERSECT"
+    else:
+        out, op_sql = a_df.intersectAll(b_df), "INTERSECT ALL"
+    compare(out, con.execute(f"{a_sql} {op_sql} {b_sql}").df())
