@@ -317,3 +317,48 @@ def test_differential_set_ops(fuzz_ctx, spec):
     else:
         out, op_sql = a_df.intersectAll(b_df), "INTERSECT ALL"
     compare(out, con.execute(f"{a_sql} {op_sql} {b_sql}").df())
+
+
+_STR_SPEC = st.fixed_dictionaries(
+    {
+        "fn": st.sampled_from(["substr", "upper", "length", "concat", "lpad"]),
+        "pos": st.integers(min_value=1, max_value=8),
+        "ln": st.integers(min_value=0, max_value=8),
+        "pad": st.integers(min_value=0, max_value=12),
+        "u_max": st.integers(min_value=5, max_value=250),
+    }
+)
+
+
+@given(spec=_STR_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_string_projections(fuzz_ctx, spec):
+    """Scalar string projections over event_type (ASCII-only in the
+    fixture, so upper/length are locale-safe; both engines use 1-based
+    substr with the same out-of-range clamping). Full row-set compare."""
+    ev, con, _ = fuzz_ctx
+    df = ev.filter(F.col("user_id") < spec["u_max"]).select("event_id", "event_type")
+    p, ln, pad = spec["pos"], spec["ln"], spec["pad"]
+    if spec["fn"] == "substr":
+        expr = F.substring("event_type", p, ln)
+        esql = f"substr(event_type, {p}, {ln})"
+    elif spec["fn"] == "upper":
+        expr, esql = F.upper("event_type"), "upper(event_type)"
+    elif spec["fn"] == "length":
+        expr = F.length("event_type").cast("long")
+        esql = "CAST(length(event_type) AS BIGINT)"
+    elif spec["fn"] == "concat":
+        expr = F.concat(F.col("event_type"), F.lit("#"), F.col("event_type"))
+        esql = "event_type || '#' || event_type"
+    else:
+        expr = F.lpad("event_type", pad, "_")
+        esql = f"lpad(event_type, {pad}, '_')"
+    out = df.select("event_id", expr.alias("x"))
+    sql = (
+        f"SELECT event_id, {esql} AS x FROM events WHERE user_id < {spec['u_max']}"
+    )
+    compare(out, con.execute(sql).df())
