@@ -3895,86 +3895,26 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-11 layout: positions 1-4 hold the four entries whose PLANS
-    changed this round (st_zorder_layout's per-event store and both
-    video legs' per-FRAME stores moved off the driver memory sink to
-    the executor-parallel parquet drain; st_hash_split's audit folded
-    into the stream as a complete-mode splits-x-langs aggregation —
-    the r10 VERDICT weak items plus the review's several-rows-per-doc
-    catch; a changed plan re-proves like a new entry); 5-27 are the
-    TWENTY-THREE entries whose latest green was still r6 (the oldest
-    evidence anywhere — after a green r11 window nothing predates r7);
-    28-31 are the four remaining streaming fingerprint legs whose
-    drain call was rerouted through the shared _drain_rowstore policy
-    (same plan at fixture scale, but touched code earns fresh
-    evidence); 32-50 hold 19 r7-vintage entries. The TWENTY-SIX r7
-    leftovers that did not fit sit at the TAIL HEAD and rotate first
-    in r12 (ex_decontaminate, ex_dedup_clusters, ex_dedup_pipeline,
-    ex_dedup_substring, ex_embed_gram, ex_fuzzy_match, ex_gapfill,
-    ex_hash_split, ex_histogram, ex_image_neardup, ex_lang_id,
-    ex_multimodal_features, ex_multimodal_frames, ex_multimodal_resize,
-    ex_pack_sequences, ex_percentiles, ex_pivot, ex_scalar_subquery,
-    ex_scd2_history, ex_semantic_search, ex_skew_join,
-    ex_stratified_sample, ex_text_stats, ex_token_count,
-    ex_udf_surface, ex_video_neardup); after them the tail lists
-    r8-green, r9-green, then r10-green entries (freshest last).
+    round-12 layout executes the r11 VERDICT mandate exactly: positions
+    1-26 are the TWENTY-SIX r7-vintage leftovers (the oldest evidence
+    anywhere — after a green r12 window nothing predates r8); positions
+    27-50 take the first 24 entries of the 43-entry r8 cohort, so the
+    rotation debt shrinks ahead of schedule. The REMAINING 19 r8-vintage
+    entries sit at the TAIL HEAD and rotate first in r13 (ex_dq_checks,
+    ex_embed_quantize, ex_exists_shipped, ex_group_concat,
+    ex_hdr_quantile, ex_hdr_quantile_grouped, ex_image_dedup_apply,
+    ex_image_neardup_incr, ex_image_neardup_wide, ex_part_promotion,
+    ex_semdedup_apply, ex_ship_priority_counts, ex_small_qty_revenue,
+    ex_video_dedup_apply, ex_waiting_orders, st_bm25,
+    st_containment_dedup, st_dedup_substring, st_hdr_quantile); after
+    them the tail lists r9-green, r10-green, then the 50 entries of the
+    r11 window (freshest last). No plan changed this round (the drain
+    router gained a row-count route and a resumable mode, both
+    default-off at fixture scale and pinned by test), so no plan-change
+    slots are needed.
     """
     return {
-        # --- window 1-4: round-11 plan changes (re-prove on the new plans) ---
-        "st_zorder_layout": st_zorder_layout,
-        "st_hash_split": st_hash_split,
-        "st_video_neardup": st_video_neardup,
-        "st_video_dedup_apply": st_video_dedup_apply,
-        # --- window 5-27: the 23 entries whose latest green was r6 ---
-        "ex_retention_matrix": ex_retention_matrix,
-        "ex_semdedup": ex_semdedup,
-        "ex_simhash": ex_simhash,
-        "ex_sketch_quantile": ex_sketch_quantile,
-        "ex_tfidf": ex_tfidf,
-        "ex_token_entropy": ex_token_entropy,
-        "ex_ts_similarity": ex_ts_similarity,
-        "st_ack_tracker": st_ack_tracker,
-        "st_anomaly": st_anomaly,
-        "st_command_plane": st_command_plane,
-        "st_console_roundtrip": st_console_roundtrip,
-        "st_content_dedup": st_content_dedup,
-        "st_dedup": st_dedup,
-        "st_heavy_hitters": st_heavy_hitters,
-        "st_latest_user": st_latest_user,
-        "st_override_asof": st_override_asof,
-        "st_quality_gate": st_quality_gate,
-        "st_quality_model": st_quality_model,
-        "st_session_window": st_session_window,
-        "st_sink_roundtrip": st_sink_roundtrip,
-        "st_sliding_counts": st_sliding_counts,
-        "st_stream_join": st_stream_join,
-        "st_window_counts": st_window_counts,
-        # --- window 28-31: fingerprint legs rerouted through _drain_rowstore ---
-        "st_image_neardup": st_image_neardup,
-        "st_audio_neardup": st_audio_neardup,
-        "st_image_dedup_apply": st_image_dedup_apply,
-        "st_audio_dedup_apply": st_audio_dedup_apply,
-        # --- window 32-50: 19 r7-vintage entries ---
-        "dq01": dq01,
-        "dq05": dq05,
-        "dq06": dq06,
-        "dq07": dq07,
-        "dq08": dq08,
-        "dq10": dq10,
-        "dq11": dq11,
-        "dq12": dq12,
-        "dq13": dq13,
-        "dq15": dq15,
-        "dq17": dq17,
-        "dq20": dq20,
-        "dq23": dq23,
-        "dq24": dq24,
-        "dq25": dq25,
-        "ex_approx_distinct": ex_approx_distinct,
-        "ex_approx_quantile": ex_approx_quantile,
-        "ex_audio_neardup": ex_audio_neardup,
-        "ex_correlated_min": ex_correlated_min,
-        # --- tail head: the 26 r7 leftovers (rotate first in r12) ---
+        # --- window 1-26: the 26 r7-vintage leftovers (r11 VERDICT mandate) ---
         "ex_decontaminate": ex_decontaminate,
         "ex_dedup_clusters": ex_dedup_clusters,
         "ex_dedup_pipeline": ex_dedup_pipeline,
@@ -4001,7 +3941,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_token_count": ex_token_count,
         "ex_udf_surface": ex_udf_surface,
         "ex_video_neardup": ex_video_neardup,
-        # --- tail: r8-green ---
+        # --- window 27-50: first 24 of the 43-entry r8 cohort ---
         "dq02": dq02,
         "dq04": dq04,
         "dq09": dq09,
@@ -4026,6 +3966,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_dedup_apply": ex_dedup_apply,
         "ex_dedup_incremental": ex_dedup_incremental,
         "ex_distinct_agg": ex_distinct_agg,
+        # --- tail head: remaining 19 r8-vintage entries (rotate first in r13) ---
         "ex_dq_checks": ex_dq_checks,
         "ex_embed_quantize": ex_embed_quantize,
         "ex_exists_shipped": ex_exists_shipped,
@@ -4094,7 +4035,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_text_stats": st_text_stats,
         "st_vocab": st_vocab,
         "st_winnow_fingerprint": st_winnow_fingerprint,
-        # --- tail: r10-green (freshest evidence) ---
+        # --- tail: r10-green ---
         "ex_knn_clusters": ex_knn_clusters,
         "ex_knn_dedup_apply": ex_knn_dedup_apply,
         "ex_perplexity_buckets": ex_perplexity_buckets,
@@ -4143,4 +4084,55 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_pagerank": ex_pagerank,
         "ex_quality_model": ex_quality_model,
         "ex_retention": ex_retention,
+        # --- tail: r11-green (freshest evidence) ---
+        "st_zorder_layout": st_zorder_layout,
+        "st_hash_split": st_hash_split,
+        "st_video_neardup": st_video_neardup,
+        "st_video_dedup_apply": st_video_dedup_apply,
+        "ex_retention_matrix": ex_retention_matrix,
+        "ex_semdedup": ex_semdedup,
+        "ex_simhash": ex_simhash,
+        "ex_sketch_quantile": ex_sketch_quantile,
+        "ex_tfidf": ex_tfidf,
+        "ex_token_entropy": ex_token_entropy,
+        "ex_ts_similarity": ex_ts_similarity,
+        "st_ack_tracker": st_ack_tracker,
+        "st_anomaly": st_anomaly,
+        "st_command_plane": st_command_plane,
+        "st_console_roundtrip": st_console_roundtrip,
+        "st_content_dedup": st_content_dedup,
+        "st_dedup": st_dedup,
+        "st_heavy_hitters": st_heavy_hitters,
+        "st_latest_user": st_latest_user,
+        "st_override_asof": st_override_asof,
+        "st_quality_gate": st_quality_gate,
+        "st_quality_model": st_quality_model,
+        "st_session_window": st_session_window,
+        "st_sink_roundtrip": st_sink_roundtrip,
+        "st_sliding_counts": st_sliding_counts,
+        "st_stream_join": st_stream_join,
+        "st_window_counts": st_window_counts,
+        "st_image_neardup": st_image_neardup,
+        "st_audio_neardup": st_audio_neardup,
+        "st_image_dedup_apply": st_image_dedup_apply,
+        "st_audio_dedup_apply": st_audio_dedup_apply,
+        "dq01": dq01,
+        "dq05": dq05,
+        "dq06": dq06,
+        "dq07": dq07,
+        "dq08": dq08,
+        "dq10": dq10,
+        "dq11": dq11,
+        "dq12": dq12,
+        "dq13": dq13,
+        "dq15": dq15,
+        "dq17": dq17,
+        "dq20": dq20,
+        "dq23": dq23,
+        "dq24": dq24,
+        "dq25": dq25,
+        "ex_approx_distinct": ex_approx_distinct,
+        "ex_approx_quantile": ex_approx_quantile,
+        "ex_audio_neardup": ex_audio_neardup,
+        "ex_correlated_min": ex_correlated_min,
     }
