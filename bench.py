@@ -71,38 +71,76 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - start, 4)
 
-    # Same-artifact noise control (VERDICT r5 #4): the box this bench runs
-    # on sometimes carries co-located load that inflates the headline total
-    # ~30-40%. Rerun the 10 heaviest queries immediately and record both
-    # numbers — a large first/rerun gap marks the FIRST pass as hot, not a
-    # code regression.
-    rerun: dict[str, float] = {}
-    for name in sorted(timings, key=timings.get, reverse=True)[:10]:
-        start = time.perf_counter()
-        try:
-            registry[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-        except Exception as exc:  # noqa: BLE001
-            print(f"rerun of {name} failed: {exc}", file=sys.stderr)
-            continue
-        rerun[name] = round(time.perf_counter() - start, 4)
-    print(json.dumps(build_output(timings, errors, rerun, sf)))
+    # Noise control (VERDICT r11 #2): two same-code r11 runs differed 9%
+    # overall with individual >1s entries drifting >1.5x — single-pass
+    # per-entry times can no longer distinguish a regression from VM
+    # noise. Re-run the TOP_N heaviest entries so each has RERUN_K
+    # samples, and report per-entry MEDIANS plus a measured noise
+    # estimate. Rounds are interleaved (entry1..entryN, then again) so a
+    # co-located load spike smears across entries instead of poisoning
+    # one entry's whole sample set.
+    samples: dict[str, list[float]] = {}
+    top = sorted(timings, key=timings.get, reverse=True)[:TOP_N]
+    for name in top:
+        samples[name] = [timings[name]]
+    for _ in range(RERUN_K - 1):
+        for name in top:
+            start = time.perf_counter()
+            try:
+                registry[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception as exc:  # noqa: BLE001
+                print(f"rerun of {name} failed: {exc}", file=sys.stderr)
+                continue
+            samples[name].append(round(time.perf_counter() - start, 4))
+    print(json.dumps(build_output(timings, errors, samples, sf)))
+
+
+TOP_N = 20  # heaviest entries re-sampled for medians
+RERUN_K = 3  # samples per re-sampled entry (incl. the first pass)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
 def build_output(
     timings: dict[str, float],
     errors: dict[str, str],
-    rerun: dict[str, float],
+    samples: dict[str, list[float]],
     sf: str,
 ) -> dict:
-    """Assemble the one-line JSON artifact. Truncation-proofing (VERDICT
-    r6 #4): BENCH_r06 survived only as the TAIL of the line, losing the
-    head-positioned totals. Every headline scalar goes FIRST (before the
-    big per-query map) and the same scalars are mirrored again AFTER it
-    under tail_* keys — whichever end of the line survives a capture
-    truncation, the summary is recoverable."""
-    total = round(sum(timings.values()), 4)
+    """Assemble the one-line JSON artifact.
+
+    Truncation-proofing (VERDICT r6 #4): BENCH_r06 survived only as the
+    TAIL of the line, losing the head-positioned totals. Every headline
+    scalar goes FIRST (before the big per-query map) and the same
+    scalars are mirrored again AFTER it under tail_* keys — whichever
+    end of the line survives a capture truncation, the summary is
+    recoverable.
+
+    Median-based figures (VERDICT r11 #2): the headline "value" is the
+    MEDIAN-BLENDED total — per-entry median wall time for the re-sampled
+    heavy entries, first-pass time for the light rest. "queries" maps
+    every entry to its headline figure (median where sampled), so
+    BENCH_rN vs BENCH_rN-1 per-entry diffs compare medians, not single
+    draws. "noise_rel_spread_{median,max}" record the observed
+    (max-min)/median across each sampled entry's draws — the round's
+    measured noise band; a per-entry diff inside that band is noise,
+    not regression. "first_pass_total_sec" keeps the old single-pass
+    semantics for cross-round continuity with r11 and earlier."""
+    medians = {n: round(_median(s), 4) for n, s in samples.items() if s}
+    headline = {**timings, **medians}
+    total = round(sum(headline.values()), 4)
+    first_pass_total = round(sum(timings.values()), 4)
+    spreads = [
+        (max(s) - min(s)) / _median(s)
+        for s in samples.values()
+        if len(s) >= 2 and _median(s) > 0
+    ]
     out = {
         "metric": "declared_query_total_wall",
         "value": total,
@@ -110,13 +148,15 @@ def build_output(
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "rerun_top10_first_pass_sec": round(
-            sum(timings[n] for n in rerun), 4
-        ),
-        "rerun_top10_sec": round(sum(rerun.values()), 4),
+        "first_pass_total_sec": first_pass_total,
+        "median_samples_k": RERUN_K,
+        "median_entries_n": len(medians),
+        "noise_rel_spread_median": round(_median(spreads), 4) if spreads else None,
+        "noise_rel_spread_max": round(max(spreads), 4) if spreads else None,
         "loadavg_1m": round(os.getloadavg()[0], 2),
-        "queries": timings,
-        "rerun_top10": rerun,
+        "queries": headline,
+        "first_pass": timings,
+        "samples": samples,
     }
     if errors:
         out["errors"] = errors

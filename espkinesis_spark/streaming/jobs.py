@@ -101,7 +101,9 @@ def _record_stream_plan(query) -> None:
         pass
 
 
-def _drain_to_parquet(df: DataFrame, name: str) -> DataFrame:
+def _drain_to_parquet(
+    df: DataFrame, name: str, *, base: str | None = None, resume: bool = False
+) -> DataFrame:
     """Append-mode drain for CORPUS-SIZED extraction stores (token /
     span-hash tables): a parquet file sink, read back as a batch frame.
 
@@ -111,19 +113,37 @@ def _drain_to_parquet(df: DataFrame, name: str) -> DataFrame:
     48x wall at ~50x tokens, almost all drain). The file sink writes
     executor-side in parallel and IS the production shape — a streaming
     extraction job lands its narrow tables in a durable store, and the
-    analysis reads that store (measured: st_bm25 48x -> ~8x)."""
+    analysis reads that store (measured: st_bm25 48x -> ~8x).
+
+    Two modes (VERDICT r11 #3):
+      * fresh (default): rmtree the store+checkpoint first — hermetic,
+        every call re-extracts. Right for the replay fixtures, WRONG for
+        a production restart: at 100 TB a driver restart must not
+        re-extract the corpus.
+      * resume (``resume=True`` + a caller-stable ``base``): keep the
+        checkpoint and sink. Spark's file sink is end-to-end
+        exactly-once here — the checkpoint's offset log skips
+        already-committed source batches on restart, a batch that was
+        interrupted mid-write is REPLAYED and re-committed, and the
+        sink's _spark_metadata manifest lists only committed files, so
+        the read-back (which honors the manifest) never sees the
+        orphaned partials. Pinned by the kill-mid-replay test in
+        tests/test_streaming.py.
+    """
     import shutil
 
     spark = df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    # scope by application id: the memory sink was implicitly per-session,
-    # a bare /tmp path is not — two concurrent sessions (driver gate +
-    # a local run) would race on rmtree/write otherwise
-    app_id = spark.sparkContext.applicationId
-    base = os.path.join(tempfile.gettempdir(), "espk_drain", app_id, name)
-    shutil.rmtree(base, ignore_errors=True)
+    if base is None:
+        # scope by application id: the memory sink was implicitly
+        # per-session, a bare /tmp path is not — two concurrent sessions
+        # (driver gate + a local run) would race on rmtree/write otherwise
+        app_id = spark.sparkContext.applicationId
+        base = os.path.join(tempfile.gettempdir(), "espk_drain", app_id, name)
+    if not resume:
+        shutil.rmtree(base, ignore_errors=True)
     out_dir, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
     query = (
         df.writeStream.outputMode("append")
@@ -172,12 +192,16 @@ def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     return spark.table(name)
 
 
-# Crossover for the routed per-row drain below: under this SOURCE size
-# the driver memory sink is acceptable (fixture scale); above it a
-# per-source-row store is large enough that single-threaded driver
-# collection dominates (the r8 st_bm25 lesson: 48x wall, almost all
-# drain). Overridable for tests / cluster sizing.
+# Crossover for the routed per-row drain below: under these SOURCE
+# bounds the driver memory sink is acceptable (fixture scale); above
+# either, a per-source-row store is large enough that single-threaded
+# driver collection dominates (the r8 st_bm25 lesson: 48x wall, almost
+# all drain). TWO bounds because the store's driver footprint scales
+# with source ROW COUNT, not bytes — a corpus of millions of tiny docs
+# stays under any byte bound yet pushes millions of rows through the
+# memory sink (r11 ADVICE). Both overridable for tests / cluster sizing.
 MEMORY_DRAIN_MAX_SOURCE_BYTES = 256 << 20
+MEMORY_DRAIN_MAX_SOURCE_ROWS = 1_000_000
 
 
 def _drain_rowstore(
@@ -199,28 +223,60 @@ def _drain_rowstore(
         several rows per document or fact-table-sized): always
         ``_drain_to_parquet`` per the r8 discipline; never routed here.
 
-    The bound compares against the source TABLE's on-disk bytes (known
-    before the stream runs — a row count isn't), overridable via
-    ESPK_MEMORY_DRAIN_MAX_BYTES so tests pin both routes."""
-    bound = int(
+    The route is decided from the source table's parquet FOOTERS before
+    the stream runs: row count (num_rows — the store is one row per
+    source row, so this is the store's actual driver footprint) with an
+    on-disk byte bound as a belt-and-braces second trigger. Both
+    overridable (ESPK_MEMORY_DRAIN_MAX_ROWS / _BYTES) so tests pin all
+    routes."""
+    byte_bound = int(
         os.environ.get("ESPK_MEMORY_DRAIN_MAX_BYTES", MEMORY_DRAIN_MAX_SOURCE_BYTES)
     )
-    if _source_bytes(table_path(sf_dir, table)) > bound:
+    row_bound = int(
+        os.environ.get("ESPK_MEMORY_DRAIN_MAX_ROWS", MEMORY_DRAIN_MAX_SOURCE_ROWS)
+    )
+    src = table_path(sf_dir, table)
+    if _source_bytes(src) > byte_bound or _source_rows(src) > row_bound:
         return _drain_to_parquet(df, name)
     return _drain_to_memory(df, name, "append")
 
 
-def _source_bytes(path: str) -> int:
-    """On-disk bytes of a parquet source — file OR directory-style
-    table (os.path.getsize on a directory returns the ~4 KB inode size,
-    which would silently pin the router to the memory sink forever)."""
+def _source_files(path: str) -> list[str]:
+    """Data files of a file OR directory-style parquet table. A missing
+    path yields [] — the router then takes the memory route and the
+    stream's own source reader raises the clearer error (r11 ADVICE:
+    don't fail the job on the router's stat call)."""
     if os.path.isdir(path):
-        return sum(
-            os.path.getsize(os.path.join(root, f))
+        return [
+            os.path.join(root, f)
             for root, _, names in os.walk(path)
             for f in names
-        )
-    return os.path.getsize(path)
+            if not f.startswith(("_", "."))
+        ]
+    return [path] if os.path.exists(path) else []
+
+
+def _source_bytes(path: str) -> int:
+    """On-disk bytes of a parquet source (os.path.getsize on a directory
+    returns the ~4 KB inode size, which would silently pin the router to
+    the memory sink forever — sum the files underneath instead)."""
+    return sum(os.path.getsize(f) for f in _source_files(path))
+
+
+def _source_rows(path: str) -> int:
+    """Exact row count from parquet footers — metadata-only, no scan
+    (pyarrow reads num_rows without touching row groups). Falls back to
+    0 (memory route) if a footer is unreadable; the stream's own reader
+    then surfaces the real error."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _source_files(path):
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        except Exception:  # noqa: BLE001 — router must not kill the job
+            continue
+    return total
 
 
 def latest_per_user_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
