@@ -9,6 +9,13 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
+Seven families: filter/group/agg, joins, windows, set ops, string
+scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
+null-safe equality / NULL join keys over a spec-built literal table —
+the fixture tables carry no NULLs, so the registry is blind here), and
+ORDER BY + LIMIT + HAVING with total orders (unique tiebreakers make the
+limited SET deterministic under the order-insensitive comparator).
+
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
 integer sums, and min/max on doubles (selection, not accumulation).
@@ -39,7 +46,8 @@ def fuzz_ctx(spark, sf_dir):
     ev = ev.localCheckpoint(eager=True)  # one scan; 40 examples re-use it
     con = duck_connection(sf_dir)
     types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
-    return ev, con, types
+    yield ev, con, types
+    con.close()
 
 
 _SPEC = st.fixed_dictionaries(
@@ -136,11 +144,25 @@ _JOIN_SPEC = st.fixed_dictionaries(
 )
 
 
-def _build_join(spec, ev, con_types_unused):
-    """Join spec -> (spark DataFrame, duckdb SQL). Side filters are applied
-    BEFORE the join on both engines (a WHERE after a LEFT JOIN would
-    change semantics — the pre-filtered-subquery form keeps the two
-    compilations aligned by construction)."""
+def _build_join(spec, ev, cust):
+    """Join spec -> (spark DataFrame, duckdb SQL) — BOTH compilations from
+    this one function, like _build, so they cannot silently drift apart
+    in future edits (the r11 ADVICE item: the SQL-side filters used to be
+    built here while the Spark-side filters were rebuilt independently in
+    the test). Side filters are applied BEFORE the join on both engines
+    (a WHERE after a LEFT JOIN would change semantics — the
+    pre-filtered-subquery form keeps the two compilations aligned by
+    construction)."""
+    ev_f = ev.select("event_id", "user_id", "event_type").filter(
+        F.col("user_id") < spec["u_max"]
+    )
+    c_f = (
+        cust.filter(F.col("c_custkey") % spec["c_mod"] == 1)
+        if spec["c_mod"]
+        else cust
+    )
+    joined = ev_f.join(c_f, ev_f.user_id == c_f.c_custkey, how=spec["how"])
+
     ev_where = f"user_id < {spec['u_max']}"
     c_where = f"c_custkey % {spec['c_mod']} = 1" if spec["c_mod"] else "TRUE"
     ev_sub = f"(SELECT event_id, user_id, event_type FROM events WHERE {ev_where}) e"
@@ -152,42 +174,16 @@ def _build_join(spec, ev, con_types_unused):
         "left_anti": "ANTI JOIN",
     }[spec["how"]]
 
-    def agg_parts(with_cust):
-        aggs = [
-            F.count("*").cast("long").alias("n"),
-            F.sum("user_id").cast("long").alias("su"),
-        ]
-        sql = "CAST(count(*) AS BIGINT) AS n, CAST(sum(user_id) AS BIGINT) AS su"
-        if with_cust:  # NULL-skipping integer sum — identical both engines
-            aggs.append(F.sum("c_custkey").cast("long").alias("sk"))
-            sql += ", CAST(sum(c_custkey) AS BIGINT) AS sk"
-        return aggs, sql
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("su"),
+    ]
+    agg_sql = "CAST(count(*) AS BIGINT) AS n, CAST(sum(user_id) AS BIGINT) AS su"
+    if spec["how"] in ("inner", "left"):
+        # NULL-skipping integer sum — identical both engines
+        aggs.append(F.sum("c_custkey").cast("long").alias("sk"))
+        agg_sql += ", CAST(sum(c_custkey) AS BIGINT) AS sk"
 
-    return ev_sub, c_sub, join_kw, agg_parts
-
-
-@given(spec=_JOIN_SPEC)
-@settings(
-    max_examples=30,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-def test_differential_joins(fuzz_ctx, spark, sf_dir, spec):
-    ev, con, _ = fuzz_ctx
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    ev_f = ev.select("event_id", "user_id", "event_type").filter(
-        F.col("user_id") < spec["u_max"]
-    )
-    c_f = (
-        cust.filter(F.col("c_custkey") % spec["c_mod"] == 1)
-        if spec["c_mod"]
-        else cust
-    )
-    joined = ev_f.join(c_f, ev_f.user_id == c_f.c_custkey, how=spec["how"])
-
-    ev_sub, c_sub, join_kw, agg_parts = _build_join(spec, ev, None)
-    with_cust = spec["how"] in ("inner", "left")
-    aggs, agg_sql = agg_parts(with_cust)
     if spec["group"] == "event_type":
         out = joined.groupBy("event_type").agg(*aggs)
         sql = (
@@ -200,6 +196,19 @@ def test_differential_joins(fuzz_ctx, spark, sf_dir, spec):
             f"SELECT {agg_sql} FROM {ev_sub} {join_kw} {c_sub}"
             f" ON e.user_id = c.c_custkey"
         )
+    return out, sql
+
+
+@given(spec=_JOIN_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_joins(fuzz_ctx, spark, sf_dir, spec):
+    ev, con, _ = fuzz_ctx
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    out, sql = _build_join(spec, ev, cust)
     compare(out, con.execute(sql).df())
 
 
@@ -360,5 +369,204 @@ def test_differential_string_projections(fuzz_ctx, spec):
     out = df.select("event_id", expr.alias("x"))
     sql = (
         f"SELECT event_id, {esql} AS x FROM events WHERE user_id < {spec['u_max']}"
+    )
+    compare(out, con.execute(sql).df())
+
+
+# --- family 6: NULL injection (VERDICT r11 #4) -----------------------------
+# The fixture tables carry no NULLs, so the five families above never
+# exercise the semantics class DuckDB and Spark most famously diverge on:
+# NULL IN lists, NOT IN with a NULL element, NULL group keys, null-skipping
+# aggregates, null-safe equality, NULL join keys. Inject them through a
+# literal table BUILT FROM THE SAME SPEC on both engines (Spark
+# createDataFrame vs a fully CAST-typed VALUES clause), so the inputs are
+# identical by construction.
+
+_NULL_SPEC = st.fixed_dictionaries(
+    {
+        "rows": st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+                st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+            ),
+            max_size=25,
+        ),
+        "shape": st.sampled_from(
+            ["group", "in_list", "not_in", "null_safe_eq", "self_join"]
+        ),
+        "in_keys": st.lists(
+            st.integers(min_value=0, max_value=4), min_size=1, max_size=3
+        ),
+        "in_has_null": st.booleans(),
+        "lit": st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        "how": st.sampled_from(["inner", "left"]),
+    }
+)
+
+
+def _null_table(spark, rows):
+    """The same literal (id, k, v) table on both engines. Every SQL value
+    is CAST so DuckDB's VALUES typing can't drift (an all-NULL column
+    would otherwise infer no type)."""
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, k int, v int")
+    if data:
+        values = ", ".join(
+            f"(CAST({i} AS BIGINT), CAST({'NULL' if k is None else k} AS INTEGER),"
+            f" CAST({'NULL' if v is None else v} AS INTEGER))"
+            for i, k, v in data
+        )
+        sql = f"(SELECT * FROM (VALUES {values}) AS t(id, k, v))"
+    else:
+        sql = (
+            "(SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INTEGER) AS k,"
+            " CAST(NULL AS INTEGER) AS v WHERE FALSE)"
+        )
+    return df, sql
+
+
+@given(spec=_NULL_SPEC)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_null_semantics(fuzz_ctx, spark, spec):
+    _, con, _ = fuzz_ctx
+    df, tbl = _null_table(spark, spec["rows"])
+
+    if spec["shape"] == "group":
+        # NULL group key (one group), count(*) vs null-skipping count(v),
+        # sum/min/max over possibly all-NULL groups (NULL result)
+        out = df.groupBy("k").agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("v").cast("long").alias("nv"),
+            F.sum("v").cast("long").alias("sv"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        sql = (
+            "SELECT k, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(count(v) AS BIGINT) AS nv, CAST(sum(v) AS BIGINT) AS sv,"
+            f" min(v) AS mn, max(v) AS mx FROM {tbl} GROUP BY k"
+        )
+    elif spec["shape"] in ("in_list", "not_in"):
+        # k IN (..[, NULL]): NULL never matches; a NULL ELEMENT turns every
+        # non-match into NULL (filtered) — and under NOT IN that nulls the
+        # WHOLE predicate (the classic trap; both engines must agree)
+        inlist = list(spec["in_keys"]) + ([None] if spec["in_has_null"] else [])
+        cond = F.col("k").isin(inlist)
+        if spec["shape"] == "not_in":
+            cond = ~cond
+        out = df.filter(cond)
+        lits = ", ".join("NULL" if x is None else str(x) for x in inlist)
+        neg = "NOT " if spec["shape"] == "not_in" else ""
+        sql = f"SELECT id, k, v FROM {tbl} WHERE k {neg}IN ({lits})"
+    elif spec["shape"] == "null_safe_eq":
+        # eqNullSafe(<=>) vs IS NOT DISTINCT FROM — NULL <=> NULL is TRUE
+        lit = F.lit(spec["lit"]).cast("int")
+        out = df.filter(F.col("k").eqNullSafe(lit))
+        lit_sql = "CAST(NULL AS INTEGER)" if spec["lit"] is None else str(spec["lit"])
+        sql = f"SELECT id, k, v FROM {tbl} WHERE k IS NOT DISTINCT FROM {lit_sql}"
+    else:
+        # self-join on the nullable key: NULL keys never equi-match; the
+        # left rows with NULL k survive only in the LEFT form (NULL side)
+        a, b = df.alias("a"), df.alias("b")
+        out = a.join(b, F.col("a.k") == F.col("b.k"), how=spec["how"]).select(
+            F.col("a.id").alias("ida"),
+            F.col("a.k").alias("k"),
+            F.col("b.id").alias("idb"),
+            F.col("b.v").alias("vb"),
+        )
+        kw = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+        sql = (
+            f"SELECT a.id AS ida, a.k AS k, b.id AS idb, b.v AS vb "
+            f"FROM {tbl} a {kw} {tbl} b ON a.k = b.k"
+        )
+    compare(out, con.execute(sql).df())
+
+
+# --- family 7: ORDER BY + LIMIT + HAVING with total orders (VERDICT r11 #4)
+# The comparator is order-insensitive, so LIMIT is only testable when the
+# selected top-N SET is deterministic: every ORDER BY here ends in a unique
+# tiebreaker (the group key after aggregation / event_id on raw rows),
+# making the order total and the limited set engine-independent.
+
+_TOP_SPEC = st.fixed_dictionaries(
+    {
+        "shape": st.sampled_from(["agg_event_type", "agg_user_mod", "raw"]),
+        "mod": st.integers(min_value=2, max_value=9),
+        "u_max": st.integers(min_value=5, max_value=250),
+        "having": st.sampled_from(["n_ge", "su_lt", "none"]),
+        "h_lit": st.integers(min_value=0, max_value=2000),
+        "sort": st.sampled_from(["n", "su", "key"]),
+        "desc": st.booleans(),
+        "limit": st.integers(min_value=0, max_value=40),
+    }
+)
+
+
+@given(spec=_TOP_SPEC)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_order_limit_having(fuzz_ctx, spec):
+    ev, con, _ = fuzz_ctx
+    where = f"WHERE user_id < {spec['u_max']}"
+    lim, direc = spec["limit"], "DESC" if spec["desc"] else "ASC"
+
+    if spec["shape"] == "raw":
+        # raw-row top-N: user_id then the unique event_id — total order
+        out = (
+            ev.filter(F.col("user_id") < spec["u_max"])
+            .select("event_id", "user_id")
+            .orderBy(
+                F.col("user_id").desc() if spec["desc"] else F.col("user_id").asc(),
+                F.col("event_id").asc(),
+            )
+            .limit(lim)
+        )
+        sql = (
+            f"SELECT event_id, user_id FROM events {where} "
+            f"ORDER BY user_id {direc}, event_id LIMIT {lim}"
+        )
+        compare(out, con.execute(sql).df())
+        return
+
+    if spec["shape"] == "agg_event_type":
+        key_df, key_sql = F.col("event_type"), "event_type"
+    else:
+        key_df = (F.col("user_id") % spec["mod"]).alias("g")
+        key_sql = f"user_id % {spec['mod']}"
+    agged = (
+        ev.filter(F.col("user_id") < spec["u_max"])
+        .groupBy(key_df)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("su"),
+        )
+    )
+    key_name = "event_type" if spec["shape"] == "agg_event_type" else "g"
+    having_sql = {
+        "n_ge": f" HAVING count(*) >= {spec['h_lit']}",
+        "su_lt": f" HAVING sum(user_id) < {spec['h_lit']}",
+        "none": "",
+    }[spec["having"]]
+    if spec["having"] == "n_ge":
+        agged = agged.filter(F.col("n") >= spec["h_lit"])
+    elif spec["having"] == "su_lt":
+        agged = agged.filter(F.col("su") < spec["h_lit"])
+    sort_col = {"n": "n", "su": "su", "key": key_name}[spec["sort"]]
+    out = agged.orderBy(
+        F.col(sort_col).desc() if spec["desc"] else F.col(sort_col).asc(),
+        F.col(key_name).asc(),  # unique post-aggregation -> total order
+    ).limit(lim)
+    sql = (
+        f"SELECT {key_sql} AS {key_name}, CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(sum(user_id) AS BIGINT) AS su FROM events {where}"
+        f" GROUP BY 1{having_sql}"
+        f" ORDER BY {sort_col} {direc}, {key_name} LIMIT {lim}"
     )
     compare(out, con.execute(sql).df())
