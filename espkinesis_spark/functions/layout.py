@@ -78,6 +78,128 @@ def bucket_axis_bits(bucket: Column, axis: int, report_bits: int = C.ZORDER_REPO
     return out.cast("long")
 
 
+def z_box_intervals(
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    bits: int = C.ZORDER_BITS,
+    max_intervals: int = 32,
+) -> list[tuple[int, int]]:
+    """Decompose an axis-aligned box in QUANTIZED grid coordinates into a
+    small set of CONTIGUOUS z-value intervals — the BIGMIN idea (Tropf &
+    Herzog 1981; the z-range refinement GeoMesa/HBase-style readers run)
+    expressed as z-ordered quadtree recursion, which emits the identical
+    interval set without the per-split bit surgery.
+
+    Why this beats the octile cross-product (``ex_zrange_query``'s
+    prefilter) for SKEWED boxes: octiles fix the grid at 3 bits/axis, so
+    a box spanning 1/16 of one axis still keeps whole octiles — 2x the
+    rows/files it needs on that axis. Here the recursion descends until
+    the box is tiled exactly OR the merged interval budget is hit, so a
+    thin box earns a proportionally thin cover. Intervals stay a DRIVER
+    list of scalars (never data-sized: bounded by ``max_intervals``), so
+    at 100 TB the cover compiles into a codegen OR-of-BETWEENs row
+    filter and a footer-stat file skip — no shuffle, no UDF.
+
+    The cover is LOSSLESS by construction: every grid cell intersecting
+    the box lies inside some emitted quad, and a quad's z-values are
+    contiguous (Morton property), so z(u, t) of every matching row falls
+    in an interval. Budget exhaustion only COARSENS quads (keeps
+    supersets) — it never drops a cell.
+
+    Inputs are inclusive cell coordinates on the 2^bits grid; x is the
+    LOW interleave axis of ``z_value``, y the high. Returns merged,
+    sorted, inclusive ``(z_lo, z_hi)`` intervals; the degenerate empty
+    box (hi < lo) returns []."""
+    if x_hi < x_lo or y_hi < y_lo:
+        return []
+    n = 1 << bits
+    x_lo, y_lo = max(x_lo, 0), max(y_lo, 0)
+    x_hi, y_hi = min(x_hi, n - 1), min(y_hi, n - 1)
+
+    # Deepest refinement level whose WORST-CASE merged cover fits the
+    # budget: a level-d tiling of the box merges to at most one interval
+    # per distinct y-run of quads = (y-extent in level-d quads), plus
+    # ragged-edge splits on x — bounded by the number of level-d quad
+    # rows the box touches. Try deepening one level at a time and keep
+    # the deepest result within budget (the decomposition is pure python
+    # over O(perimeter) quads — microseconds, not a data pass).
+    best = _z_quad_cover(x_lo, x_hi, y_lo, y_hi, bits, depth_cap=3)
+    for depth in range(4, bits + 1):
+        nxt = _z_quad_cover(x_lo, x_hi, y_lo, y_hi, bits, depth_cap=depth)
+        if len(nxt) > max_intervals:
+            break
+        best = nxt
+        if _cover_is_exact(nxt, x_lo, x_hi, y_lo, y_hi, bits):
+            break
+    return best
+
+
+def _z_quad_cover(
+    x_lo: int, x_hi: int, y_lo: int, y_hi: int, bits: int, depth_cap: int
+) -> list[tuple[int, int]]:
+    """Z-ordered quadtree cover of the box, quads coarsened at
+    ``depth_cap``; returns merged inclusive z-intervals (sorted, because
+    the recursion visits quads in z order)."""
+    out: list[list[int]] = []
+
+    def rec(prefix: int, depth: int, cx_lo: int, cy_lo: int) -> None:
+        side = 1 << (bits - depth)
+        cx_hi, cy_hi = cx_lo + side - 1, cy_lo + side - 1
+        if cx_hi < x_lo or cx_lo > x_hi or cy_hi < y_lo or cy_lo > y_hi:
+            return
+        inside = x_lo <= cx_lo and cx_hi <= x_hi and y_lo <= cy_lo and cy_hi <= y_hi
+        if inside or depth >= depth_cap or depth >= bits:
+            z_lo = prefix << (2 * (bits - depth))
+            z_hi = ((prefix + 1) << (2 * (bits - depth))) - 1
+            if out and z_lo == out[-1][1] + 1:
+                out[-1][1] = z_hi  # adjacent in z — merge in place
+            else:
+                out.append([z_lo, z_hi])
+            return
+        half = side >> 1
+        # children in increasing-z order: z_value puts x at even bit
+        # positions (low axis), y at odd — child index = (y_bit<<1)|x_bit
+        for child in range(4):
+            rec(
+                (prefix << 2) | child,
+                depth + 1,
+                cx_lo + (child & 1) * half,
+                cy_lo + ((child >> 1) & 1) * half,
+            )
+
+    rec(0, 0, 0, 0)
+    return [(lo, hi) for lo, hi in out]
+
+
+def _cover_is_exact(
+    intervals: list[tuple[int, int]], x_lo: int, x_hi: int, y_lo: int, y_hi: int, bits: int
+) -> bool:
+    """True when the cover's total z-cell count equals the box's cell
+    count — no further depth can tighten it."""
+    covered = sum(hi - lo + 1 for lo, hi in intervals)
+    return covered == (x_hi - x_lo + 1) * (y_hi - y_lo + 1)
+
+
+def z_interval_filter(zcol: Column, intervals: list[tuple[int, int]]) -> Column:
+    """OR-of-BETWEENs membership predicate for a z-interval cover.
+
+    Use ONLY on a cheap/materialized ``zcol``: Catalyst's project
+    collapse inlines the column's defining expression into EVERY between
+    term, so pairing this with the 32-term ``z_value`` expression
+    recreates the giant-codegen Janino hazard NOTES.md documents.
+    ``ex_zrange_bigmin`` therefore prefilters via a broadcast LEFT-SEMI
+    range join against the interval list instead — the join condition
+    reads the one projected z column per row."""
+    if not intervals:
+        return F.lit(False)
+    cond = zcol.between(F.lit(intervals[0][0]), F.lit(intervals[0][1]))
+    for lo, hi in intervals[1:]:
+        cond = cond | zcol.between(F.lit(lo), F.lit(hi))
+    return cond
+
+
 def zorder_write_plan(df: DataFrame, zcol: str, num_files: int) -> DataFrame:
     """The production z-ordered WRITE layout: range-partition the frame on
     the z-key (RangePartitioning — contiguous z-ranges per output file)

@@ -1029,6 +1029,23 @@ FROM c WHERE cont_a_in_b >= {C.CONTAIN_THRESHOLD}
         FROM e, box
         WHERE user_id BETWEEN qulo AND quhi AND t_ms BETWEEN qtlo AND qthi
         GROUP BY event_type""",
+    # the SAME no-z-math direct-predicate proof as ex_zrange_query, on the
+    # skewed (sixteenth x half) box the BIGMIN interval cover targets —
+    # matching the Spark side proves the z-interval prefilter is lossless
+    "ex_zrange_bigmin": """
+        WITH e AS (SELECT event_type, user_id,
+                   epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms FROM events),
+        bd AS (SELECT min(t_ms) AS mn, max(t_ms) AS mx,
+                      min(user_id) AS umn, max(user_id) AS umx FROM e),
+        box AS (SELECT umn + (7 * (umx - umn + 1)) // 16 AS qulo,
+                       umn + (8 * (umx - umn + 1)) // 16 - 1 AS quhi,
+                       mn + (mx - mn + 1) // 4 AS qtlo,
+                       mn + (3 * (mx - mn + 1)) // 4 - 1 AS qthi FROM bd)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM e, box
+        WHERE user_id BETWEEN qulo AND quhi AND t_ms BETWEEN qtlo AND qthi
+        GROUP BY event_type""",
     "st_zorder_layout": _zorder_layout_sql(modular_time=True),
     "ex_lang_id": _lang_id_sql(),
     "ex_text_stats": _TEXT_STATS_BASE

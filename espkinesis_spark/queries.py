@@ -664,6 +664,87 @@ def ex_zrange_query(spark, sf_dir):
     )
 
 
+def ex_zrange_bigmin(spark, sf_dir):
+    """BIGMIN-style z-range box query — the tighter read-side pruning the
+    octile cross-product (``ex_zrange_query``) can't deliver on SKEWED
+    boxes. A (middle-SIXTEENTH of users) x (middle-half of time) box
+    keeps whole user-octiles under the 3-bit-per-axis grid — 2x the
+    rows/files it needs on the thin axis — while the quadtree z-interval
+    cover (``layout.z_box_intervals``, Tropf & Herzog 1981) descends
+    until the box is tiled exactly or the 32-interval budget is hit, so
+    the prefilter is a broadcast LEFT-SEMI range join against the
+    (budget-bounded, driver-side) interval list. A semi-join rather
+    than an OR-of-BETWEENs row filter deliberately: Catalyst's project
+    collapse would inline the 32-term ``z_value`` expression into EVERY
+    between term — the giant-codegen Janino hazard NOTES.md documents —
+    while the join condition reads the ONE projected ``__z`` column per
+    row. The cover is computed at plan-build time from ONE 4-scalar
+    min/max reduce (a summary collect, the IVF-centroid /
+    sketch-interval precedent — never data-sized); no shuffle added, no
+    UDF, and on a z-ordered layout the same intervals ARE the parquet
+    footer-stat file skip (tests/test_io pins files-read <
+    files-written and that the interval set skips at least as many
+    files as the octile set).
+    The oracle answers the SAME box with the direct predicate and NO
+    z-math — the equivalence proves the cover dismisses nothing
+    (losslessness: quantization is monotone, every matching cell lies in
+    an emitted quad, a quad's z-values are contiguous)."""
+    from espkinesis_spark.functions import layout
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    b = ev.agg(
+        F.min("t_ms").alias("mn"),
+        F.max("t_ms").alias("mx"),
+        F.min("user_id").cast("long").alias("umn"),
+        F.max("user_id").cast("long").alias("umx"),
+    ).first()
+    umn, umx, mn, mx = b["umn"], b["umx"], b["mn"], b["mx"]
+    span_u, span_t = umx - umn + 1, mx - mn + 1
+    n = 1 << C.ZORDER_BITS
+    # the skewed box, exact ints (the oracle replays this arithmetic)
+    qulo, quhi = umn + 7 * span_u // 16, umn + 8 * span_u // 16 - 1
+    qtlo, qthi = mn + span_t // 4, mn + 3 * span_t // 4 - 1
+
+    def quant(v: int, lo: int, span: int) -> int:
+        return min((v - lo) * n // span, n - 1)  # == range_quantize
+
+    intervals = layout.z_box_intervals(
+        quant(qulo, umn, span_u),
+        quant(quhi, umn, span_u),
+        quant(qtlo, mn, span_t),
+        quant(qthi, mn, span_t),
+    )
+    bounds = spark.range(1).select(
+        F.lit(mn).alias("__mn"),
+        F.lit(mx).alias("__mx"),
+        F.lit(umn).alias("__umn"),
+        F.lit(umx).alias("__umx"),
+    )
+    z = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "__z",
+        layout.z_value(
+            layout.range_quantize("user_id", "__umn", "__umx"),
+            layout.range_quantize("t_ms", "__mn", "__mx"),
+        ),
+    )
+    ivdf = spark.createDataFrame(intervals, "z_lo long, z_hi long")
+    pre = z.join(
+        F.broadcast(ivdf),
+        F.col("__z").between(F.col("z_lo"), F.col("z_hi")),
+        "leftsemi",
+    )
+    exact = pre.filter(
+        F.col("user_id").between(F.lit(qulo), F.lit(quhi))
+        & F.col("t_ms").between(F.lit(qtlo), F.lit(qthi))
+    )
+    return exact.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def ex_lang_id(spark, sf_dir):
     """Heuristic language identification."""
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
@@ -3898,20 +3979,22 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-12 layout executes the r11 VERDICT mandate exactly: positions
     1-26 are the TWENTY-SIX r7-vintage leftovers (the oldest evidence
     anywhere — after a green r12 window nothing predates r8); positions
-    27-50 take the first 24 entries of the 43-entry r8 cohort, so the
-    rotation debt shrinks ahead of schedule. The REMAINING 19 r8-vintage
-    entries sit at the TAIL HEAD and rotate first in r13 (ex_dq_checks,
-    ex_embed_quantize, ex_exists_shipped, ex_group_concat,
-    ex_hdr_quantile, ex_hdr_quantile_grouped, ex_image_dedup_apply,
-    ex_image_neardup_incr, ex_image_neardup_wide, ex_part_promotion,
-    ex_semdedup_apply, ex_ship_priority_counts, ex_small_qty_revenue,
-    ex_video_dedup_apply, ex_waiting_orders, st_bm25,
-    st_containment_dedup, st_dedup_substring, st_hdr_quantile); after
-    them the tail lists r9-green, r10-green, then the 50 entries of the
-    r11 window (freshest last). No plan changed this round (the drain
-    router gained a row-count route and a resumable mode, both
-    default-off at fixture scale and pinned by test), so no plan-change
-    slots are needed.
+    27-49 take the first 23 entries of the 43-entry r8 cohort, so the
+    rotation debt shrinks ahead of schedule; position 50 is the round's
+    ONE new entry, ex_zrange_bigmin (unproven, so the prefix invariant
+    forces it into the window — the r11 VERDICT's optional item 7). The
+    REMAINING 20 r8-vintage entries sit at the TAIL HEAD and rotate
+    first in r13 (ex_distinct_agg, ex_dq_checks, ex_embed_quantize,
+    ex_exists_shipped, ex_group_concat, ex_hdr_quantile,
+    ex_hdr_quantile_grouped, ex_image_dedup_apply, ex_image_neardup_incr,
+    ex_image_neardup_wide, ex_part_promotion, ex_semdedup_apply,
+    ex_ship_priority_counts, ex_small_qty_revenue, ex_video_dedup_apply,
+    ex_waiting_orders, st_bm25, st_containment_dedup, st_dedup_substring,
+    st_hdr_quantile); after them the tail lists r9-green, r10-green,
+    then the 50 entries of the r11 window (freshest last). No existing
+    plan changed this round (the drain router gained a row-count route
+    and a resumable mode, both default-off at fixture scale and pinned
+    by test), so no plan-change slots are needed.
     """
     return {
         # --- window 1-26: the 26 r7-vintage leftovers (r11 VERDICT mandate) ---
@@ -3965,8 +4048,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_decontaminate_apply": ex_decontaminate_apply,
         "ex_dedup_apply": ex_dedup_apply,
         "ex_dedup_incremental": ex_dedup_incremental,
+        # --- window 50: the round's ONE new entry (unproven -> window) ---
+        "ex_zrange_bigmin": ex_zrange_bigmin,
+        # --- tail head: remaining 20 r8-vintage entries (rotate first in r13) ---
         "ex_distinct_agg": ex_distinct_agg,
-        # --- tail head: remaining 19 r8-vintage entries (rotate first in r13) ---
         "ex_dq_checks": ex_dq_checks,
         "ex_embed_quantize": ex_embed_quantize,
         "ex_exists_shipped": ex_exists_shipped,

@@ -3000,3 +3000,122 @@ def test_zrange_prefilter_prunes_and_is_lossless(spark, sf_dir):
     )
     for r in rows:
         assert r["bu"] == oct_u(r["user_id"]) and r["bt"] == oct_t(r["t_ms"])
+
+
+def test_z_box_intervals_cover_is_lossless_sorted_and_merged():
+    """Property-check the BIGMIN-style quadtree cover against a brute
+    force over a small grid: for random boxes, (a) the interval union
+    always CONTAINS every z of every cell intersecting the box
+    (losslessness — budget only coarsens, never drops); (b) with an
+    unconstrained budget the cover is EXACT (covers nothing outside the
+    box); (c) intervals come back sorted, disjoint, and fully merged
+    (no two adjacent); (d) a degenerate empty box yields []."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from espkinesis_spark.functions import layout
+
+    BITS = 5  # 32x32 grid — brute force stays tiny
+
+    def z(x: int, y: int) -> int:
+        return sum(((x >> i) & 1) << (2 * i) for i in range(BITS)) + sum(
+            ((y >> i) & 1) << (2 * i + 1) for i in range(BITS)
+        )
+
+    coord = st.integers(min_value=0, max_value=(1 << BITS) - 1)
+
+    @given(x0=coord, x1=coord, y0=coord, y1=coord)
+    @settings(max_examples=60, deadline=None)
+    def check(x0, x1, y0, y1):
+        x_lo, x_hi = min(x0, x1), max(x0, x1)
+        y_lo, y_hi = min(y0, y1), max(y0, y1)
+        box_z = {
+            z(x, y)
+            for x in range(x_lo, x_hi + 1)
+            for y in range(y_lo, y_hi + 1)
+        }
+        for budget in (8, 4096):
+            ivs = layout.z_box_intervals(
+                x_lo, x_hi, y_lo, y_hi, bits=BITS, max_intervals=budget
+            )
+            assert ivs == sorted(ivs)
+            for (alo, ahi), (blo, bhi) in zip(ivs, ivs[1:]):
+                assert ahi + 1 < blo  # disjoint AND merged
+            covered = {v for lo, hi in ivs for v in range(lo, hi + 1)}
+            assert box_z <= covered  # lossless under any budget
+            if budget == 4096:
+                assert covered == box_z  # unconstrained -> exact
+
+    check()
+    assert layout.z_box_intervals(5, 4, 0, 3, bits=BITS) == []
+
+
+def test_z_box_intervals_tighter_than_octiles_on_skewed_box():
+    """The cover's reason to exist: on a box spanning 1/16 of one axis,
+    the 3-bit octile cross-product keeps a whole user-octile (2x the
+    thin axis' need), while the interval cover — still within its
+    32-interval budget — covers strictly fewer z-cells."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import layout
+
+    n = 1 << C.ZORDER_BITS
+    # the ex_zrange_bigmin box in grid coords: middle sixteenth x middle half
+    x_lo, x_hi = 7 * n // 16, 8 * n // 16 - 1
+    y_lo, y_hi = n // 4, 3 * n // 4 - 1
+    ivs = layout.z_box_intervals(x_lo, x_hi, y_lo, y_hi)
+    assert 0 < len(ivs) <= 32
+    covered = sum(hi - lo + 1 for lo, hi in ivs)
+    # octile cross-product: octiles 3..3 on x (the sixteenth sits inside
+    # one octile), 2..5 on y -> 1 x 4 report cells, each holding the
+    # full 2^(2*BITS-6) z-range
+    oct_cells = ((x_hi * 8 // n) - (x_lo * 8 // n) + 1) * (
+        (y_hi * 8 // n) - (y_lo * 8 // n) + 1
+    )
+    octile_covered = oct_cells * (1 << (2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS))
+    assert covered < octile_covered, (covered, octile_covered)
+    # and the box itself is a lower bound the cover respects
+    assert covered >= (x_hi - x_lo + 1) * (y_hi - y_lo + 1)
+
+
+def test_zrange_bigmin_equals_direct_predicate_and_plan_is_clean(spark, sf_dir):
+    """ex_zrange_bigmin's z-interval semi-join prefilter must dismiss
+    nothing: the query's result equals the direct box predicate with no
+    z-math, computed on the same session. The plan must carry the
+    broadcast LEFT-SEMI interval join and no CartesianProduct (the
+    32-term z expression stays a single projected column — the Janino
+    giant-codegen hazard is the reason the prefilter is a join, not an
+    OR-of-BETWEENs filter)."""
+    from espkinesis_spark import queries
+
+    out = queries.ex_zrange_bigmin(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "BroadcastNestedLoopJoin" in plan
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    b = ev.agg(
+        F.min("t_ms").alias("mn"), F.max("t_ms").alias("mx"),
+        F.min("user_id").cast("long").alias("umn"),
+        F.max("user_id").cast("long").alias("umx"),
+    ).first()
+    su, st_ = b["umx"] - b["umn"] + 1, b["mx"] - b["mn"] + 1
+    direct = (
+        ev.filter(
+            F.col("user_id").between(
+                b["umn"] + 7 * su // 16, b["umn"] + 8 * su // 16 - 1
+            )
+            & F.col("t_ms").between(
+                b["mn"] + st_ // 4, b["mn"] + 3 * st_ // 4 - 1
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want and len(want) > 0

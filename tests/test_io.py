@@ -236,3 +236,94 @@ def test_zrange_bucket_set_skips_zordered_files(spark, sf_dir, tmp_path_factory)
         .count()
     )
     assert n_all > 0 and n_kept == n_all, (n_kept, n_all)
+
+
+def test_zrange_interval_cover_skips_files_at_least_as_well_as_octiles(
+    spark, sf_dir, tmp_path_factory
+):
+    """The BIGMIN-style interval cover (ex_zrange_bigmin's prefilter)
+    against the same footer-stat file-skip rule as the octile test
+    above, on the SKEWED (sixteenth x half) box: the interval-kept file
+    set must be a SUBSET of the octile-kept set (the cover's z-region is
+    contained in the octile cross-product's by construction — depth only
+    ever refines the octile tiling), must skip real files, and must be
+    lossless (every matching row lives in a kept file)."""
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import layout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    b = ev.agg(
+        F.min("t_ms").alias("mn"), F.max("t_ms").alias("mx"),
+        F.min("user_id").cast("long").alias("umn"),
+        F.max("user_id").cast("long").alias("umx"),
+    ).first()
+    umn, umx, mn, mx = b["umn"], b["umx"], b["mn"], b["mx"]
+    span_u, span_t = umx - umn + 1, mx - mn + 1
+    n = 1 << C.ZORDER_BITS
+    bounds = spark.range(1).select(
+        F.lit(mn).alias("__mn"), F.lit(mx).alias("__mx"),
+        F.lit(umn).alias("__umn"), F.lit(umx).alias("__umx"),
+    )
+    z = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", "user_id", "t_ms",
+        layout.z_value(
+            layout.range_quantize("user_id", "__umn", "__umx"),
+            layout.range_quantize("t_ms", "__mn", "__mx"),
+        ).alias("z"),
+    )
+    path = str(tmp_path_factory.mktemp("zrange_bigmin_skip") / "events_z")
+    layout.zorder_write_plan(z, "z", 32).write.mode("overwrite").parquet(path)
+    files = spark.read.parquet(path)
+    stats = files.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("z").alias("zmn"), F.max("z").alias("zmx")
+    ).collect()
+    n_written = len(stats)
+
+    # the skewed box (the ex_zrange_bigmin box, raw units + grid coords)
+    qulo, quhi = umn + 7 * span_u // 16, umn + 8 * span_u // 16 - 1
+    qtlo, qthi = mn + span_t // 4, mn + 3 * span_t // 4 - 1
+
+    def quant(v, lo, span):
+        return min((v - lo) * n // span, n - 1)
+
+    ivs = layout.z_box_intervals(
+        quant(qulo, umn, span_u), quant(quhi, umn, span_u),
+        quant(qtlo, mn, span_t), quant(qthi, mn, span_t),
+    )
+    iv_keep = {
+        r["f"]
+        for r in stats
+        if any(r["zmn"] <= hi and r["zmx"] >= lo for lo, hi in ivs)
+    }
+    # octile cross-product keep set for the SAME box (the coarse rule)
+    u_oct = range((qulo - umn) * 8 // span_u, (quhi - umn) * 8 // span_u + 1)
+    t_oct = range((qtlo - mn) * 8 // span_t, (qthi - mn) * 8 // span_t + 1)
+    rb = C.ZORDER_REPORT_BITS // 2
+    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    oct_ranges = [
+        (bk << shift, ((bk + 1) << shift) - 1)
+        for u in u_oct
+        for t in t_oct
+        for bk in [
+            sum(((u >> i) & 1) << (2 * i) for i in range(rb))
+            + sum(((t >> i) & 1) << (2 * i + 1) for i in range(rb))
+        ]
+    ]
+    oct_keep = {
+        r["f"]
+        for r in stats
+        if any(r["zmn"] <= hi and r["zmx"] >= lo for lo, hi in oct_ranges)
+    }
+    assert iv_keep <= oct_keep, iv_keep - oct_keep
+    assert len(iv_keep) < n_written, (len(iv_keep), n_written)
+    # losslessness: every matching row lives in an interval-kept file
+    box = F.col("user_id").between(qulo, quhi) & F.col("t_ms").between(qtlo, qthi)
+    n_all = files.filter(box).count()
+    n_kept = (
+        files.withColumn("__f", F.input_file_name())
+        .filter(box & F.col("__f").isin(list(iv_keep)))
+        .count()
+    )
+    assert n_all > 0 and n_kept == n_all, (n_kept, n_all)
