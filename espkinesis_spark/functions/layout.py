@@ -110,23 +110,24 @@ def z_box_intervals(
 
     Inputs are inclusive cell coordinates on the 2^bits grid; x is the
     LOW interleave axis of ``z_value``, y the high. Returns merged,
-    sorted, inclusive ``(z_lo, z_hi)`` intervals; the degenerate empty
-    box (hi < lo) returns []."""
+    sorted, inclusive ``(z_lo, z_hi)`` intervals — never more than
+    ``max(1, max_intervals)`` of them (a non-empty box always yields at
+    least the one whole-space interval); the degenerate empty box
+    (hi < lo) returns []."""
     if x_hi < x_lo or y_hi < y_lo:
         return []
     n = 1 << bits
     x_lo, y_lo = max(x_lo, 0), max(y_lo, 0)
     x_hi, y_hi = min(x_hi, n - 1), min(y_hi, n - 1)
 
-    # Deepest refinement level whose WORST-CASE merged cover fits the
-    # budget: a level-d tiling of the box merges to at most one interval
-    # per distinct y-run of quads = (y-extent in level-d quads), plus
-    # ragged-edge splits on x — bounded by the number of level-d quad
-    # rows the box touches. Try deepening one level at a time and keep
-    # the deepest result within budget (the decomposition is pure python
-    # over O(perimeter) quads — microseconds, not a data pass).
-    best = _z_quad_cover(x_lo, x_hi, y_lo, y_hi, bits, depth_cap=3)
-    for depth in range(4, bits + 1):
+    # Deepest refinement level whose merged cover fits the budget. Start
+    # from depth 0 (one interval — the whole z space — fits ANY budget
+    # >= 1, so the bound below holds unconditionally) and deepen one
+    # level at a time, keeping the deepest result within budget (the
+    # decomposition is pure python over O(perimeter) quads —
+    # microseconds, not a data pass).
+    best = [(0, (1 << (2 * bits)) - 1)]
+    for depth in range(1, bits + 1):
         nxt = _z_quad_cover(x_lo, x_hi, y_lo, y_hi, bits, depth_cap=depth)
         if len(nxt) > max_intervals:
             break

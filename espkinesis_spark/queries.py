@@ -4024,7 +4024,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_token_count": ex_token_count,
         "ex_udf_surface": ex_udf_surface,
         "ex_video_neardup": ex_video_neardup,
-        # --- window 27-50: first 24 of the 43-entry r8 cohort ---
+        # --- window 27-49: first 23 of the 43-entry r8 cohort ---
         "dq02": dq02,
         "dq04": dq04,
         "dq09": dq09,

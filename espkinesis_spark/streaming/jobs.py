@@ -132,6 +132,12 @@ def _drain_to_parquet(
     """
     import shutil
 
+    if resume and base is None:
+        # an applicationId-scoped default changes on every driver restart,
+        # so a resume against it would never find the checkpoint and would
+        # silently re-extract the corpus — the exact failure the mode
+        # exists to prevent. Refuse loudly instead.
+        raise ValueError("resume=True requires a caller-stable base path")
     spark = df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
@@ -235,8 +241,8 @@ def _drain_rowstore(
     row_bound = int(
         os.environ.get("ESPK_MEMORY_DRAIN_MAX_ROWS", MEMORY_DRAIN_MAX_SOURCE_ROWS)
     )
-    src = table_path(sf_dir, table)
-    if _source_bytes(src) > byte_bound or _source_rows(src) > row_bound:
+    files = _source_files(table_path(sf_dir, table))  # ONE directory walk
+    if _bytes_of(files) > byte_bound or _rows_of(files) > row_bound:
         return _drain_to_parquet(df, name)
     return _drain_to_memory(df, name, "append")
 
@@ -245,38 +251,52 @@ def _source_files(path: str) -> list[str]:
     """Data files of a file OR directory-style parquet table. A missing
     path yields [] — the router then takes the memory route and the
     stream's own source reader raises the clearer error (r11 ADVICE:
-    don't fail the job on the router's stat call)."""
+    don't fail the job on the router's stat call). Metadata subtrees
+    (_spark_metadata/, _delta_log/, .hidden/) are pruned at the
+    DIRECTORY level: their files ('0', '9.compact') don't start with
+    '_'/'.' themselves, and a file-sink store's ever-growing compact
+    manifests would otherwise skew the byte route."""
     if os.path.isdir(path):
-        return [
-            os.path.join(root, f)
-            for root, _, names in os.walk(path)
-            for f in names
-            if not f.startswith(("_", "."))
-        ]
+        out: list[str] = []
+        for root, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            out.extend(
+                os.path.join(root, f) for f in names if not f.startswith(("_", "."))
+            )
+        return out
     return [path] if os.path.exists(path) else []
+
+
+def _bytes_of(files: list[str]) -> int:
+    return sum(os.path.getsize(f) for f in files)
+
+
+def _rows_of(files: list[str]) -> int:
+    """Exact row count from parquet footers — metadata-only, no scan and
+    no held file handles (pq.read_metadata opens, reads the footer, and
+    closes). An unreadable footer counts 0 (memory route); the stream's
+    own reader then surfaces the real error."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        try:
+            total += pq.read_metadata(f).num_rows
+        except Exception:  # noqa: BLE001 — router must not kill the job
+            continue
+    return total
 
 
 def _source_bytes(path: str) -> int:
     """On-disk bytes of a parquet source (os.path.getsize on a directory
     returns the ~4 KB inode size, which would silently pin the router to
     the memory sink forever — sum the files underneath instead)."""
-    return sum(os.path.getsize(f) for f in _source_files(path))
+    return _bytes_of(_source_files(path))
 
 
 def _source_rows(path: str) -> int:
-    """Exact row count from parquet footers — metadata-only, no scan
-    (pyarrow reads num_rows without touching row groups). Falls back to
-    0 (memory route) if a footer is unreadable; the stream's own reader
-    then surfaces the real error."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for f in _source_files(path):
-        try:
-            total += pq.ParquetFile(f).metadata.num_rows
-        except Exception:  # noqa: BLE001 — router must not kill the job
-            continue
-    return total
+    """Exact row count of a parquet source, via ``_rows_of``."""
+    return _rows_of(_source_files(path))
 
 
 def latest_per_user_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

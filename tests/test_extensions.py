@@ -3034,10 +3034,11 @@ def test_z_box_intervals_cover_is_lossless_sorted_and_merged():
             for x in range(x_lo, x_hi + 1)
             for y in range(y_lo, y_hi + 1)
         }
-        for budget in (8, 4096):
+        for budget in (1, 4, 8, 4096):
             ivs = layout.z_box_intervals(
                 x_lo, x_hi, y_lo, y_hi, bits=BITS, max_intervals=budget
             )
+            assert 1 <= len(ivs) <= max(1, budget)  # the budget CONTRACT
             assert ivs == sorted(ivs)
             for (alo, ahi), (blo, bhi) in zip(ivs, ivs[1:]):
                 assert ahi + 1 < blo  # disjoint AND merged
@@ -3048,6 +3049,23 @@ def test_z_box_intervals_cover_is_lossless_sorted_and_merged():
 
     check()
     assert layout.z_box_intervals(5, 4, 0, 3, bits=BITS) == []
+
+
+def test_z_interval_filter_matches_python_membership(spark):
+    """z_interval_filter's OR-of-BETWEENs must select exactly the rows
+    whose (cheap, pre-materialized) z value lies in an interval — pinned
+    here so the helper doesn't ship as untested surface (it exists for
+    covers over already-stored z columns; ex_zrange_bigmin's prefilter
+    is a semi-join instead, per the giant-codegen note)."""
+    from espkinesis_spark.functions import layout
+
+    ivs = layout.z_box_intervals(3, 12, 2, 9, bits=4, max_intervals=6)
+    df = spark.range(256).select(F.col("id").alias("z"))
+    got = {r["z"] for r in df.filter(layout.z_interval_filter(F.col("z"), ivs)).collect()}
+    want = {v for lo, hi in ivs for v in range(lo, hi + 1)}
+    assert got == want and 0 < len(ivs) <= 6
+    # the empty cover selects nothing
+    assert df.filter(layout.z_interval_filter(F.col("z"), [])).count() == 0
 
 
 def test_z_box_intervals_tighter_than_octiles_on_skewed_box():

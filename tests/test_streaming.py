@@ -738,6 +738,40 @@ def test_drain_rowstore_routes_by_source_row_count(spark, sf_dir, monkeypatch):
     assert via_parquet == via_memory and len(via_memory) > 0
 
 
+def test_drain_to_parquet_resume_requires_stable_base(spark, sf_dir):
+    """resume=True with the applicationId-scoped default base would never
+    find the checkpoint after a driver restart (the id changes) and would
+    silently re-extract the corpus — the router must refuse loudly."""
+    from espkinesis_spark.streaming import jobs
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    with pytest.raises(ValueError, match="caller-stable base"):
+        jobs._drain_to_parquet(ev, "resume_no_base", resume=True)
+
+
+def test_source_files_prunes_metadata_directories(tmp_path):
+    """A file-sink store's _spark_metadata/ holds compact manifests whose
+    NAMES don't start with '_' ('0', '9.compact'), so pruning must happen
+    at the directory level or the router's byte/row stats count
+    ever-growing non-data manifest bytes."""
+    from espkinesis_spark.streaming.jobs import _source_bytes, _source_files
+
+    d = tmp_path / "store"
+    (d / "_spark_metadata").mkdir(parents=True)
+    (d / "_spark_metadata" / "0").write_bytes(b"x" * 5000)
+    (d / "_spark_metadata" / "9.compact").write_bytes(b"x" * 5000)
+    (d / ".hidden").mkdir()
+    (d / ".hidden" / "junk").write_bytes(b"x" * 5000)
+    (d / "part-0000.parquet").write_bytes(b"d" * 300)
+    (d / "part-0001.parquet").write_bytes(b"d" * 700)
+    assert sorted(os.path.basename(f) for f in _source_files(str(d))) == [
+        "part-0000.parquet",
+        "part-0001.parquet",
+    ]
+    assert _source_bytes(str(d)) == 1000
+
+
 def test_source_stats_graceful_on_missing_or_garbage_paths(tmp_path, sf_dir):
     """A missing source path must route (0 -> memory) and let the
     stream's own reader raise the clearer error, not kill the job in the
