@@ -168,6 +168,52 @@ def _drain_to_parquet(
     return spark.read.schema(df.schema).parquet(out_dir)
 
 
+def _drain_complete_to_parquet(df: DataFrame, name: str) -> DataFrame:
+    """Executor-parallel drain for COMPLETE-mode results whose size tracks
+    the corpus (st_session_window's ~one-session-per-active-user result):
+    the file sink rejects complete output, so foreachBatch overwrites a
+    parquet snapshot of the full state each trigger — workers write in
+    parallel, the driver holds nothing, and the last trigger's snapshot
+    IS the declared result. Opt-in via ESPK_RESULT_SINK=parquet (see
+    ``session_window_stream``): the default memory route stays the
+    harness shape — the harness collects the whole result anyway, so the
+    memory sink is merely the collect moved earlier — while a production
+    job flips the env var and lands the result durably without a
+    driver-memory copy. Same availableNow replay + plan capture as the
+    other drains."""
+    import shutil
+
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), "espk_drain", app_id, name)
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("ESPK_STREAM_STATE_PARTITIONS", "8")
+    )
+    try:
+        query = (
+            df.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("overwrite").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        _record_stream_plan(query)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    os.makedirs(out_dir, exist_ok=True)
+    return spark.read.schema(df.schema).parquet(out_dir)
+
+
 def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     spark = df.sparkSession
     for q in spark.streams.active:
@@ -338,6 +384,12 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.max("event_id").alias("last_event")
     )
     out = agg.select("user_id", F.col("sw.start").alias("s_start"), "n", "last_event")
+    # This result leg is corpus-proportional (~one session per active
+    # user). The memory sink IS the declared result the harness collects
+    # anyway; a production job opts into the executor-parallel snapshot
+    # drain instead (r11 VERDICT design note b):
+    if os.environ.get("ESPK_RESULT_SINK") == "parquet":
+        return _drain_complete_to_parquet(out, "st_session_window_sink")
     return _drain_to_memory(out, "st_session_window_sink", "complete")
 
 

@@ -738,6 +738,30 @@ def test_drain_rowstore_routes_by_source_row_count(spark, sf_dir, monkeypatch):
     assert via_parquet == via_memory and len(via_memory) > 0
 
 
+def test_session_window_result_sink_routes_identically(spark, sf_dir, monkeypatch):
+    """ESPK_RESULT_SINK=parquet swaps st_session_window's complete-mode
+    result leg from the driver memory sink to the foreachBatch parquet
+    snapshot (the 100 TB shape: executor-parallel write, no driver copy).
+    Both routes must return the identical result multiset; the parquet
+    route must leave no memory-sink table behind."""
+    from espkinesis_spark.streaming import jobs
+
+    def run():
+        return sorted(
+            tuple(r) for r in jobs.session_window_stream(spark, sf_dir).collect()
+        )
+
+    monkeypatch.delenv("ESPK_RESULT_SINK", raising=False)
+    via_memory = run()
+    assert spark.catalog.tableExists("st_session_window_sink")
+    spark.catalog.dropTempView("st_session_window_sink")
+
+    monkeypatch.setenv("ESPK_RESULT_SINK", "parquet")
+    via_parquet = run()
+    assert not spark.catalog.tableExists("st_session_window_sink")
+    assert via_parquet == via_memory and len(via_memory) > 0
+
+
 def test_drain_to_parquet_resume_requires_stable_base(spark, sf_dir):
     """resume=True with the applicationId-scoped default base would never
     find the checkpoint after a driver restart (the id changes) and would
