@@ -9,12 +9,16 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
-Seven families: filter/group/agg, joins, windows, set ops, string
+Nine families: filter/group/agg, joins, windows, set ops, string
 scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
 null-safe equality / NULL join keys over a spec-built literal table —
-the fixture tables carry no NULLs, so the registry is blind here), and
+the fixture tables carry no NULLs, so the registry is blind here),
 ORDER BY + LIMIT + HAVING with total orders (unique tiebreakers make the
-limited SET deterministic under the order-insensitive comparator).
+limited SET deterministic under the order-insensitive comparator),
+temporal scalars (extract/trunc/date arithmetic over ts with the
+CAST(ts AS TIMESTAMP) oracle convention), and conditional /
+integer-arithmetic scalars (CASE chains, coalesce/nullif,
+least/greatest, floor-div, bitwise).
 
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
@@ -568,5 +572,184 @@ def test_differential_order_limit_having(fuzz_ctx, spec):
         f" CAST(sum(user_id) AS BIGINT) AS su FROM events {where}"
         f" GROUP BY 1{having_sql}"
         f" ORDER BY {sort_col} {direc}, {key_name} LIMIT {lim}"
+    )
+    compare(out, con.execute(sql).df())
+
+
+# --- family 8: temporal scalars ---------------------------------------------
+# The registry's date surface is a handful of fixed expressions
+# (ex_date_funcs, the window/gapfill buckets); random extract/trunc/
+# arithmetic specs reach unit x boundary combinations those never do.
+# Discipline: every DuckDB timestamp reads through CAST(ts AS TIMESTAMP)
+# (the oracle convention for the parquet encoding), every date result is
+# CAST to TIMESTAMP on both engines (a raw DATE column compares as
+# python date vs pandas Timestamp), and datediff argument order maps
+# spark datediff(end, start) == duckdb date_diff('day', start, end).
+
+
+@pytest.fixture(scope="module")
+def fuzz_ts_ctx(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = ev.localCheckpoint(eager=True)
+    con = duck_connection(sf_dir)
+    yield ev, con
+    con.close()
+
+
+_TS_SPEC = st.fixed_dictionaries(
+    {
+        "fn": st.sampled_from(
+            [
+                "extract",
+                "to_date",
+                "date_trunc",
+                "datediff",
+                "last_day",
+                "add_days",
+                "epoch_ms",
+            ]
+        ),
+        "part": st.sampled_from(["year", "month", "day", "hour", "minute", "doy"]),
+        "unit": st.sampled_from(["year", "month", "day", "hour"]),
+        "days": st.integers(min_value=-400, max_value=400),
+        "ref": st.sampled_from(["2023-11-01", "2024-03-15", "2025-01-31"]),
+        "u_max": st.integers(min_value=5, max_value=250),
+    }
+)
+
+_EXTRACTS = {
+    "year": (F.year, "year"),
+    "month": (F.month, "month"),
+    "day": (F.dayofmonth, "day"),
+    "hour": (F.hour, "hour"),
+    "minute": (F.minute, "minute"),
+    "doy": (F.dayofyear, "doy"),
+}
+
+
+@given(spec=_TS_SPEC)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_temporal_scalars(fuzz_ts_ctx, spec):
+    ev, con = fuzz_ts_ctx
+    df = ev.filter(F.col("user_id") < spec["u_max"]).select("event_id", "ts")
+    tsql = "CAST(ts AS TIMESTAMP)"
+    if spec["fn"] == "extract":
+        fn, part = _EXTRACTS[spec["part"]]
+        expr = fn("ts").cast("long")
+        esql = f"CAST(EXTRACT({part} FROM {tsql}) AS BIGINT)"
+    elif spec["fn"] == "to_date":
+        expr = F.to_date("ts").cast("timestamp")
+        esql = f"CAST(CAST({tsql} AS DATE) AS TIMESTAMP)"
+    elif spec["fn"] == "date_trunc":
+        expr = F.date_trunc(spec["unit"], F.col("ts"))
+        esql = f"CAST(date_trunc('{spec['unit']}', {tsql}) AS TIMESTAMP)"
+    elif spec["fn"] == "datediff":
+        expr = F.datediff(
+            F.col("ts").cast("date"), F.lit(spec["ref"]).cast("date")
+        ).cast("long")
+        esql = (
+            f"CAST(date_diff('day', DATE '{spec['ref']}',"
+            f" CAST({tsql} AS DATE)) AS BIGINT)"
+        )
+    elif spec["fn"] == "last_day":
+        expr = F.last_day(F.col("ts").cast("date")).cast("timestamp")
+        esql = f"CAST(last_day(CAST({tsql} AS DATE)) AS TIMESTAMP)"
+    elif spec["fn"] == "add_days":
+        expr = F.date_add(F.col("ts").cast("date"), spec["days"]).cast("timestamp")
+        esql = f"CAST(CAST({tsql} AS DATE) + ({spec['days']}) AS TIMESTAMP)"
+    else:
+        expr = F.unix_millis("ts")
+        esql = f"CAST(epoch_ms({tsql}) AS BIGINT)"
+    out = df.select("event_id", expr.alias("x"))
+    sql = (
+        f"SELECT event_id, {esql} AS x FROM events WHERE user_id < {spec['u_max']}"
+    )
+    compare(out, con.execute(sql).df())
+
+
+# --- family 9: conditional / integer-arithmetic scalars ---------------------
+# CASE chains, coalesce/nullif, least/greatest, floor-div, bitwise ops —
+# the expression surface ex_bitwise and the dq filters touch only at
+# fixed points. Integer-only (the float discipline), % and div on the
+# non-negative user_id only (the pmod-sign discipline).
+
+_COND_SPEC = st.fixed_dictionaries(
+    {
+        "shape": st.sampled_from(
+            ["case_chain", "coalesce_nullif", "least_greatest", "div_mod",
+             "bitwise", "abs_sign"]
+        ),
+        "k": st.integers(min_value=2, max_value=9),
+        "j": st.integers(min_value=0, max_value=8),
+        "t": st.integers(min_value=0, max_value=300),
+        "a": st.integers(min_value=-100, max_value=100),
+        "b": st.integers(min_value=-100, max_value=100),
+        "c": st.integers(min_value=-100, max_value=100),
+        "mask": st.integers(min_value=0, max_value=1023),
+        "shift": st.integers(min_value=0, max_value=8),
+        "u_max": st.integers(min_value=5, max_value=250),
+    }
+)
+
+
+@given(spec=_COND_SPEC)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_conditional_int_scalars(fuzz_ctx, spec):
+    ev, con, _ = fuzz_ctx
+    df = ev.filter(F.col("user_id") < spec["u_max"]).select("event_id", "user_id")
+    k, j, t = spec["k"], spec["j"], spec["t"]
+    a, b, c = spec["a"], spec["b"], spec["c"]
+    if spec["shape"] == "case_chain":
+        expr = (
+            F.when(F.col("user_id") % k == 0, F.lit(a))
+            .when(F.col("user_id") < t, F.lit(b))
+            .otherwise(F.lit(c))
+            .cast("long")
+        )
+        esql = (
+            f"CAST(CASE WHEN user_id % {k} = 0 THEN {a}"
+            f" WHEN user_id < {t} THEN {b} ELSE {c} END AS BIGINT)"
+        )
+    elif spec["shape"] == "coalesce_nullif":
+        # nullif(user_id % k, j) is NULL exactly on the j-residue rows
+        expr = F.coalesce(F.nullif(F.col("user_id") % k, F.lit(j)), F.lit(a)).cast(
+            "long"
+        )
+        esql = f"CAST(coalesce(nullif(user_id % {k}, {j}), {a}) AS BIGINT)"
+    elif spec["shape"] == "least_greatest":
+        expr = (
+            F.least(F.col("user_id"), F.lit(t)) + F.greatest(F.col("user_id") % k, F.lit(j))
+        ).cast("long")
+        esql = (
+            f"CAST(least(user_id, {t}) + greatest(user_id % {k}, {j}) AS BIGINT)"
+        )
+    elif spec["shape"] == "div_mod":
+        expr = F.expr(f"(user_id div {k}) * 100 + (user_id % {k})").cast("long")
+        esql = f"CAST((user_id // {k}) * 100 + (user_id % {k}) AS BIGINT)"
+    elif spec["shape"] == "bitwise":
+        m, s = spec["mask"], spec["shift"]
+        expr = (
+            F.shiftleft(F.col("user_id").bitwiseAND(F.lit(255)), s)
+            + F.col("user_id").bitwiseOR(F.lit(m))
+            + F.col("user_id").bitwiseXOR(F.lit(m))
+        ).cast("long")
+        esql = (
+            f"CAST(((user_id & 255) << {s}) + (user_id | {m})"
+            f" + xor(user_id, {m}) AS BIGINT)"
+        )
+    else:
+        expr = (F.abs(F.col("user_id") - t) + F.signum(F.col("user_id") - t).cast("long")).cast("long")
+        esql = f"CAST(abs(user_id - {t}) + CAST(sign(user_id - {t}) AS BIGINT) AS BIGINT)"
+    out = df.select("event_id", expr.alias("x"))
+    sql = (
+        f"SELECT event_id, {esql} AS x FROM events WHERE user_id < {spec['u_max']}"
     )
     compare(out, con.execute(sql).df())
