@@ -9,16 +9,21 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
-Nine families: filter/group/agg, joins, windows, set ops, string
+Eleven families: filter/group/agg, joins, windows, set ops, string
 scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
 null-safe equality / NULL join keys over a spec-built literal table —
 the fixture tables carry no NULLs, so the registry is blind here),
 ORDER BY + LIMIT + HAVING with total orders (unique tiebreakers make the
 limited SET deterministic under the order-insensitive comparator),
 temporal scalars (extract/trunc/date arithmetic over ts with the
-CAST(ts AS TIMESTAMP) oracle convention), and conditional /
+CAST(ts AS TIMESTAMP) oracle convention), conditional /
 integer-arithmetic scalars (CASE chains, coalesce/nullif,
-least/greatest, floor-div, bitwise).
+least/greatest, floor-div, bitwise), ROLLUP/CUBE (random key/aggregate
+specs; the NULL pattern of total rows is the portable witness), and
+correlated subqueries (EXISTS / IN / scalar — the one family where BOTH
+engines run the IDENTICAL ANSI text, Spark over temp views, so
+Catalyst's decorrelation is differentially tested with zero
+compilation drift).
 
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
@@ -753,3 +758,137 @@ def test_differential_conditional_int_scalars(fuzz_ctx, spec):
         f"SELECT event_id, {esql} AS x FROM events WHERE user_id < {spec['u_max']}"
     )
     compare(out, con.execute(sql).df())
+
+
+# --- family 10: ROLLUP / CUBE ------------------------------------------------
+# The registry holds one fixed cube (ex_cube); random key/aggregate specs
+# reach supertotal rows and NULL-key disambiguation the fixed point never
+# does. The fixture keys carry no NULLs, so a NULL in a grouping column
+# unambiguously marks a rollup/cube total row — both engines must emit
+# the identical (NULL-pattern, aggregate) multiset. grouping_id() is
+# deliberately NOT compared (the engines order grouping bits
+# differently); the NULL pattern itself is the portable witness.
+
+_GSET_SPEC = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["rollup", "cube"]),
+        "mod": st.integers(min_value=2, max_value=7),
+        "u_max": st.integers(min_value=5, max_value=250),
+        "second_key": st.sampled_from(["umod", "none"]),
+    }
+)
+
+
+@given(spec=_GSET_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_rollup_cube(fuzz_ctx, spec):
+    ev, con, _ = fuzz_ctx
+    src = ev.filter(F.col("user_id") < spec["u_max"]).withColumn(
+        "umod", (F.col("user_id") % spec["mod"]).cast("long")
+    )
+    keys = ["event_type"] + (["umod"] if spec["second_key"] == "umod" else [])
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("su"),
+    ]
+    grouped = src.rollup(*keys) if spec["op"] == "rollup" else src.cube(*keys)
+    out = grouped.agg(*aggs)
+    key_exprs = {
+        "event_type": "event_type",
+        "umod": f"CAST(user_id % {spec['mod']} AS BIGINT)",
+    }
+    key_sql = ", ".join(key_exprs[k] for k in keys)
+    sel_sql = ", ".join(f"{key_exprs[k]} AS {k}" for k in keys)
+    sql = (
+        f"SELECT {sel_sql}, CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(sum(user_id) AS BIGINT) AS su"
+        f" FROM events WHERE user_id < {spec['u_max']}"
+        f" GROUP BY {spec['op'].upper()} ({key_sql})"
+    )
+    compare(out, con.execute(sql).df())
+
+
+# --- family 11: correlated subqueries (same ANSI text, two engines) ---------
+# EXISTS / NOT EXISTS / IN / scalar subqueries exercise Catalyst's
+# decorrelation against DuckDB's subquery planner. Here BOTH engines run
+# the IDENTICAL SQL string (Spark over temp views, DuckDB over its
+# parquet views) — zero compilation drift by construction. Inner
+# user_id/c_custkey are never NULL, so NOT IN is safe (the NULL trap is
+# family 6's job).
+
+
+@pytest.fixture(scope="module")
+def fuzz_sql_ctx(spark, sf_dir):
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("fz_events")
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("fz_customer")
+    con = duck_connection(sf_dir)
+    con.execute("CREATE OR REPLACE VIEW fz_events AS SELECT event_id, user_id, event_type FROM events")
+    con.execute("CREATE OR REPLACE VIEW fz_customer AS SELECT c_custkey, c_nationkey FROM customer")
+    yield spark, con
+    spark.catalog.dropTempView("fz_events")
+    spark.catalog.dropTempView("fz_customer")
+    con.close()
+
+
+_SUBQ_SPEC = st.fixed_dictionaries(
+    {
+        "shape": st.sampled_from(
+            ["exists", "not_exists", "in_subq", "not_in_subq", "scalar_select",
+             "scalar_where"]
+        ),
+        "t": st.integers(min_value=0, max_value=300),
+        "c_max": st.integers(min_value=5, max_value=400),
+    }
+)
+
+
+@given(spec=_SUBQ_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_correlated_subqueries(fuzz_sql_ctx, spec):
+    spark, con = fuzz_sql_ctx
+    t, c_max = spec["t"], spec["c_max"]
+    inner = (
+        f"SELECT 1 FROM fz_events e"
+        f" WHERE e.user_id = c.c_custkey AND e.user_id < {t}"
+    )
+    if spec["shape"] in ("exists", "not_exists"):
+        neg = "NOT " if spec["shape"] == "not_exists" else ""
+        sql = (
+            f"SELECT c.c_custkey FROM fz_customer c"
+            f" WHERE c.c_custkey < {c_max} AND {neg}EXISTS ({inner})"
+        )
+    elif spec["shape"] in ("in_subq", "not_in_subq"):
+        neg = "NOT " if spec["shape"] == "not_in_subq" else ""
+        sql = (
+            f"SELECT c.c_custkey FROM fz_customer c"
+            f" WHERE c.c_custkey < {c_max} AND c.c_custkey {neg}IN"
+            f" (SELECT user_id FROM fz_events WHERE user_id < {t})"
+        )
+    elif spec["shape"] == "scalar_select":
+        sql = (
+            f"SELECT c.c_custkey,"
+            f" CAST((SELECT count(*) FROM fz_events e"
+            f"       WHERE e.user_id = c.c_custkey AND e.user_id < {t})"
+            f"      AS BIGINT) AS n_ev"
+            f" FROM fz_customer c WHERE c.c_custkey < {c_max}"
+        )
+    else:
+        sql = (
+            f"SELECT c.c_custkey FROM fz_customer c"
+            f" WHERE c.c_custkey < {c_max}"
+            f" AND c.c_custkey <= (SELECT coalesce(max(user_id), -1)"
+            f"                     FROM fz_events WHERE user_id < {t})"
+        )
+    compare(spark.sql(sql), con.execute(sql).df())
