@@ -9,7 +9,7 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
-Eleven families: filter/group/agg, joins, windows, set ops, string
+Twelve families: filter/group/agg, joins, windows, set ops, string
 scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
 null-safe equality / NULL join keys over a spec-built literal table —
 the fixture tables carry no NULLs, so the registry is blind here),
@@ -23,7 +23,9 @@ specs; the NULL pattern of total rows is the portable witness), and
 correlated subqueries (EXISTS / IN / scalar — the one family where BOTH
 engines run the IDENTICAL ANSI text, Spark over temp views, so
 Catalyst's decorrelation is differentially tested with zero
-compilation drift).
+compilation drift), and keyed extrema / predicate aggregates
+(min_by/max_by over the unique event_id vs arg_min/arg_max,
+bool_and/bool_or, count_if).
 
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
@@ -892,3 +894,64 @@ def test_differential_correlated_subqueries(fuzz_sql_ctx, spec):
             f"                     FROM fz_events WHERE user_id < {t})"
         )
     compare(spark.sql(sql), con.execute(sql).df())
+
+
+# --- family 12: keyed extrema + predicate aggregates -------------------------
+# min_by/max_by (DuckDB arg_min/arg_max), bool_and/bool_or, count_if —
+# the registry touches max_by at one fixed point (dq07). Determinism:
+# the extremum KEY is always event_id (unique in the fixture), so the
+# selected row is total-ordered and tie-free on both engines.
+
+_EXTREMA_SPEC = st.fixed_dictionaries(
+    {
+        "agg": st.sampled_from(["max_by", "min_by", "bool_and", "bool_or", "count_if"]),
+        "group": st.sampled_from(["none", "event_type", "user_mod"]),
+        "mod": st.integers(min_value=2, max_value=9),
+        "k": st.integers(min_value=2, max_value=9),
+        "u_max": st.integers(min_value=5, max_value=250),
+    }
+)
+
+
+@given(spec=_EXTREMA_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_extrema_and_predicate_aggs(fuzz_ctx, spec):
+    ev, con, _ = fuzz_ctx
+    df = ev.filter(F.col("user_id") < spec["u_max"])
+    k = spec["k"]
+    if spec["agg"] == "max_by":
+        expr = F.expr("max_by(user_id, event_id)").cast("long")
+        esql = "CAST(arg_max(user_id, event_id) AS BIGINT)"
+    elif spec["agg"] == "min_by":
+        expr = F.expr("min_by(user_id, event_id)").cast("long")
+        esql = "CAST(arg_min(user_id, event_id) AS BIGINT)"
+    elif spec["agg"] == "bool_and":
+        expr = F.expr(f"bool_and(user_id % {k} = 0)")
+        esql = f"bool_and(user_id % {k} = 0)"
+    elif spec["agg"] == "bool_or":
+        expr = F.expr(f"bool_or(user_id % {k} = 0)")
+        esql = f"bool_or(user_id % {k} = 0)"
+    else:
+        expr = F.expr(f"count_if(user_id % {k} = 0)").cast("long")
+        esql = f"CAST(count_if(user_id % {k} = 0) AS BIGINT)"
+    where = f"WHERE user_id < {spec['u_max']}"
+    if spec["group"] == "event_type":
+        out = df.groupBy("event_type").agg(expr.alias("x"))
+        sql = f"SELECT event_type, {esql} AS x FROM events {where} GROUP BY event_type"
+    elif spec["group"] == "user_mod":
+        g = spec["mod"]
+        out = df.groupBy((F.col("user_id") % g).cast("long").alias("g")).agg(
+            expr.alias("x")
+        )
+        sql = (
+            f"SELECT CAST(user_id % {g} AS BIGINT) AS g, {esql} AS x"
+            f" FROM events {where} GROUP BY 1"
+        )
+    else:
+        out = df.agg(expr.alias("x"))
+        sql = f"SELECT {esql} AS x FROM events {where}"
+    compare(out, con.execute(sql).df())
