@@ -3051,6 +3051,48 @@ def test_z_box_intervals_cover_is_lossless_sorted_and_merged():
     assert layout.z_box_intervals(5, 4, 0, 3, bits=BITS) == []
 
 
+def test_z_box_intervals_lossless_at_production_bit_depth():
+    """The 32×32 brute-force property can't reach bits=16 (2^32 cells);
+    sample instead: for random boxes on the full production grid, every
+    SAMPLED in-box cell's z value must fall inside the cover (losslessness
+    at depth), the cover must respect the budget, and its covered z-mass
+    must be at least the box's cell count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from espkinesis_spark.functions import common as C
+    from espkinesis_spark.functions import layout
+
+    BITS = C.ZORDER_BITS
+    n = 1 << BITS
+
+    def z(x: int, y: int) -> int:
+        return sum(((x >> i) & 1) << (2 * i) for i in range(BITS)) + sum(
+            ((y >> i) & 1) << (2 * i + 1) for i in range(BITS)
+        )
+
+    coord = st.integers(min_value=0, max_value=n - 1)
+
+    @given(x0=coord, x1=coord, y0=coord, y1=coord, seeds=st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(0, 10**9)),
+        min_size=20, max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def check(x0, x1, y0, y1, seeds):
+        x_lo, x_hi = min(x0, x1), max(x0, x1)
+        y_lo, y_hi = min(y0, y1), max(y0, y1)
+        ivs = layout.z_box_intervals(x_lo, x_hi, y_lo, y_hi)
+        assert 1 <= len(ivs) <= 32
+        covered = sum(hi - lo + 1 for lo, hi in ivs)
+        assert covered >= (x_hi - x_lo + 1) * (y_hi - y_lo + 1)
+        for sx, sy in seeds:  # deterministic in-box samples from the spec
+            px = x_lo + sx % (x_hi - x_lo + 1)
+            py = y_lo + sy % (y_hi - y_lo + 1)
+            zv = z(px, py)
+            assert any(lo <= zv <= hi for lo, hi in ivs), (px, py)
+
+    check()
+
+
 def test_z_interval_filter_matches_python_membership(spark):
     """z_interval_filter's OR-of-BETWEENs must select exactly the rows
     whose (cheap, pre-materialized) z value lies in an interval — pinned

@@ -9,7 +9,7 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
-Twelve families: filter/group/agg, joins, windows, set ops, string
+Thirteen families: filter/group/agg, joins, windows, set ops, string
 scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
 null-safe equality / NULL join keys over a spec-built literal table —
 the fixture tables carry no NULLs, so the registry is blind here),
@@ -23,9 +23,11 @@ specs; the NULL pattern of total rows is the portable witness), and
 correlated subqueries (EXISTS / IN / scalar — the one family where BOTH
 engines run the IDENTICAL ANSI text, Spark over temp views, so
 Catalyst's decorrelation is differentially tested with zero
-compilation drift), and keyed extrema / predicate aggregates
+compilation drift), keyed extrema / predicate aggregates
 (min_by/max_by over the unique event_id vs arg_min/arg_max,
-bool_and/bool_or, count_if).
+bool_and/bool_or, count_if), and ordered string/list aggregation
+(sorted collect_list/collect_set + concat_ws vs string_agg ORDER BY —
+deterministic because the aggregated strings are sorted and ASCII).
 
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
@@ -954,4 +956,61 @@ def test_differential_extrema_and_predicate_aggs(fuzz_ctx, spec):
     else:
         out = df.agg(expr.alias("x"))
         sql = f"SELECT {esql} AS x FROM events {where}"
+    compare(out, con.execute(sql).df())
+
+
+# --- family 13: ordered string / list aggregation ----------------------------
+# concat_ws(sort_array(collect_list(..))) vs string_agg(.. ORDER BY ..):
+# deterministic because the aggregated strings are sorted (Spark sorts
+# the collected array, DuckDB orders inside the aggregate) and the
+# fixture's event_type/event_id render ASCII-only (byte order == lexical
+# order on both engines). Random dedup/grouping shapes reach group
+# sizes and duplicate patterns ex_group_concat's fixed point never does.
+
+_STRAGG_SPEC = st.fixed_dictionaries(
+    {
+        "what": st.sampled_from(["event_type", "event_id_str"]),
+        "distinct": st.booleans(),
+        "group": st.sampled_from(["event_type_first2", "user_mod"]),
+        "mod": st.integers(min_value=2, max_value=9),
+        "u_max": st.integers(min_value=5, max_value=120),
+        "sep": st.sampled_from([",", "|", "~"]),
+    }
+)
+
+
+@given(spec=_STRAGG_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_ordered_string_agg(fuzz_ctx, spec):
+    ev, con, _ = fuzz_ctx
+    sep = spec["sep"]
+    df = ev.filter(F.col("user_id") < spec["u_max"])
+    if spec["what"] == "event_type":
+        val, vsql = F.col("event_type"), "event_type"
+    else:
+        val = F.col("event_id").cast("string")
+        vsql = "CAST(event_id AS VARCHAR)"
+    # grouping key
+    if spec["group"] == "event_type_first2":
+        key = F.substring("event_type", 1, 2).alias("g")
+        ksql = "substr(event_type, 1, 2)"
+    else:
+        key = (F.col("user_id") % spec["mod"]).cast("long").alias("g")
+        ksql = f"CAST(user_id % {spec['mod']} AS BIGINT)"
+    collected = F.collect_set(val) if spec["distinct"] else F.collect_list(val)
+    out = df.groupBy(key).agg(
+        F.concat_ws(sep, F.sort_array(collected)).alias("x"),
+        F.count("*").cast("long").alias("n"),
+    )
+    dk = "DISTINCT " if spec["distinct"] else ""
+    sql = (
+        f"SELECT {ksql} AS g,"
+        f" coalesce(string_agg({dk}{vsql}, '{sep}' ORDER BY {vsql}), '') AS x,"
+        f" CAST(count(*) AS BIGINT) AS n"
+        f" FROM events WHERE user_id < {spec['u_max']} GROUP BY 1"
+    )
     compare(out, con.execute(sql).df())
