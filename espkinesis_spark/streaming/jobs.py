@@ -174,11 +174,12 @@ def _drain_complete_to_parquet(df: DataFrame, name: str) -> DataFrame:
     the file sink rejects complete output, so foreachBatch overwrites a
     parquet snapshot of the full state each trigger — workers write in
     parallel, the driver holds nothing, and the last trigger's snapshot
-    IS the declared result. Opt-in via ESPK_RESULT_SINK=parquet (see
-    ``session_window_stream``): the default memory route stays the
-    harness shape — the harness collects the whole result anyway, so the
-    memory sink is merely the collect moved earlier — while a production
-    job flips the env var and lands the result durably without a
+    IS the declared result. Opt-in via ESPK_RESULT_SINK=parquet, routed
+    for EVERY complete-mode leg from ``_drain_to_memory`` (one policy
+    point): the default memory route stays the harness shape — the
+    harness collects the whole result anyway, so the memory sink is
+    merely the collect moved earlier — while a production job flips the
+    env var and lands every complete-mode result durably without a
     driver-memory copy. Same availableNow replay + plan capture as the
     other drains."""
     import shutil
@@ -215,6 +216,12 @@ def _drain_complete_to_parquet(df: DataFrame, name: str) -> DataFrame:
 
 
 def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+    # ESPK_RESULT_SINK=parquet: production jobs opt every COMPLETE-mode
+    # result leg into the executor-parallel snapshot drain (durable, no
+    # driver copy) — one policy point for all of them. The memory sink
+    # stays the default: it IS the declared result the harness collects.
+    if mode == "complete" and os.environ.get("ESPK_RESULT_SINK") == "parquet":
+        return _drain_complete_to_parquet(df, name)
     spark = df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
@@ -385,11 +392,9 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = agg.select("user_id", F.col("sw.start").alias("s_start"), "n", "last_event")
     # This result leg is corpus-proportional (~one session per active
-    # user). The memory sink IS the declared result the harness collects
-    # anyway; a production job opts into the executor-parallel snapshot
-    # drain instead (r11 VERDICT design note b):
-    if os.environ.get("ESPK_RESULT_SINK") == "parquet":
-        return _drain_complete_to_parquet(out, "st_session_window_sink")
+    # user) — the r11 VERDICT design-note-b case for the
+    # ESPK_RESULT_SINK=parquet opt-in, which _drain_to_memory routes for
+    # every complete-mode leg from one policy point.
     return _drain_to_memory(out, "st_session_window_sink", "complete")
 
 

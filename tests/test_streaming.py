@@ -738,27 +738,39 @@ def test_drain_rowstore_routes_by_source_row_count(spark, sf_dir, monkeypatch):
     assert via_parquet == via_memory and len(via_memory) > 0
 
 
-def test_session_window_result_sink_routes_identically(spark, sf_dir, monkeypatch):
-    """ESPK_RESULT_SINK=parquet swaps st_session_window's complete-mode
-    result leg from the driver memory sink to the foreachBatch parquet
-    snapshot (the 100 TB shape: executor-parallel write, no driver copy).
-    Both routes must return the identical result multiset; the parquet
-    route must leave no memory-sink table behind."""
+@pytest.mark.parametrize(
+    ("job_name", "sink"),
+    [
+        ("session_window_stream", "st_session_window_sink"),
+        ("latest_per_user_stream", "st_latest_user_sink"),
+    ],
+)
+def test_complete_mode_result_sink_routes_identically(
+    spark, sf_dir, monkeypatch, job_name, sink
+):
+    """ESPK_RESULT_SINK=parquet swaps EVERY complete-mode result leg from
+    the driver memory sink to the foreachBatch parquet snapshot (the
+    100 TB shape: executor-parallel write, no driver copy) — routed from
+    the one policy point in _drain_to_memory. Both routes must return
+    the identical result multiset; the parquet route must leave no
+    memory-sink table behind. Pinned on the corpus-proportional
+    session-window leg AND a second complete-mode job to prove the
+    policy is general, not entry-special-cased."""
     from espkinesis_spark.streaming import jobs
 
+    job = getattr(jobs, job_name)
+
     def run():
-        return sorted(
-            tuple(r) for r in jobs.session_window_stream(spark, sf_dir).collect()
-        )
+        return sorted(tuple(r) for r in job(spark, sf_dir).collect())
 
     monkeypatch.delenv("ESPK_RESULT_SINK", raising=False)
     via_memory = run()
-    assert spark.catalog.tableExists("st_session_window_sink")
-    spark.catalog.dropTempView("st_session_window_sink")
+    assert spark.catalog.tableExists(sink)
+    spark.catalog.dropTempView(sink)
 
     monkeypatch.setenv("ESPK_RESULT_SINK", "parquet")
     via_parquet = run()
-    assert not spark.catalog.tableExists("st_session_window_sink")
+    assert not spark.catalog.tableExists(sink)
     assert via_parquet == via_memory and len(via_memory) > 0
 
 
