@@ -9,7 +9,7 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
-Thirteen families: filter/group/agg, joins, windows, set ops, string
+Fourteen families: filter/group/agg, joins, windows, set ops, string
 scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
 null-safe equality / NULL join keys over a spec-built literal table —
 the fixture tables carry no NULLs, so the registry is blind here),
@@ -25,9 +25,11 @@ engines run the IDENTICAL ANSI text, Spark over temp views, so
 Catalyst's decorrelation is differentially tested with zero
 compilation drift), keyed extrema / predicate aggregates
 (min_by/max_by over the unique event_id vs arg_min/arg_max,
-bool_and/bool_or, count_if), and ordered string/list aggregation
+bool_and/bool_or, count_if), ordered string/list aggregation
 (sorted collect_list/collect_set + concat_ws vs string_agg ORDER BY —
-deterministic because the aggregated strings are sorted and ASCII).
+deterministic because the aggregated strings are sorted and ASCII), and
+bounded window frames (ROWS BETWEEN n PRECEDING AND m FOLLOWING sliding
+aggregates over the unique event_id total order).
 
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
@@ -1012,5 +1014,72 @@ def test_differential_ordered_string_agg(fuzz_ctx, spec):
         f" coalesce(string_agg({dk}{vsql}, '{sep}' ORDER BY {vsql}), '') AS x,"
         f" CAST(count(*) AS BIGINT) AS n"
         f" FROM events WHERE user_id < {spec['u_max']} GROUP BY 1"
+    )
+    compare(out, con.execute(sql).df())
+
+
+# --- family 14: bounded window frames ----------------------------------------
+# ROWS BETWEEN n PRECEDING AND m FOLLOWING sliding aggregates — family 3
+# covers only the cumulative frame. Deterministic: the order key is the
+# unique event_id (total order => a ROWS frame selects the same physical
+# rows on both engines) and the payloads are exact integers.
+
+_FRAME_SPEC = st.fixed_dictionaries(
+    {
+        "agg": st.sampled_from(["sum", "count", "min", "max"]),
+        "prec": st.integers(min_value=0, max_value=6),
+        "foll": st.integers(min_value=0, max_value=6),
+        "part": st.sampled_from(["event_type", "user_mod", "none"]),
+        "mod": st.integers(min_value=2, max_value=9),
+        "desc": st.booleans(),
+        "u_max": st.integers(min_value=5, max_value=120),
+    }
+)
+
+
+@given(spec=_FRAME_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_window_frames(fuzz_ctx, spec):
+    from pyspark.sql import Window
+
+    ev, con, _ = fuzz_ctx
+    df = ev.filter(F.col("user_id") < spec["u_max"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    if spec["part"] == "event_type":
+        part_cols, part_sql = [F.col("event_type")], "PARTITION BY event_type"
+    elif spec["part"] == "user_mod":
+        g = spec["mod"]
+        part_cols = [(F.col("user_id") % g)]
+        part_sql = f"PARTITION BY user_id % {g}"
+    else:
+        part_cols, part_sql = [], ""
+    order = F.col("event_id").desc() if spec["desc"] else F.col("event_id").asc()
+    order_sql = "event_id DESC" if spec["desc"] else "event_id ASC"
+    n, m = spec["prec"], spec["foll"]
+    w = Window.partitionBy(*part_cols).orderBy(order).rowsBetween(-n, m)
+    frame_sql = f"ROWS BETWEEN {n} PRECEDING AND {m} FOLLOWING"
+    over = f"OVER ({part_sql} ORDER BY {order_sql} {frame_sql})".replace("( ", "(")
+
+    if spec["agg"] == "sum":
+        expr = F.sum("user_id").over(w).cast("long")
+        esql = f"CAST(sum(user_id) {over} AS BIGINT)"
+    elif spec["agg"] == "count":
+        expr = F.count("*").over(w).cast("long")
+        esql = f"CAST(count(*) {over} AS BIGINT)"
+    elif spec["agg"] == "min":
+        expr = F.min("user_id").over(w).cast("long")
+        esql = f"CAST(min(user_id) {over} AS BIGINT)"
+    else:
+        expr = F.max("user_id").over(w).cast("long")
+        esql = f"CAST(max(user_id) {over} AS BIGINT)"
+    out = df.select("event_id", expr.alias("x"))
+    sql = (
+        f"SELECT event_id, {esql} AS x FROM events"
+        f" WHERE user_id < {spec['u_max']}"
     )
     compare(out, con.execute(sql).df())
