@@ -62,6 +62,17 @@ def range_quantize(col: str, mn: str, mx: str, bits: int = C.ZORDER_BITS) -> Col
     ).cast("long")
 
 
+def range_quantize_py(v: int, lo: int, hi: int, bits: int = C.ZORDER_BITS) -> int:
+    """Driver-side twin of ``range_quantize`` — bit-identical by
+    construction (same least/div arithmetic, Python ``//`` == SQL
+    ``div`` for the non-negative operands the grid guarantees). Exists
+    so the z-interval covers computed on the driver (``ex_zrange_bigmin``,
+    the io file-skip tests) share ONE definition with the executor-side
+    column: a drifted copy would silently break the cover's losslessness."""
+    n = 1 << bits
+    return min((v - lo) * n // (hi - lo + 1), n - 1)
+
+
 def bucket_axis_bits(bucket: Column, axis: int, report_bits: int = C.ZORDER_REPORT_BITS) -> Column:
     """De-interleave one axis' bits out of a z-REPORT bucket id: axis 0 is
     the LOW axis of each pair (x in ``z_value``), axis 1 the high (y).
@@ -132,7 +143,7 @@ def z_box_intervals(
         if len(nxt) > max_intervals:
             break
         best = nxt
-        if _cover_is_exact(nxt, x_lo, x_hi, y_lo, y_hi, bits):
+        if _cover_is_exact(nxt, x_lo, x_hi, y_lo, y_hi):
             break
     return best
 
@@ -175,7 +186,7 @@ def _z_quad_cover(
 
 
 def _cover_is_exact(
-    intervals: list[tuple[int, int]], x_lo: int, x_hi: int, y_lo: int, y_hi: int, bits: int
+    intervals: list[tuple[int, int]], x_lo: int, x_hi: int, y_lo: int, y_hi: int
 ) -> bool:
     """True when the cover's total z-cell count equals the box's cell
     count — no further depth can tighten it."""

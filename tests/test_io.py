@@ -261,7 +261,6 @@ def test_zrange_interval_cover_skips_files_at_least_as_well_as_octiles(
     ).first()
     umn, umx, mn, mx = b["umn"], b["umx"], b["mn"], b["mx"]
     span_u, span_t = umx - umn + 1, mx - mn + 1
-    n = 1 << C.ZORDER_BITS
     bounds = spark.range(1).select(
         F.lit(mn).alias("__mn"), F.lit(mx).alias("__mx"),
         F.lit(umn).alias("__umn"), F.lit(umx).alias("__umx"),
@@ -285,12 +284,11 @@ def test_zrange_interval_cover_skips_files_at_least_as_well_as_octiles(
     qulo, quhi = umn + 7 * span_u // 16, umn + 8 * span_u // 16 - 1
     qtlo, qthi = mn + span_t // 4, mn + 3 * span_t // 4 - 1
 
-    def quant(v, lo, span):
-        return min((v - lo) * n // span, n - 1)
-
     ivs = layout.z_box_intervals(
-        quant(qulo, umn, span_u), quant(quhi, umn, span_u),
-        quant(qtlo, mn, span_t), quant(qthi, mn, span_t),
+        layout.range_quantize_py(qulo, umn, umx),
+        layout.range_quantize_py(quhi, umn, umx),
+        layout.range_quantize_py(qtlo, mn, mx),
+        layout.range_quantize_py(qthi, mn, mx),
     )
     iv_keep = {
         r["f"]

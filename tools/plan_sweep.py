@@ -13,7 +13,11 @@ windows (downsample anchors, sketch-quantile bounds) are inherent and
 tiny — the sweep output is for eyeballing that every hit stays in that
 category and none is data-sized.
 
-Batch entries are explained unexecuted. Streaming entries (``st_*``)
+Batch entries are explained unexecuted — with one documented exception:
+``ex_zrange_bigmin`` runs a real 4-scalar min/max reduce at DataFrame
+CONSTRUCTION time (its z-interval cover is computed driver-side from the
+corpus bounds, the summary-collect precedent), so "explaining" that entry
+costs one small Spark job. Expected; not a red flag. Streaming entries (``st_*``)
 can't be — a streaming frame's physical plan only materializes once a
 query runs — so the streaming leg RUNS each entry (availableNow replay,
 the entry's own execution path) and greps the executed micro-batch plans
