@@ -14,6 +14,19 @@ import time
 from espkinesis_spark import queries
 from espkinesis_spark.session import get_spark
 
+TOP_N = 20  # heaviest entries re-sampled for min-of-k/medians
+RERUN_K = 3  # samples per re-sampled heavy entry (incl. the first pass)
+LIGHT_RERUN_FLOOR = 1.0  # sec: first-pass entries at/above this get one re-draw
+SENTINEL = "dq13"  # fixed cheap entry re-timed through the run (drift probe)
+SENTINEL_EVERY = 30  # main-loop entries between sentinel draws
+SENTINEL_CONTAMINATION_RATIO = 2.0  # max/min over the series => marked poisoned
+
+
+def _time_noop(registry, name: str, spark, sf_dir: str) -> float:
+    start = time.perf_counter()
+    registry[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - start, 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,8 +37,11 @@ def main() -> None:
     # Warm-ups are best-effort: a broken warm-up should degrade timings, not
     # kill the bench (the JSON line must always be emitted).
     try:
-        # warm up the JVM / parquet footers once
+        # warm up the JVM / parquet footers once — through BOTH the collect
+        # and the noop-sink paths, so the first sentinel draw (noop write)
+        # isn't charged one-time sink setup and read as contamination
         registry["dq13"](spark, sf_dir).collect()
+        registry["dq13"](spark, sf_dir).write.mode("overwrite").format("noop").save()
         # ... and the Python worker pool (first pandas/Arrow query otherwise
         # pays the ~2s daemon spawn inside its measured time)
         spark.range(64).repartition(32).mapInPandas(
@@ -55,50 +71,76 @@ def main() -> None:
         # stderr — stdout must carry exactly the one JSON line
         print(f"warm-up failed (continuing unwarmed): {exc}", file=sys.stderr)
 
+    # Contamination sentinel (VERDICT r12 #2a): BENCH_r12's own samples
+    # proved its first pass ran degraded (a 61s draw of an 11s entry; 35
+    # single-draw entries uniformly +26% vs r11) with nothing in the
+    # artifact to mark it. Re-time ONE fixed cheap entry at the start,
+    # after every SENTINEL_EVERY main-loop entries, and once per rerun
+    # round: a co-located load spike shows up as drift in the series, so
+    # a poisoned pass is MARKED in the artifact instead of silently
+    # inflating the headline. Sentinel draws never enter any total.
+    sentinel_series: list[float] = []
+
+    def sentinel() -> None:
+        try:
+            sentinel_series.append(_time_noop(registry, SENTINEL, spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"sentinel draw failed: {exc}", file=sys.stderr)
+
+    sentinel()
+
     # Per-query error isolation: one broken query must not destroy the whole
     # bench artifact (round 4's bench died mid-loop on a single
     # AnalysisException and produced no numbers at all). Failures are
     # recorded in "errors" and the JSON line is ALWAYS printed.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(registry):
-        start = time.perf_counter()
+    for i, name in enumerate(sorted(registry)):
+        if i and i % SENTINEL_EVERY == 0:
+            sentinel()
         try:
-            df = registry[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            timings[name] = _time_noop(registry, name, spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            continue
-        timings[name] = round(time.perf_counter() - start, 4)
 
-    # Noise control (VERDICT r11 #2): two same-code r11 runs differed 9%
-    # overall with individual >1s entries drifting >1.5x — single-pass
-    # per-entry times can no longer distinguish a regression from VM
-    # noise. Re-run the TOP_N heaviest entries so each has RERUN_K
-    # samples, and report per-entry MEDIANS plus a measured noise
-    # estimate. Rounds are interleaved (entry1..entryN, then again) so a
-    # co-located load spike smears across entries instead of poisoning
-    # one entry's whole sample set.
+    # Noise control (VERDICT r11 #2 + r12 #2b): single-pass per-entry
+    # times can't distinguish a regression from VM noise, and a degraded
+    # first pass inflates every single-draw entry at once. Two layers:
+    # (1) the TOP_N heaviest entries get RERUN_K samples, interleaved
+    #     (entry1..entryN, then again) so a load spike smears across
+    #     entries instead of poisoning one entry's whole sample set;
+    # (2) every other entry whose first draw is >= LIGHT_RERUN_FLOOR
+    #     gets ONE re-draw — sub-floor entries drift by milliseconds and
+    #     stay single-draw.
+    # The headline per-entry figure is the MIN of an entry's draws (the
+    # best estimator of true plan cost under strictly-additive noise),
+    # so a contaminated first pass cannot inflate the headline total.
     samples: dict[str, list[float]] = {}
     top = sorted(timings, key=timings.get, reverse=True)[:TOP_N]
     for name in top:
         samples[name] = [timings[name]]
     for _ in range(RERUN_K - 1):
+        sentinel()
         for name in top:
-            start = time.perf_counter()
             try:
-                registry[name](spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
+                samples[name].append(_time_noop(registry, name, spark, sf_dir))
             except Exception as exc:  # noqa: BLE001
                 print(f"rerun of {name} failed: {exc}", file=sys.stderr)
-                continue
-            samples[name].append(round(time.perf_counter() - start, 4))
-    print(json.dumps(build_output(timings, errors, samples, sf)))
-
-
-TOP_N = 20  # heaviest entries re-sampled for medians
-RERUN_K = 3  # samples per re-sampled entry (incl. the first pass)
+    light = [
+        n
+        for n in sorted(timings, key=timings.get, reverse=True)
+        if n not in samples and timings[n] >= LIGHT_RERUN_FLOOR
+    ]
+    for i, name in enumerate(light):
+        if i and i % SENTINEL_EVERY == 0:
+            sentinel()
+        try:
+            samples[name] = [timings[name], _time_noop(registry, name, spark, sf_dir)]
+        except Exception as exc:  # noqa: BLE001
+            print(f"light re-draw of {name} failed: {exc}", file=sys.stderr)
+            samples.pop(name, None)
+    sentinel()
+    print(json.dumps(build_output(timings, errors, samples, sf, sentinel_series)))
 
 
 def _median(xs: list[float]) -> float:
@@ -112,6 +154,7 @@ def build_output(
     errors: dict[str, str],
     samples: dict[str, list[float]],
     sf: str,
+    sentinel_series: list[float] | None = None,
 ) -> dict:
     """Assemble the one-line JSON artifact.
 
@@ -122,25 +165,43 @@ def build_output(
     end of the line survives a capture truncation, the summary is
     recoverable.
 
-    Median-based figures (VERDICT r11 #2): the headline "value" is the
-    MEDIAN-BLENDED total — per-entry median wall time for the re-sampled
-    heavy entries, first-pass time for the light rest. "queries" maps
-    every entry to its headline figure (median where sampled), so
-    BENCH_rN vs BENCH_rN-1 per-entry diffs compare medians, not single
-    draws. "noise_rel_spread_{median,max}" record the observed
-    (max-min)/median across each sampled entry's draws — the round's
-    measured noise band; a per-entry diff inside that band is noise,
-    not regression. "first_pass_total_sec" keeps the old single-pass
-    semantics for cross-round continuity with r11 and earlier."""
+    Min-of-k figures (VERDICT r12 #2b): the headline "value" is the
+    MIN-BLENDED total — per-entry min over its draws for every sampled
+    entry (heavy k=RERUN_K + light k=2), first-pass time for the
+    sub-floor rest — so a degraded first pass cannot inflate the
+    headline (noise on this VM is strictly additive; BENCH_r12's 61s
+    first draw of an 11s entry is the motivating artifact). "queries"
+    maps every entry to its headline figure, so BENCH_rN vs BENCH_rN-1
+    per-entry diffs compare mins, not single draws.
+    "median_blended_total_sec" keeps the r12 median semantics and
+    "first_pass_total_sec" the r11-and-earlier single-pass semantics for
+    cross-round continuity. "noise_rel_spread_{median,max}" record the
+    observed (max-min)/median across each sampled entry's draws — the
+    run's measured noise band; a per-entry diff inside that band is
+    noise, not regression.
+
+    Contamination sentinel (VERDICT r12 #2a): "sentinel_series" is the
+    drift probe — one fixed cheap entry re-timed through the whole run;
+    "sentinel_max_over_min" > SENTINEL_CONTAMINATION_RATIO sets
+    "sentinel_contaminated" so a poisoned pass is marked in the
+    artifact itself."""
+    mins = {n: round(min(s), 4) for n, s in samples.items() if s}
     medians = {n: round(_median(s), 4) for n, s in samples.items() if s}
-    headline = {**timings, **medians}
+    headline = {**timings, **mins}
     total = round(sum(headline.values()), 4)
+    median_blended_total = round(sum({**timings, **medians}.values()), 4)
     first_pass_total = round(sum(timings.values()), 4)
     spreads = [
         (max(s) - min(s)) / _median(s)
         for s in samples.values()
         if len(s) >= 2 and _median(s) > 0
     ]
+    sentinel_series = [round(x, 4) for x in (sentinel_series or [])]
+    sentinel_ratio = (
+        round(max(sentinel_series) / min(sentinel_series), 4)
+        if sentinel_series and min(sentinel_series) > 0
+        else None
+    )
     out = {
         "metric": "declared_query_total_wall",
         "value": total,
@@ -149,10 +210,18 @@ def build_output(
         "n_queries": len(timings),
         "n_errors": len(errors),
         "first_pass_total_sec": first_pass_total,
-        "median_samples_k": RERUN_K,
-        "median_entries_n": len(medians),
+        "median_blended_total_sec": median_blended_total,
+        "sampled_entries_n": len(mins),
+        "heavy_samples_k": RERUN_K,
         "noise_rel_spread_median": round(_median(spreads), 4) if spreads else None,
         "noise_rel_spread_max": round(max(spreads), 4) if spreads else None,
+        "sentinel_entry": SENTINEL,
+        "sentinel_series": sentinel_series,
+        "sentinel_max_over_min": sentinel_ratio,
+        "sentinel_contaminated": (
+            sentinel_ratio is not None
+            and sentinel_ratio > SENTINEL_CONTAMINATION_RATIO
+        ),
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "queries": headline,
         "first_pass": timings,
