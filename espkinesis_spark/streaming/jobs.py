@@ -129,6 +129,18 @@ def _drain_to_parquet(
         the read-back (which honors the manifest) never sees the
         orphaned partials. Pinned by the kill-mid-replay test in
         tests/test_streaming.py.
+
+    Resume REFUSES a changed extraction schema (VERDICT r12 #5): a
+    production restart often ships a code change, and if the projection
+    gained or retyped a column the file sink would happily append
+    new-schema files next to old-schema ones — the schema-pinned
+    read-back then backfills NULLs into the new column for every
+    already-extracted row, silently corrupting downstream analysis at
+    exactly the scale where re-checking is unaffordable. So resume
+    compares the store's committed schema (manifest-honoring read) with
+    the incoming frame's and raises with both schemas named; the
+    operator chooses explicitly — restore the old projection, or start
+    a fresh base and re-extract/backfill.
     """
     import shutil
 
@@ -139,6 +151,23 @@ def _drain_to_parquet(
         # exists to prevent. Refuse loudly instead.
         raise ValueError("resume=True requires a caller-stable base path")
     spark = df.sparkSession
+    if resume:
+        existing = os.path.join(base, "data")
+        try:
+            stored = spark.read.parquet(existing).schema
+        except Exception:  # noqa: BLE001 — no committed store yet: nothing to check
+            stored = None
+        if stored is not None:
+            want = {(f.name, f.dataType.simpleString()) for f in stored.fields}
+            have = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+            if want != have:
+                raise ValueError(
+                    f"resume refused: extraction schema changed — store "
+                    f"'{existing}' holds {sorted(want)} but the incoming "
+                    f"stream projects {sorted(have)}; restore the old "
+                    f"projection or start a fresh base (old rows would "
+                    f"otherwise silently read NULL in added columns)"
+                )
     for q in spark.streams.active:
         if q.name == name:
             q.stop()

@@ -893,6 +893,59 @@ def test_drain_to_parquet_kill_and_resume_is_exactly_once(
     # committed batches: re-reading them would append duplicates)
 
 
+def test_drain_resume_refuses_changed_extraction_schema(
+    spark, sf_dir, tmp_path_factory
+):
+    """VERDICT r12 #5: a production restart often ships a code change.
+    If the extraction projection GAINED a column, resuming the drain
+    would append new-schema files next to old-schema ones and the
+    read-back would silently backfill NULLs into the new column for
+    every already-extracted row. Pin the defined behavior: resume
+    REFUSES a schema change loudly (both schemas named in the error),
+    and an unchanged-schema resume on the same base still succeeds."""
+    from espkinesis_spark.streaming import jobs
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src_dir = tmp_path_factory.mktemp("schema_evo_src")
+    ev.write.mode("overwrite").parquet(str(src_dir / "data"))
+    base = str(tmp_path_factory.mktemp("schema_evo_base") / "store")
+
+    def source(cols):
+        return (
+            spark.readStream.schema(
+                load_table(spark, sf_dir, "events").select(*cols).schema
+            )
+            .parquet(str(src_dir / "data"))
+            .select(*cols)
+        )
+
+    # first run commits the v1 projection
+    v1 = jobs._drain_to_parquet(
+        source(["event_id", "user_id"]), "schema_evo", base=base, resume=True
+    )
+    assert v1.count() == ev.count()
+
+    # the restarted job's projection gained a column -> refuse loudly
+    evolved = source(["event_id", "user_id"]).withColumn(
+        "shard", F.pmod("user_id", F.lit(8)).cast("long")
+    )
+    with pytest.raises(ValueError, match="schema changed.*shard"):
+        jobs._drain_to_parquet(evolved, "schema_evo", base=base, resume=True)
+    # ... and a retyped column is refused too, not just an added one
+    retyped = source(["event_id", "user_id"]).withColumn(
+        "user_id", F.col("user_id").cast("int")
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        jobs._drain_to_parquet(retyped, "schema_evo", base=base, resume=True)
+
+    # unchanged schema still resumes fine (exactly-once: count is stable)
+    v1_again = jobs._drain_to_parquet(
+        source(["event_id", "user_id"]), "schema_evo", base=base, resume=True
+    )
+    assert v1_again.count() == ev.count()
+
+
 def test_hash_split_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
     """The in-stream complete-mode (split, lang) audit must accumulate
     the exact batch counts across micro-batch splits — streaming-agg
