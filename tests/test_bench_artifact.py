@@ -73,17 +73,19 @@ def test_sentinel_series_marks_contamination():
     clean = _sample()
     assert clean["sentinel_entry"] == SENTINEL
     assert clean["sentinel_series"] == [0.11, 0.12, 0.1, 0.11]
-    assert clean["sentinel_max_over_min"] == pytest.approx(1.2)
+    # median of [0.1, 0.11, 0.11, 0.12] is 0.11 -> 0.12/0.11
+    assert clean["sentinel_max_over_median"] == pytest.approx(1.0909, abs=1e-3)
     assert clean["sentinel_contaminated"] is False
     poisoned = _sample(sentinel_series=(0.1, 0.11, 0.45, 0.12))
     assert poisoned["sentinel_contaminated"] is True
-    assert poisoned["sentinel_max_over_min"] == pytest.approx(4.5)
+    # median of [0.1, 0.11, 0.12, 0.45] is 0.115 -> 0.45/0.115
+    assert poisoned["sentinel_max_over_median"] == pytest.approx(3.913, abs=1e-3)
 
 
 def test_empty_samples_do_not_break_output():
     out = build_output({"q1": 1.0}, {}, {}, "0.01")
     assert out["value"] == 1.0
     assert out["noise_rel_spread_median"] is None
-    assert out["sentinel_max_over_min"] is None
+    assert out["sentinel_max_over_median"] is None
     assert out["sentinel_contaminated"] is False
     assert "errors" not in out
