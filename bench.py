@@ -45,8 +45,8 @@ def main() -> None:
         # warm up the JVM / parquet footers once — through BOTH the collect
         # and the noop-sink paths, so the first sentinel draw (noop write)
         # isn't charged one-time sink setup and read as contamination
-        registry["dq13"](spark, sf_dir).collect()
-        registry["dq13"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        registry[SENTINEL](spark, sf_dir).collect()
+        registry[SENTINEL](spark, sf_dir).write.mode("overwrite").format("noop").save()
         # ... and the Python worker pool (first pandas/Arrow query otherwise
         # pays the ~2s daemon spawn inside its measured time)
         spark.range(64).repartition(32).mapInPandas(
@@ -191,7 +191,12 @@ def build_output(
     "sentinel_contaminated" so a poisoned pass is marked in the
     artifact itself."""
     mins = {n: round(min(s), 4) for n, s in samples.items() if s}
-    medians = {n: round(_median(s), 4) for n, s in samples.items() if s}
+    # r12-continuity medians blend ONLY the heavy k=RERUN_K entries (the
+    # r12 definition); folding the light 2-draw samples in would make
+    # median-of-2 == mean and shift the field's meaning between rounds
+    medians = {
+        n: round(_median(s), 4) for n, s in samples.items() if len(s) >= RERUN_K
+    }
     headline = {**timings, **mins}
     total = round(sum(headline.values()), 4)
     median_blended_total = round(sum({**timings, **medians}.values()), 4)
@@ -223,9 +228,12 @@ def build_output(
         "sentinel_entry": SENTINEL,
         "sentinel_series": sentinel_series,
         "sentinel_max_over_median": sentinel_ratio,
+        # None (unknown) when the probe never produced a series — a broken
+        # sentinel must not read as a verified-clean run
         "sentinel_contaminated": (
-            sentinel_ratio is not None
-            and sentinel_ratio > SENTINEL_CONTAMINATION_RATIO
+            None
+            if sentinel_ratio is None
+            else sentinel_ratio > SENTINEL_CONTAMINATION_RATIO
         ),
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "queries": headline,

@@ -153,10 +153,23 @@ def _drain_to_parquet(
     spark = df.sparkSession
     if resume:
         existing = os.path.join(base, "data")
-        try:
-            stored = spark.read.parquet(existing).schema
-        except Exception:  # noqa: BLE001 — no committed store yet: nothing to check
-            stored = None
+        stored = None
+        if os.path.isdir(existing):
+            from pyspark.errors import AnalysisException
+
+            try:
+                stored = spark.read.parquet(existing).schema
+            except AnalysisException as exc:
+                # only "store not started yet" shapes mean nothing-to-check;
+                # any OTHER read failure (corrupt footer, FS error) must
+                # propagate — skipping the guard on it would re-open the
+                # silent NULL-backfill hole the guard exists to close
+                msg = str(exc)
+                if (
+                    "UNABLE_TO_INFER_SCHEMA" not in msg
+                    and "PATH_NOT_FOUND" not in msg
+                ):
+                    raise
         if stored is not None:
             want = {(f.name, f.dataType.simpleString()) for f in stored.fields}
             have = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}

@@ -60,13 +60,16 @@ def test_min_of_k_beats_median_when_first_pass_is_degraded():
     # a uniformly-degraded FIRST pass (the BENCH_r12 signature): draws
     # [2t, t, t] -> median == t == min here, but [2t, 1.9t, t] -> median
     # 1.9t while min stays t — the headline must take the min.
-    timings = {"heavy": 20.0, "light": 0.2}
-    samples = {"heavy": [20.0, 19.0, 10.0]}
+    timings = {"heavy": 20.0, "light": 1.5, "tiny": 0.2}
+    samples = {"heavy": [20.0, 19.0, 10.0], "light": [1.5, 1.0]}
     out = build_output(timings, {}, samples, "0.1", [0.1, 0.1])
     assert out["queries"]["heavy"] == 10.0
-    assert out["value"] == pytest.approx(10.2)
-    assert out["median_blended_total_sec"] == pytest.approx(19.2)
-    assert out["first_pass_total_sec"] == pytest.approx(20.2)
+    assert out["queries"]["light"] == 1.0  # min of the 2-draw light sample
+    assert out["value"] == pytest.approx(11.2)
+    # r12-continuity medians blend ONLY k>=3 heavy entries: the light
+    # entry contributes its FIRST-PASS time (median-of-2 would be 1.25)
+    assert out["median_blended_total_sec"] == pytest.approx(19.0 + 1.5 + 0.2)
+    assert out["first_pass_total_sec"] == pytest.approx(21.7)
 
 
 def test_sentinel_series_marks_contamination():
@@ -87,5 +90,6 @@ def test_empty_samples_do_not_break_output():
     assert out["value"] == 1.0
     assert out["noise_rel_spread_median"] is None
     assert out["sentinel_max_over_median"] is None
-    assert out["sentinel_contaminated"] is False
+    # a probe that never ran is UNKNOWN, not verified-clean
+    assert out["sentinel_contaminated"] is None
     assert "errors" not in out
