@@ -93,3 +93,50 @@ def test_empty_samples_do_not_break_output():
     # a probe that never ran is UNKNOWN, not verified-clean
     assert out["sentinel_contaminated"] is None
     assert "errors" not in out
+
+
+def test_bench_diff_handles_both_artifact_shapes(tmp_path):
+    """tools/bench_diff.py must diff a FULL one-line artifact against the
+    driver's tail-fragment wrapper: headline scalars recovered from the
+    fragment, per-entry figures classified against the noise band (abs
+    drift for sub-second entries), and a samples row recovered as its
+    MIN (the r13 headline estimator)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_diff import diff, load
+
+    full = {
+        "value": 10.0,
+        "tail_total_sec": 10.0,
+        "tail_n_queries": 3,
+        "tail_n_errors": 0,
+        "sentinel_contaminated": False,
+        "queries": {"big": 5.0, "mid": 2.0, "tiny": 0.2},
+    }
+    fp = tmp_path / "full.json"
+    fp.write_text(json.dumps(full))
+    wrapped = {
+        "n": 13,
+        "rc": 0,
+        "tail": '"big": [4.4, 4.0, 4.2], "mid": 2.1, "tiny": 0.25, '
+        '"tail_total_sec": 9.9, "tail_n_queries": 3, "tail_n_errors": 0}',
+        "parsed": None,
+    }
+    wp = tmp_path / "wrapped.json"
+    wp.write_text(json.dumps(wrapped))
+
+    new, old = load(str(fp)), load(str(wp))
+    assert new["coverage"].startswith("full")
+    assert old["coverage"].startswith("FRAGMENT")
+    assert old["queries"]["big"] == 4.0  # min of the samples row
+    assert old["scalars"]["tail_total_sec"] == 9.9
+
+    d = diff(new, old, band=0.2)
+    assert d["compared"] == 3
+    by_name = {r["entry"]: r for r in d["regressions"] + d["improvements"]}
+    # big: 4.0 -> 5.0 is +25%, over the 20% band -> a reported regression
+    assert by_name["big"]["rel"] == pytest.approx(0.25)
+    # tiny drifted 0.25 -> 0.2 — sub-second entries classify by ABS drift
+    # (<=0.5s is noise), so it must NOT be reported
+    assert "tiny" not in by_name

@@ -1,0 +1,140 @@
+"""Per-entry bench diff with the measured noise band built in.
+
+Raw BENCH totals are a BAND, not a point: three same-code ISOLATED r13
+runs read 277.2 / 253.4 / 232.9 s (OS page-cache state dominates), and
+the per-entry figure's run-to-run band is ~25% on >2 s entries. Diffing
+two artifacts by eyeballing totals therefore manufactures phantom
+regressions — this tool does the comparison the round logs prescribe:
+per-entry headline figures (min-of-k since r13, medians in r12),
+classified against the noise band, slowest regressions first, with the
+sentinel/contamination context of each run printed alongside.
+
+Accepts both artifact shapes:
+  * the full one-line JSON that bench.py prints (local runs), and
+  * the driver's BENCH_rN.json wrapper, which keeps only a ~2000-char
+    TAIL fragment of that line — the tool recovers the tail_* headline
+    scalars (the truncation-proofing guarantees they survive) plus any
+    per-entry figures/samples visible in the fragment, and reports the
+    recovered coverage so a fragment diff is never mistaken for a full
+    one.
+
+Usage: python tools/bench_diff.py NEW.json OLD.json [noise_band]
+  noise_band: relative band treated as noise on >=1 s entries
+  (default 0.25, the measured r13 cross-run band).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+# a JSON float after a quoted key, or a short list of them (a samples row)
+_PAIR = re.compile(r'"([A-Za-z_][\w]*)":\s*(\d+(?:\.\d+)?)(?=[,}])')
+_SAMPLES = re.compile(r'"([A-Za-z_][\w]*)":\s*\[([0-9.,\s]+)\]')
+_SCALARS = (
+    "tail_total_sec",
+    "tail_n_queries",
+    "tail_n_errors",
+    "value",
+    "first_pass_total_sec",
+    "median_blended_total_sec",
+    "sentinel_max_over_median",
+    "loadavg_1m",
+)
+
+
+def load(path: str) -> dict:
+    """Return {queries, scalars, coverage, sentinel} from either shape."""
+    raw = json.load(open(path))
+    if "tail" in raw and "queries" not in raw:  # driver wrapper
+        frag = raw.get("tail") or ""
+        scalars = {}
+        queries: dict[str, float] = {}
+        for name, nums in _SAMPLES.findall(frag):
+            draws = [float(x) for x in nums.split(",") if x.strip()]
+            if draws:
+                queries[name] = min(draws)  # the r13 headline estimator
+        for name, num in _PAIR.findall(frag):
+            if name in _SCALARS:
+                scalars[name] = float(num)
+            elif name not in queries:
+                # a bare per-entry figure from whichever map the fragment
+                # caught; keep the SMALLEST occurrence (first_pass >= min)
+                v = float(num)
+                queries[name] = min(v, queries.get(name, v))
+        return {
+            "queries": queries,
+            "scalars": scalars,
+            "coverage": f"FRAGMENT ({len(queries)} entries recovered)",
+            "contaminated": None,
+        }
+    return {
+        "queries": dict(raw.get("queries", {})),
+        "scalars": {k: raw[k] for k in _SCALARS if k in raw},
+        "coverage": f"full ({len(raw.get('queries', {}))} entries)",
+        "contaminated": raw.get("sentinel_contaminated"),
+    }
+
+
+def diff(new: dict, old: dict, band: float) -> dict:
+    qn, qo = new["queries"], old["queries"]
+    common = sorted(set(qn) & set(qo))
+    rows = []
+    for name in common:
+        a, b = qo[name], qn[name]
+        base = max(a, 1e-9)
+        rel = (b - a) / base
+        # sub-second entries drift by milliseconds that read as huge
+        # percentages; classify them by absolute drift instead
+        noisy = abs(rel) <= band if a >= 1.0 else abs(b - a) <= 0.5
+        rows.append({"entry": name, "old": a, "new": b, "rel": rel, "noise": noisy})
+    regressions = sorted(
+        (r for r in rows if not r["noise"] and r["rel"] > 0),
+        key=lambda r: -(r["new"] - r["old"]),
+    )
+    improvements = sorted(
+        (r for r in rows if not r["noise"] and r["rel"] < 0),
+        key=lambda r: r["new"] - r["old"],
+    )
+    return {
+        "compared": len(common),
+        "only_new": sorted(set(qn) - set(qo)),
+        "only_old": sorted(set(qo) - set(qn)),
+        "regressions": regressions,
+        "improvements": improvements,
+        "within_noise": sum(r["noise"] for r in rows),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        raise SystemExit(2)
+    band = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
+    new, old = load(sys.argv[1]), load(sys.argv[2])
+    d = diff(new, old, band)
+    print(f"new: {sys.argv[1]} — {new['coverage']}, "
+          f"contaminated={new['contaminated']}, scalars={new['scalars']}")
+    print(f"old: {sys.argv[2]} — {old['coverage']}, "
+          f"contaminated={old['contaminated']}, scalars={old['scalars']}")
+    print(f"\ncompared {d['compared']} common entries at noise band {band:.0%} "
+          f"(abs 0.5s under 1s); {d['within_noise']} within noise")
+    for label, names in (("new", d["only_new"]), ("old", d["only_old"])):
+        if names:
+            shown = ", ".join(names[:8])
+            more = f" … +{len(names) - 8} more" if len(names) > 8 else ""
+            print(f"only in {label} ({len(names)}): {shown}{more}")
+    for title, rows in (("REGRESSIONS", d["regressions"]),
+                        ("improvements", d["improvements"])):
+        print(f"\n{title} ({len(rows)}):")
+        for r in rows[:15]:
+            print(f"  {r['entry']:<28} {r['old']:>8.3f} -> {r['new']:>8.3f} "
+                  f"({r['rel']:+.0%})")
+    if new["contaminated"] or old["contaminated"]:
+        print("\nWARNING: a compared run is marked sentinel-contaminated — "
+              "treat its figures as inflated, not regressed.")
+
+
+if __name__ == "__main__":
+    main()
