@@ -168,7 +168,10 @@ def build_output(
     scalar goes FIRST (before the big per-query map) and the same
     scalars are mirrored again AFTER it under tail_* keys — whichever
     end of the line survives a capture truncation, the summary is
-    recoverable.
+    recoverable. Since r14 the contamination verdict is mirrored too
+    (tail_sentinel_max_over_median / tail_sentinel_contaminated): the
+    driver keeps only a ~2000-char tail fragment, and without the
+    mirror the fragment could not prove its own pass was clean.
 
     Min-of-k figures (VERDICT r12 #2b): the headline "value" is the
     MIN-BLENDED total — per-entry min over its draws for every sampled
@@ -245,6 +248,10 @@ def build_output(
     out["tail_total_sec"] = total
     out["tail_n_queries"] = len(timings)
     out["tail_n_errors"] = len(errors)
+    # r13 VERDICT/ADVICE: the contamination verdict must survive the
+    # driver's tail-fragment truncation — mirror it after `queries`
+    out["tail_sentinel_max_over_median"] = sentinel_ratio
+    out["tail_sentinel_contaminated"] = out["sentinel_contaminated"]
     return out
 
 

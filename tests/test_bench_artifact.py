@@ -27,10 +27,22 @@ def test_headline_leads_and_tail_mirrors():
     keys = list(out)
     assert keys.index("value") < keys.index("queries")
     assert keys.index("n_queries") < keys.index("queries")
-    assert keys[-3:] == ["tail_total_sec", "tail_n_queries", "tail_n_errors"]
+    assert keys[-5:] == [
+        "tail_total_sec",
+        "tail_n_queries",
+        "tail_n_errors",
+        "tail_sentinel_max_over_median",
+        "tail_sentinel_contaminated",
+    ]
     assert out["tail_total_sec"] == out["value"]
     assert out["tail_n_queries"] == out["n_queries"] == 120
     assert out["tail_n_errors"] == out["n_errors"] == 1
+    # r13 ADVICE: the contamination verdict is mirrored into the tail so
+    # the driver's ~2000-char tail fragment can prove its pass was clean
+    assert out["tail_sentinel_contaminated"] == out["sentinel_contaminated"]
+    assert (
+        out["tail_sentinel_max_over_median"] == out["sentinel_max_over_median"]
+    )
 
 
 def test_totals_recoverable_from_either_truncated_end():
@@ -38,6 +50,9 @@ def test_totals_recoverable_from_either_truncated_end():
     head, tail = line[:300], line[-200:]
     assert '"value":' in head and '"n_queries":' in head
     assert '"tail_total_sec":' in tail and '"tail_n_queries":' in tail
+    # the contamination verdict must also survive a tail-only capture
+    assert '"tail_sentinel_contaminated":' in tail
+    assert '"tail_sentinel_max_over_median":' in tail
 
 
 def test_min_of_k_absorbs_contaminated_draws():
@@ -119,8 +134,12 @@ def test_bench_diff_handles_both_artifact_shapes(tmp_path):
     wrapped = {
         "n": 13,
         "rc": 0,
-        "tail": '"big": [4.4, 4.0, 4.2], "mid": 2.1, "tiny": 0.25, '
-        '"tail_total_sec": 9.9, "tail_n_queries": 3, "tail_n_errors": 0}',
+        # "mid" appears TWICE (a first_pass figure before its samples row)
+        # — recovery must keep the min regardless of key order
+        "tail": '"mid": 2.1, "big": [4.4, 4.0, 4.2], "mid": [1.8, 2.0], '
+        '"tiny": 0.25, "tail_total_sec": 9.9, "tail_n_queries": 3, '
+        '"tail_n_errors": 0, "tail_sentinel_max_over_median": 1.31, '
+        '"tail_sentinel_contaminated": false}',
         "parsed": None,
     }
     wp = tmp_path / "wrapped.json"
@@ -130,7 +149,11 @@ def test_bench_diff_handles_both_artifact_shapes(tmp_path):
     assert new["coverage"].startswith("full")
     assert old["coverage"].startswith("FRAGMENT")
     assert old["queries"]["big"] == 4.0  # min of the samples row
+    assert old["queries"]["mid"] == 1.8  # min across bare figure + samples
     assert old["scalars"]["tail_total_sec"] == 9.9
+    # the fragment proves its own pass was clean (r13 ADVICE)
+    assert old["contaminated"] is False
+    assert old["scalars"]["tail_sentinel_max_over_median"] == 1.31
 
     d = diff(new, old, band=0.2)
     assert d["compared"] == 3

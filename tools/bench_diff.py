@@ -36,12 +36,17 @@ _SCALARS = (
     "tail_total_sec",
     "tail_n_queries",
     "tail_n_errors",
+    "tail_sentinel_max_over_median",
     "value",
     "first_pass_total_sec",
     "median_blended_total_sec",
     "sentinel_max_over_median",
     "loadavg_1m",
 )
+# the contamination verdict is a JSON bool/null, not a number — recover it
+# from the fragment separately (r13 ADVICE: a fragment must be able to
+# prove its own pass was clean)
+_CONTAMINATED = re.compile(r'"(?:tail_)?sentinel_contaminated":\s*(true|false|null)')
 
 
 def load(path: str) -> dict:
@@ -58,22 +63,32 @@ def load(path: str) -> dict:
         for name, num in _PAIR.findall(frag):
             if name in _SCALARS:
                 scalars[name] = float(num)
-            elif name not in queries:
+            else:
                 # a bare per-entry figure from whichever map the fragment
-                # caught; keep the SMALLEST occurrence (first_pass >= min)
+                # caught; keep the SMALLEST occurrence regardless of key
+                # order (first_pass >= min; the headline estimator is min)
                 v = float(num)
                 queries[name] = min(v, queries.get(name, v))
+        verdicts = _CONTAMINATED.findall(frag)
+        contaminated = (
+            None
+            if not verdicts or verdicts[-1] == "null"
+            else verdicts[-1] == "true"
+        )
         return {
             "queries": queries,
             "scalars": scalars,
             "coverage": f"FRAGMENT ({len(queries)} entries recovered)",
-            "contaminated": None,
+            "contaminated": contaminated,
         }
+    contaminated = raw.get("sentinel_contaminated")
+    if contaminated is None:
+        contaminated = raw.get("tail_sentinel_contaminated")
     return {
         "queries": dict(raw.get("queries", {})),
         "scalars": {k: raw[k] for k in _SCALARS if k in raw},
         "coverage": f"full ({len(raw.get('queries', {}))} entries)",
-        "contaminated": raw.get("sentinel_contaminated"),
+        "contaminated": contaminated,
     }
 
 
