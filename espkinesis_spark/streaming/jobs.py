@@ -163,12 +163,19 @@ def _drain_to_parquet(
                 # only "store not started yet" shapes mean nothing-to-check;
                 # any OTHER read failure (corrupt footer, FS error) must
                 # propagate — skipping the guard on it would re-open the
-                # silent NULL-backfill hole the guard exists to close
-                msg = str(exc)
-                if (
-                    "UNABLE_TO_INFER_SCHEMA" not in msg
-                    and "PATH_NOT_FOUND" not in msg
-                ):
+                # silent NULL-backfill hole the guard exists to close.
+                # Match on the structured error condition (stable across
+                # message-format changes); substring match only as the
+                # fallback when the exception carries no condition.
+                fresh = {"UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"}
+                getter = getattr(exc, "getCondition", None) or getattr(
+                    exc, "getErrorClass", None
+                )
+                cond = getter() if getter is not None else None
+                if cond is not None:
+                    if cond not in fresh:
+                        raise
+                elif not any(c in str(exc) for c in fresh):
                     raise
         if stored is not None:
             want = {(f.name, f.dataType.simpleString()) for f in stored.fields}

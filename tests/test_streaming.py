@@ -946,6 +946,50 @@ def test_drain_resume_refuses_changed_extraction_schema(
     assert v1_again.count() == ev.count()
 
 
+def test_drain_resume_reordered_projection_reads_back_by_name(
+    spark, sf_dir, tmp_path_factory
+):
+    """VERDICT r13 #5: the resume guard compares {(name, type)} SETS, so
+    a restarted job whose projection only REORDERS columns is accepted.
+    That is correct only because the store's read-back resolves parquet
+    columns by NAME — the drain writes positional row groups, so run-1
+    files carry (event_id, user_id) and run-2 files (user_id, event_id).
+    Pin the value-level contract, not just the acceptance: the mixed
+    store must read back value-identical to the source (a positional
+    read would pair event_ids with user_ids)."""
+    from espkinesis_spark.streaming import jobs
+    from espkinesis_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    first = ev.filter(F.pmod("event_id", F.lit(2)) == 0)
+    second = ev.filter(F.pmod("event_id", F.lit(2)) == 1)
+    src_dir = tmp_path_factory.mktemp("reorder_src") / "data"
+    first.write.mode("append").parquet(str(src_dir))
+    base = str(tmp_path_factory.mktemp("reorder_base") / "store")
+
+    def source(cols):
+        return (
+            spark.readStream.schema(ev.select(*cols).schema)
+            .parquet(str(src_dir))
+            .select(*cols)
+        )
+
+    v1 = jobs._drain_to_parquet(
+        source(["event_id", "user_id"]), "schema_reorder", base=base, resume=True
+    )
+    assert v1.count() == first.count()
+
+    # new arrivals land physically reordered, and the restarted job's
+    # projection is reordered too — the guard must accept, not refuse
+    second.select("user_id", "event_id").write.mode("append").parquet(str(src_dir))
+    drained = jobs._drain_to_parquet(
+        source(["user_id", "event_id"]), "schema_reorder", base=base, resume=True
+    )
+    got = {(r["event_id"], r["user_id"]) for r in drained.collect()}
+    want = {(r["event_id"], r["user_id"]) for r in ev.collect()}
+    assert got == want
+
+
 def test_hash_split_stream_multibatch_equals_batch(spark, sf_dir, tmp_path_factory):
     """The in-stream complete-mode (split, lang) audit must accumulate
     the exact batch counts across micro-batch splits — streaming-agg
