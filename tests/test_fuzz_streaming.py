@@ -13,7 +13,7 @@ a replayed batch — are exactly the class a fixed 3-chunk replay
 (tests/test_streaming.py's multibatch tests) can miss when the bug needs
 a specific boundary placement.
 
-Three families, one per streaming execution mode the engine uses:
+Five families, one per streaming execution mode the engine uses:
  1. complete-mode grouped aggregation (streaming-agg state accumulates
     partials across triggers) — random filter + group key + exact
     aggregates over events;
@@ -25,7 +25,28 @@ Three families, one per streaming execution mode the engine uses:
     sample of itself, so true duplicates straddle random batch
     boundaries; the survivor SET must equal batch-distinct, and the
     result count must equal the distinct key count (state, not
-    per-batch dedup).
+    per-batch dedup);
+ 4. applyInPandasWithState as-of matching (st_override_asof's path,
+    VERDICT r13 #3) — seeded random cutpoints carve the TIME-ORDERED
+    event stream into micro-batches (mtime-staggered chunk files so
+    FileStreamSource replays them in order, duplicate cutpoints yield
+    EMPTY batches), and the streamed per-user as-of assignment must
+    equal batch DQ-09 under every late_slack setting — the late-batch
+    horizon pruning at streaming/state.py is exactly where a boundary
+    bug would live (a purchase pruned before a next-batch click inside
+    its lookback window reads as a silently-dropped match);
+ 5. applyInPandasWithState override sessions (the transmitter A5 path)
+    — frames and commands derived in-stream from the same time-ordered
+    randomly-cut source, run through tag_frames_and_commands +
+    override_sessions; the random-boundary replay must emit exactly the
+    single-batch replay's output (patch/expiry state carried across the
+    cut, never recomputed per batch).
+
+Families 4 and 5 order chunks BY TIME (unlike the hash-random chunks of
+1-3): the stateful processors' contract is bounded disorder — state is
+pruned against each batch's max event time — so arbitrarily-late
+cross-batch rows are out of contract; boundary PLACEMENT in the ordered
+stream is the fuzzable dimension.
 
 Determinism discipline: aggregates are order-exact (count, integer sum,
 min/max selection on doubles) — streaming's incremental fold then equals
@@ -62,7 +83,7 @@ _FUZZ_SETTINGS = dict(
 @pytest.fixture(scope="module")
 def stream_fuzz_ctx(spark, sf_dir, tmp_path_factory):
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
+        "event_id", "user_id", "event_type", "value", "ts"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     # one scan each; every example re-uses the checkpointed rows
@@ -230,3 +251,185 @@ def test_streaming_dedup_state_spans_random_batch_boundaries(
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in docs.select("doc_id", "n_chars").collect()
     }
+
+
+# --- families 4 & 5: the applyInPandasWithState paths (VERDICT r13 #3) ----
+
+
+def _ordered_boundary_source(spark, tmp_path_factory, pdf, schema, order_cols, cuts):
+    """Write the (order_cols)-sorted rows into len(cuts)+1 chunk files cut
+    at seeded-random scaled rank positions, mtime-staggered 10 s apart so
+    FileStreamSource replays them oldest-first (one per micro-batch).
+    Duplicate/extreme cutpoints yield genuinely EMPTY chunk files — an
+    empty micro-batch is a corner the stateful processors must survive.
+    Chunks are sliced from ONE pyarrow table so an empty chunk keeps the
+    full schema (an empty pandas->parquet write would degrade object
+    columns to null type and fight the declared read schema), and
+    timestamps are cast to µs so the stream's TimestampType read never
+    hits the TIMESTAMP(NANOS) footer shape."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    tbl = tbl.cast(
+        pa.schema(
+            [
+                pa.field(
+                    f.name,
+                    pa.timestamp("us") if pa.types.is_timestamp(f.type) else f.type,
+                )
+                for f in tbl.schema
+            ]
+        )
+    )
+    n = tbl.num_rows
+    bounds = [0, *sorted(int(c * n / 1000) for c in cuts), n]
+    data_dir = tmp_path_factory.mktemp(f"sfuzz_ord{next(_uniq)}") / "data"
+    os.makedirs(data_dir)
+    t0 = _time.time() - 3600
+    for i in range(len(bounds) - 1):
+        path = str(data_dir / f"c{i:02d}.parquet")
+        pq.write_table(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]), path)
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir))
+    )
+
+
+_ASOF_SPEC = st.fixed_dictionaries(
+    {
+        "cuts": st.lists(
+            st.integers(min_value=0, max_value=1000), min_size=1, max_size=5
+        ),
+        "slack": st.sampled_from(["0 seconds", "10 minutes", "1 hour"]),
+    }
+)
+
+
+@given(spec=_ASOF_SPEC)
+@settings(**_FUZZ_SETTINGS)
+def test_stateful_asof_invariant_to_time_ordered_boundaries(
+    spark, stream_fuzz_ctx, spec
+):
+    """Family 4: st_override_asof's exact execution path. The per-user
+    purchase state must survive every boundary placement — a click in a
+    LATER micro-batch must still match a purchase from an earlier one
+    when it sits inside the 1 h lookback, for every late_slack setting
+    (time-ordered chunks never prune a still-matchable purchase: the
+    horizon is batch-max relative, so this pins the pruning arithmetic
+    at streaming/state.py against off-by-slack bugs)."""
+    from espkinesis_spark.operators import core as ops
+    from espkinesis_spark.streaming.state import asof_override
+
+    ev, _, tmp = stream_fuzz_ctx
+    src = _ordered_boundary_source(
+        spark, tmp, ev.toPandas(), ev.schema, ["ts", "event_id"], spec["cuts"]
+    )
+    streamed = asof_override(src, late_slack=spec["slack"])
+    got = {
+        tuple(r) for r in _run_available_now(streamed, "append", spark).collect()
+    }
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    want_df = ops.asof_last_match(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lookback="INTERVAL 1 HOUR",
+        right_val="event_id",
+    ).select("event_id", F.col("asof_match").alias("active_override"))
+    want = {tuple(r) for r in want_df.collect()}
+    assert got == want
+
+
+_OVR_SPEC = st.fixed_dictionaries(
+    {
+        "cuts": st.lists(
+            st.integers(min_value=0, max_value=1000), min_size=1, max_size=5
+        ),
+        "cmd_mod": st.integers(min_value=12, max_value=40),
+        "salt": st.integers(min_value=0, max_value=2**31),
+    }
+)
+
+
+def _override_session_run(spark, src, spec):
+    """Derive frames + commands in-stream from a cut events source, route
+    them through the REAL tagging + override-session path, and drain.
+    Command patch/duration depend only on ts (not event_id) so two
+    commands landing on the same (target, ts) are identical — the
+    processor's (ts, seq) sort cannot order such ties, and value-equal
+    ties keep both replays deterministic."""
+    from espkinesis_spark.streaming import pipeline as stp
+    from espkinesis_spark.streaming import state as sst
+
+    is_cmd = (
+        F.pmod(F.xxhash64("event_id", F.lit(spec["salt"])), F.lit(spec["cmd_mod"]))
+        == 0
+    )
+    frames = src.filter(~is_cmd).select(
+        "ts",
+        F.col("event_id").alias("frame_id"),
+        F.expr(
+            "transform(sequence(0, 7), i ->"
+            " cast(1000 + pmod(event_id * 7 + i * 131, 1001) as int))"
+        ).alias("channels"),
+    )
+    cmds = src.filter(is_cmd).select(
+        F.pmod("event_id", F.lit(3)).cast("int").alias("target_id"),
+        "ts",
+        F.expr(
+            "transform(sequence(0, 7), i -> cast(if(pmod(unix_micros(ts) + i, 3) = 0,"
+            " -1, 1000 + pmod(unix_micros(ts) * 11 + i * 37, 1001)) as int))"
+        ).alias("channels"),
+        F.expr("cast(60000 + pmod(unix_micros(ts) * 131, 7200000) as long)").alias(
+            "duration"
+        ),
+    )
+    targets = spark.createDataFrame([(0,), (1,), (2,)], "id int")
+    tagged = stp.tag_frames_and_commands(frames, cmds, targets)
+    out = _run_available_now(sst.override_sessions(tagged), "append", spark)
+    return {
+        (r["target_id"], r["frame_id"]): (tuple(r["channels"]), r["overridden"])
+        for r in out.collect()
+    }
+
+
+@given(spec=_OVR_SPEC)
+@settings(**_FUZZ_SETTINGS)
+def test_override_sessions_invariant_to_time_ordered_boundaries(
+    spark, stream_fuzz_ctx, spec
+):
+    """Family 5: the transmitter override session (A5). The (patch,
+    expiry) state set by a command in batch k must govern frames in
+    batch k+1 until expiry — the random-boundary replay must emit
+    exactly the single-batch replay's frame-for-frame output (the
+    single-batch form is pinned against an independent pandas reference
+    in tests/test_streaming.py)."""
+    from hypothesis import assume
+
+    ev, _, tmp = stream_fuzz_ctx
+    pdf = ev.toPandas()
+    src = _ordered_boundary_source(
+        spark, tmp, pdf, ev.schema, ["ts", "event_id"], spec["cuts"]
+    )
+    got = _override_session_run(spark, src, spec)
+    ref_src = _ordered_boundary_source(
+        spark, tmp, pdf, ev.schema, ["ts", "event_id"], []
+    )
+    want = _override_session_run(spark, ref_src, spec)
+    # vacuity: a salt that drew zero applied overrides exercises nothing
+    assume(any(over for _, over in want.values()))
+    assert got == want
