@@ -9,7 +9,7 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
-Fifteen families: filter/group/agg, joins, windows, set ops, string
+Sixteen families: filter/group/agg, joins, windows, set ops, string
 scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
 null-safe equality / NULL join keys over a spec-built literal table —
 the fixture tables carry no NULLs, so the registry is blind here),
@@ -33,7 +33,11 @@ aggregates over the unique event_id total order), and decimal/interval
 edge semantics (exact DECIMAL money arithmetic + INTERVAL/date_trunc
 shifts, identical ANSI text on both engines, fetchall-exact compare —
 the family's spec-space comment documents the engine-divergent corners
-it proved and excludes, e.g. DuckDB's truncate-on-downscale-cast).
+it proved and excludes, e.g. DuckDB's truncate-on-downscale-cast), and
+collation/ordering edge semantics (mixed-case/accent/emoji/decomposed
+strings under identical ANSI text — explicit NULLS FIRST/LAST because
+the engines' defaults diverge, upper('ß') excluded as a proven
+divergence, BINARY order otherwise agreeing byte-for-byte).
 
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
@@ -1289,3 +1293,96 @@ def test_differential_interval_arithmetic(fuzz_decint_ctx, spec):
             f" AS v FROM fz_tev {where}"
         )
     _compare_exact(spark, con, sql)
+
+
+# --- family 16: collation / ordering edge semantics (VERDICT r13 #7) --------
+# The other string families keep the fixtures' ASCII-only data, which
+# sidesteps collation entirely. This family derives a string column that
+# mixes case, accents, a DECOMPOSED accent (e + U+0301), an emoji, empty
+# and whitespace strings, and runs the IDENTICAL ANSI text on both
+# engines (family-11 discipline). Probed contracts the family encodes
+# (documented steering, not bugs):
+#  * default NULL ordering DIVERGES (Spark ASC = NULLS FIRST, DuckDB
+#    ASC = NULLS LAST) -> every ORDER BY spells NULLS FIRST/LAST
+#    explicitly — the same discipline any new ordered oracle must keep;
+#  * upper('ß') diverges ('SS' from the JVM's locale-free toUpperCase
+#    vs 'ẞ' U+1E9E under DuckDB's ICU) -> 'ß' is swapped out of the
+#    palette for the case-function shape only;
+#  * both engines agree on BINARY sort order for the full palette
+#    (byte-wise UTF-8, decomposed 'é' sorting apart from composed 'é'),
+#    on min/max selection, and on lower()/length()/substr() — length is
+#    CODEPOINT count on both (emoji = 1, decomposed é = 2).
+
+_COLL_POOL = [
+    "", " ", "a", "A", "Ab", "aB", "e", "E", "é", "é",
+    "Ü", "ß", "ss", "z", "Z", "~", "Ω", "\U0001F600",
+    "naïve", "NAIVE",
+]
+
+_COLL_SPEC = st.fixed_dictionaries(
+    {
+        "shape": st.sampled_from(["order_limit", "minmax_group", "funcs", "distinct"]),
+        "pal": st.lists(
+            st.integers(min_value=0, max_value=len(_COLL_POOL) - 1),
+            min_size=3,
+            max_size=8,
+        ),
+        "k": st.integers(min_value=3, max_value=11),
+        "with_null": st.booleans(),
+        "nulls": st.sampled_from(["FIRST", "LAST"]),
+        "dir": st.sampled_from(["ASC", "DESC"]),
+        "lim": st.integers(min_value=1, max_value=60),
+        "mod": st.integers(min_value=2, max_value=7),
+        "u_max": st.integers(min_value=5, max_value=250),
+    }
+)
+
+
+@given(spec=_COLL_SPEC)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_collation_ordering(fuzz_sql_ctx, spec):
+    spark, con = fuzz_sql_ctx
+    pool = list(_COLL_POOL)
+    if spec["shape"] == "funcs":
+        pool[pool.index("ß")] = "ss"  # the documented upper() corner
+    pal = [pool[i] for i in spec["pal"]]
+    branches = []
+    for i in range(spec["k"]):
+        if spec["with_null"] and i == spec["k"] - 1:
+            branches.append(f"WHEN {i} THEN NULL")
+        else:
+            branches.append(f"WHEN {i} THEN '{pal[i % len(pal)]}'")
+    s = f"(CASE event_id % {spec['k']} {' '.join(branches)} END)"
+    where = f"WHERE user_id < {spec['u_max']}"
+    if spec["shape"] == "order_limit":
+        # compare() canonically re-sorts rows, so what this pins is the
+        # SELECTED SET under the collation order — the event_id tiebreak
+        # makes the limit boundary deterministic on both engines
+        sql = (
+            f"SELECT {s} AS s, event_id FROM fz_events {where}"
+            f" ORDER BY s {spec['dir']} NULLS {spec['nulls']}, event_id"
+            f" LIMIT {spec['lim']}"
+        )
+    elif spec["shape"] == "minmax_group":
+        sql = (
+            f"SELECT CAST(user_id % {spec['mod']} AS BIGINT) AS g,"
+            f" min({s}) AS mn, max({s}) AS mx,"
+            f" CAST(count({s}) AS BIGINT) AS n"
+            f" FROM fz_events {where} GROUP BY 1"
+        )
+    elif spec["shape"] == "funcs":
+        sql = (
+            f"SELECT event_id, lower({s}) AS lo, upper({s}) AS up,"
+            f" length({s}) AS n, substr({s}, 1, 2) AS h,"
+            f" {s} = 'a' AS eq_a FROM fz_events {where}"
+        )
+    else:  # distinct
+        sql = (
+            f"SELECT CAST(count(DISTINCT {s}) AS BIGINT) AS n,"
+            f" min({s}) AS mn, max({s}) AS mx FROM fz_events {where}"
+        )
+    compare(spark.sql(sql), con.execute(sql).df())

@@ -1,6 +1,6 @@
 """Randomized differential fuzz of the STREAMING surface (VERDICT r12 #3).
 
-The fourteen relational fuzzer families randomize the QUERY and hold the
+The sixteen relational fuzzer families randomize the QUERY and hold the
 execution model fixed; this suite holds the query simple and randomizes
 the one dimension they are structurally blind to — MICRO-BATCH
 BOUNDARIES. Each example draws a seeded random partition of a fixture
