@@ -4218,5 +4218,4 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "ex_volume_shipping": ex_volume_shipping,
         "ex_large_orders": ex_large_orders,
-        "ex_zrange_bigmin": ex_zrange_bigmin,
     }

@@ -13,7 +13,11 @@ a replayed batch — are exactly the class a fixed 3-chunk replay
 (tests/test_streaming.py's multibatch tests) can miss when the bug needs
 a specific boundary placement.
 
-Five families, one per streaming execution mode the engine uses:
+Five families across the four streaming execution modes the engine uses
+(families 4 and 5 both target applyInPandasWithState — one per stateful
+processor; transformWithStateInPandas stays unfuzzed because the
+sandbox blocks its state-server socket, same as its self-skipping
+test):
  1. complete-mode grouped aggregation (streaming-agg state accumulates
     partials across triggers) — random filter + group key + exact
     aggregates over events;
@@ -88,6 +92,32 @@ def stream_fuzz_ctx(spark, sf_dir, tmp_path_factory):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     # one scan each; every example re-uses the checkpointed rows
     return ev.localCheckpoint(eager=True), docs.localCheckpoint(eager=True), tmp_path_factory
+
+
+@pytest.fixture(scope="module")
+def asof_batch_ctx(stream_fuzz_ctx):
+    """Spec-INDEPENDENT inputs of families 4/5, computed once per module:
+    the time-sorted pandas copy the chunk writer slices, and family 4's
+    batch-DQ-09 oracle set (only the streamed side varies per example)."""
+    from espkinesis_spark.operators import core as ops
+
+    ev, _, _ = stream_fuzz_ctx
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    want_df = ops.asof_last_match(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lookback="INTERVAL 1 HOUR",
+        right_val="event_id",
+    ).select("event_id", F.col("asof_match").alias("active_override"))
+    return ev.toPandas(), {tuple(r) for r in want_df.collect()}
 
 
 def _random_boundary_source(spark, tmp_path_factory, df, key_col, spec):
@@ -315,7 +345,7 @@ _ASOF_SPEC = st.fixed_dictionaries(
 @given(spec=_ASOF_SPEC)
 @settings(**_FUZZ_SETTINGS)
 def test_stateful_asof_invariant_to_time_ordered_boundaries(
-    spark, stream_fuzz_ctx, spec
+    spark, stream_fuzz_ctx, asof_batch_ctx, spec
 ):
     """Family 4: st_override_asof's exact execution path. The per-user
     purchase state must survive every boundary placement — a click in a
@@ -324,33 +354,17 @@ def test_stateful_asof_invariant_to_time_ordered_boundaries(
     (time-ordered chunks never prune a still-matchable purchase: the
     horizon is batch-max relative, so this pins the pruning arithmetic
     at streaming/state.py against off-by-slack bugs)."""
-    from espkinesis_spark.operators import core as ops
     from espkinesis_spark.streaming.state import asof_override
 
     ev, _, tmp = stream_fuzz_ctx
+    pdf, want = asof_batch_ctx
     src = _ordered_boundary_source(
-        spark, tmp, ev.toPandas(), ev.schema, ["ts", "event_id"], spec["cuts"]
+        spark, tmp, pdf, ev.schema, ["ts", "event_id"], spec["cuts"]
     )
     streamed = asof_override(src, late_slack=spec["slack"])
     got = {
         tuple(r) for r in _run_available_now(streamed, "append", spark).collect()
     }
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    )
-    want_df = ops.asof_last_match(
-        clicks,
-        purchases,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        lookback="INTERVAL 1 HOUR",
-        right_val="event_id",
-    ).select("event_id", F.col("asof_match").alias("active_override"))
-    want = {tuple(r) for r in want_df.collect()}
     assert got == want
 
 
@@ -410,7 +424,7 @@ def _override_session_run(spark, src, spec):
 @given(spec=_OVR_SPEC)
 @settings(**_FUZZ_SETTINGS)
 def test_override_sessions_invariant_to_time_ordered_boundaries(
-    spark, stream_fuzz_ctx, spec
+    spark, stream_fuzz_ctx, asof_batch_ctx, spec
 ):
     """Family 5: the transmitter override session (A5). The (patch,
     expiry) state set by a command in batch k must govern frames in
@@ -421,7 +435,7 @@ def test_override_sessions_invariant_to_time_ordered_boundaries(
     from hypothesis import assume
 
     ev, _, tmp = stream_fuzz_ctx
-    pdf = ev.toPandas()
+    pdf, _want_unused = asof_batch_ctx
     src = _ordered_boundary_source(
         spark, tmp, pdf, ev.schema, ["ts", "event_id"], spec["cuts"]
     )
