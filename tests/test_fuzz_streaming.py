@@ -13,11 +13,11 @@ a replayed batch — are exactly the class a fixed 3-chunk replay
 (tests/test_streaming.py's multibatch tests) can miss when the bug needs
 a specific boundary placement.
 
-Five families across the four streaming execution modes the engine uses
-(families 4 and 5 both target applyInPandasWithState — one per stateful
-processor; transformWithStateInPandas stays unfuzzed because the
-sandbox blocks its state-server socket, same as its self-skipping
-test):
+Six families across the four streaming execution modes the engine uses
+(families 4/4b/5 target applyInPandasWithState — one per stateful
+processor plus the bounded-lateness variant; transformWithStateInPandas
+stays unfuzzed because the sandbox blocks its state-server socket, same
+as its self-skipping test):
  1. complete-mode grouped aggregation (streaming-agg state accumulates
     partials across triggers) — random filter + group key + exact
     aggregates over events;
@@ -39,6 +39,12 @@ test):
     horizon pruning at streaming/state.py is exactly where a boundary
     bug would live (a purchase pruned before a next-batch click inside
     its lookback window reads as a silently-dropped match);
+ 4b. the late_slack contract itself — a seeded subset of CLICK rows is
+    delivered up to several batches late but always within
+    (slack - 1 s) of everything already processed (the documented
+    bounded-disorder contract); purchases stay on time, and the
+    streamed assignment must still equal batch DQ-09 — an off-by-slack
+    horizon prune silently drops matches for exactly these rows;
  5. applyInPandasWithState override sessions (the transmitter A5 path)
     — frames and commands derived in-stream from the same time-ordered
     randomly-cut source, run through tag_frames_and_commands +
@@ -46,7 +52,7 @@ test):
     single-batch replay's output (patch/expiry state carried across the
     cut, never recomputed per batch).
 
-Families 4 and 5 order chunks BY TIME (unlike the hash-random chunks of
+Families 4/4b/5 order chunks BY TIME (unlike the hash-random chunks of
 1-3): the stateful processors' contract is bounded disorder — state is
 pruned against each batch's max event time — so arbitrarily-late
 cross-batch rows are out of contract; boundary PLACEMENT in the ordered
@@ -297,15 +303,19 @@ def _ordered_boundary_source(spark, tmp_path_factory, pdf, schema, order_cols, c
     columns to null type and fight the declared read schema), and
     timestamps are cast to µs so the stream's TimestampType read never
     hits the TIMESTAMP(NANOS) footer shape."""
-    import os
-    import time as _time
+    tbl = _sorted_arrow_table(pdf, order_cols)
+    n = tbl.num_rows
+    bounds = [0, *sorted(int(c * n / 1000) for c in cuts), n]
+    chunks = [list(range(bounds[i], bounds[i + 1])) for i in range(len(bounds) - 1)]
+    return _write_chunk_files(spark, tmp_path_factory, tbl, chunks, schema)
 
+
+def _sorted_arrow_table(pdf, order_cols):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
     tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    tbl = tbl.cast(
+    return tbl.cast(
         pa.schema(
             [
                 pa.field(
@@ -316,14 +326,24 @@ def _ordered_boundary_source(spark, tmp_path_factory, pdf, schema, order_cols, c
             ]
         )
     )
-    n = tbl.num_rows
-    bounds = [0, *sorted(int(c * n / 1000) for c in cuts), n]
+
+
+def _write_chunk_files(spark, tmp_path_factory, tbl, chunks, schema):
+    """One mtime-staggered parquet file per index list (``take`` keeps
+    the full schema even for an empty list), replayed oldest-first."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     data_dir = tmp_path_factory.mktemp(f"sfuzz_ord{next(_uniq)}") / "data"
     os.makedirs(data_dir)
     t0 = _time.time() - 3600
-    for i in range(len(bounds) - 1):
+    for i, idx in enumerate(chunks):
         path = str(data_dir / f"c{i:02d}.parquet")
-        pq.write_table(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]), path)
+        # explicit int64: a bare empty list infers a null-typed take index
+        pq.write_table(tbl.take(pa.array(idx, type=pa.int64())), path)
         os.utime(path, (t0 + i * 10, t0 + i * 10))
     return (
         spark.readStream.schema(schema)
@@ -446,4 +466,76 @@ def test_override_sessions_invariant_to_time_ordered_boundaries(
     want = _override_session_run(spark, ref_src, spec)
     # vacuity: a salt that drew zero applied overrides exercises nothing
     assume(any(over for _, over in want.values()))
+    assert got == want
+
+
+_LATE_SPEC = st.fixed_dictionaries(
+    {
+        "cuts": st.lists(
+            st.integers(min_value=0, max_value=1000), min_size=2, max_size=5
+        ),
+        "salt": st.integers(min_value=0, max_value=2**31),
+        "late_mod": st.integers(min_value=2, max_value=6),
+    }
+)
+
+
+@given(spec=_LATE_SPEC)
+@settings(**_FUZZ_SETTINGS)
+def test_stateful_asof_tolerates_bounded_late_clicks(
+    spark, stream_fuzz_ctx, asof_batch_ctx, spec
+):
+    """Family 4b: the late_slack contract ITSELF — family 4's strictly
+    time-ordered chunks never deliver anything late, so the slack term
+    in the horizon pruning is dead weight there. Here a seeded ~1/mod
+    subset of CLICK rows is re-routed into LATER micro-batches — each
+    delayed as far as possible while staying within (slack - 1 s) of
+    every event already processed before it, the documented contract
+    (``late_slack must be >= the upstream watermark delay``); purchases
+    stay on time. A correct horizon (batch_max - lookback - slack) must
+    still retain every purchase those late clicks can match, so the
+    streamed assignment must STILL equal batch DQ-09; an off-by-slack
+    prune (e.g. horizon without the slack term) silently drops matches
+    for exactly these rows."""
+    import numpy as np
+    from hypothesis import assume
+
+    from espkinesis_spark.streaming.state import asof_override
+
+    ev, _, tmp = stream_fuzz_ctx
+    pdf, want = asof_batch_ctx
+    tbl = _sorted_arrow_table(pdf, ["ts", "event_id"])
+    n = tbl.num_rows
+    bounds = [0, *sorted(int(c * n / 1000) for c in spec["cuts"]), n]
+    k = len(bounds) - 1
+    chunk = np.zeros(n, dtype=np.int64)
+    for i in range(k):
+        chunk[bounds[i] : bounds[i + 1]] = i
+    ts_us = tbl["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    event_id = tbl["event_id"].to_numpy()
+    etype = np.asarray(tbl["event_type"].to_pandas())
+    # cumulative on-time max event time after chunks 0..j (sorted input:
+    # the last row of the last non-empty chunk <= j); -inf for a leading
+    # run of empty chunks
+    maxts_upto = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+    for j in range(k):
+        prev = maxts_upto[j - 1] if j else np.iinfo(np.int64).min
+        maxts_upto[j] = ts_us[bounds[j + 1] - 1] if bounds[j + 1] > 0 else prev
+    margin_us = 3_600_000_000 - 1_000_000  # default 1 h slack, 1 s guard
+    delayed = (etype == "click") & (
+        (event_id * 2_654_435_761 + spec["salt"]) % spec["late_mod"] == 0
+    )
+    base = chunk.copy()
+    for r in np.flatnonzero(delayed):
+        # furthest batch j whose PRIOR batches' max stays within slack:
+        # maxts_upto is nondecreasing, so binary-search the boundary
+        j = int(np.searchsorted(maxts_upto, ts_us[r] + margin_us, side="right"))
+        chunk[r] = min(max(j, base[r]), k - 1)
+    assume(bool(np.any(chunk > base)))  # at least one genuinely late row
+    chunks = [np.flatnonzero(chunk == i).tolist() for i in range(k)]
+    src = _write_chunk_files(spark, tmp, tbl, chunks, ev.schema)
+    streamed = asof_override(src)  # default late_slack = 1 hour
+    got = {
+        tuple(r) for r in _run_available_now(streamed, "append", spark).collect()
+    }
     assert got == want
