@@ -306,7 +306,7 @@ def _ordered_boundary_source(spark, tmp_path_factory, pdf, schema, order_cols, c
     tbl = _sorted_arrow_table(pdf, order_cols)
     n = tbl.num_rows
     bounds = [0, *sorted(int(c * n / 1000) for c in cuts), n]
-    chunks = [list(range(bounds[i], bounds[i + 1])) for i in range(len(bounds) - 1)]
+    chunks = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
     return _write_chunk_files(spark, tmp_path_factory, tbl, chunks, schema)
 
 
@@ -329,8 +329,11 @@ def _sorted_arrow_table(pdf, order_cols):
 
 
 def _write_chunk_files(spark, tmp_path_factory, tbl, chunks, schema):
-    """One mtime-staggered parquet file per index list (``take`` keeps
-    the full schema even for an empty list), replayed oldest-first."""
+    """One mtime-staggered parquet file per chunk, replayed oldest-first.
+    A chunk is either a (start, stop) pair — zero-copy slice, the
+    contiguous in-order case — or an index list (``take``; only the
+    late-delivery family needs gathers). Both keep the full schema for
+    empty chunks."""
     import os
     import time as _time
 
@@ -342,8 +345,12 @@ def _write_chunk_files(spark, tmp_path_factory, tbl, chunks, schema):
     t0 = _time.time() - 3600
     for i, idx in enumerate(chunks):
         path = str(data_dir / f"c{i:02d}.parquet")
-        # explicit int64: a bare empty list infers a null-typed take index
-        pq.write_table(tbl.take(pa.array(idx, type=pa.int64())), path)
+        if isinstance(idx, tuple):
+            part = tbl.slice(idx[0], idx[1] - idx[0])
+        else:
+            # explicit int64: a bare empty list infers a null-typed index
+            part = tbl.take(pa.array(idx, type=pa.int64()))
+        pq.write_table(part, path)
         os.utime(path, (t0 + i * 10, t0 + i * 10))
     return (
         spark.readStream.schema(schema)
@@ -539,3 +546,50 @@ def test_stateful_asof_tolerates_bounded_late_clicks(
         tuple(r) for r in _run_available_now(streamed, "append", spark).collect()
     }
     assert got == want
+
+
+def test_stateful_asof_slackless_prune_witness(
+    spark, stream_fuzz_ctx, tmp_path_factory
+):
+    """Deterministic witness for family 4b's property (review catch: the
+    randomized spec rarely draws the drop configuration, so a slack-less
+    horizon could stay green by luck). One user, three batches:
+    purchase@t0 | purchase@t0+1h1s | click@t0+30min delivered LAST
+    (31 min late — inside the 1 h slack). The second purchase's batch
+    prunes with horizon = max - 1h - slack; WITHOUT the slack term that
+    horizon is t0+1s and the first purchase is dropped, so the late
+    click loses its only match (its window (t0-30min, t0+30min] admits
+    purchase 1 alone — purchase 2 is in the future). The intervening
+    row must itself be a purchase/click: asof_override filters other
+    event types out before the processor, so they can never advance the
+    horizon."""
+    import pandas as pd
+
+    from espkinesis_spark.streaming.state import asof_override
+
+    ev, _, _ = stream_fuzz_ctx
+    t0 = pd.Timestamp("2024-01-01 06:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "event_type": ["purchase", "click", "purchase"],
+            "value": [1.0, 2.0, 3.0],
+            "ts": [
+                t0,
+                t0 + pd.Timedelta("30 minutes"),
+                t0 + pd.Timedelta("1 hour 1 second"),
+            ],
+        }
+    )
+    tbl = _sorted_arrow_table(pdf, ["ts", "event_id"])  # rows: id 1, 2, 3
+    src = _write_chunk_files(
+        spark, tmp_path_factory, tbl, [[0], [2], [1]], ev.schema
+    )
+    got = {
+        tuple(r)
+        for r in _run_available_now(
+            asof_override(src), "append", spark
+        ).collect()
+    }
+    assert got == {(2, 1)}
