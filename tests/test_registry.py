@@ -81,3 +81,35 @@ def test_python_simhash_udf_matches_library(spark, sf_dir):
         F.col("simhash") != F.col("s2")
     )
     assert diff.count() == 0
+
+
+def test_registry_dict_literal_has_no_duplicate_keys():
+    """r14 lesson: a programmatic registry rewrite left a stale second
+    occurrence of one key — Python silently keeps the FIRST insertion
+    position, so the dict still had 216 entries while the literal had
+    217 lines, and the position-based rotation bookkeeping (tail order
+    = evidence freshness) was quietly wrong for that entry. Runtime
+    checks can't see this; assert at the AST level."""
+    import ast
+    import collections
+    import pathlib
+
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "espkinesis_spark"
+        / "queries.py"
+    ).read_text()
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.FunctionDef) and node.name == "registry":
+            dicts = [n for n in ast.walk(node) if isinstance(n, ast.Dict)]
+            assert dicts, "registry() no longer returns a dict literal"
+            keys = [
+                k.value
+                for d in dicts
+                for k in d.keys
+                if isinstance(k, ast.Constant)
+            ]
+            dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
+            assert dupes == [], f"duplicate literal registry keys: {dupes}"
+            return
+    raise AssertionError("registry() not found in queries.py")
