@@ -3975,80 +3975,31 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-14 layout executes the r13 VERDICT mandate exactly: positions
-    1-18 are the EIGHTEEN r9-green entries (the oldest evidence anywhere
-    after the green r13 window); positions 19-50 take the THIRTY-TWO
-    oldest r10-green entries, ordered by first-ever-green round (nine
-    r1-vintage dedup/ANN entries, two r2, one r3, two r5, fifteen r6,
-    two r9 as-of entries, plus ex_ann_ivfpq at first-green r10 to fill
-    the window) — so after a green r14 nothing in the registry predates
-    r10. NO new entry this round: the op space is saturated and every
-    window slot goes to evidence freshness. The REMAINING 16 r10-green
-    entries sit at the TAIL HEAD and rotate first in r15 (ex_ann_pq,
-    ex_asof_features_skew, ex_balance_classes, ex_balance_classes_skew,
-    ex_bpe_fertility, ex_knn_clusters, ex_knn_dedup_apply, ex_knn_graph,
-    ex_perplexity_buckets, ex_session_funnel, ex_token_budget_mix,
-    ex_zorder_layout, ex_zrange_query, st_perplexity_buckets,
-    st_repetition_stats, st_stratified_sample — they plus the 34 oldest
-    r11-green fill the r15 window and retire the r10 cohort); after
-    them the tail lists r11-green, r12-green, then the 50 entries of
-    the r13 window (freshest last). No existing plan changed this
-    round, so no plan-change slots are needed.
+    round-15 layout executes the r14 VERDICT mandate exactly: positions
+    1-16 are the SIXTEEN remaining r10-green entries (the oldest
+    evidence anywhere after the green r14 window, alphabetical);
+    positions 17-50 take the THIRTY-FOUR oldest r11-green entries,
+    ordered by first-ever-green round with the documented alphabetical
+    tie-break (seven r1-vintage, twenty r2, three r3, one r5, and the
+    first three of the r6 bucket — ex_token_entropy is the first OUT)
+    — so after a green r15 nothing in the registry predates r11. NO
+    new entry this round: the op space is saturated and every window
+    slot goes to evidence freshness. The REMAINING 16 r11-green
+    entries sit at the TAIL HEAD in first-green order and rotate first
+    in r16 (ex_token_entropy, ex_ts_similarity, st_anomaly,
+    st_console_roundtrip, st_heavy_hitters, st_quality_gate,
+    st_quality_model, ex_audio_neardup, st_audio_neardup,
+    st_image_neardup, st_video_neardup, st_audio_dedup_apply,
+    st_image_dedup_apply, st_video_dedup_apply, st_hash_split,
+    st_zorder_layout — they plus the 34 oldest r12-green fill the r16
+    window and retire the r11 cohort); after them the tail lists
+    r12-green, r13-green, then the 50 entries of the r14 window
+    (freshest last), each cohort keeping its prior relative order. No
+    existing plan changed this round, so no plan-change slots are
+    needed.
     """
     return {
-        # --- window 1-18: the 18 r9-green entries (r13 VERDICT mandate #1) ---
-        "ex_forecast_revenue": ex_forecast_revenue,
-        "ex_global_sales_opportunity": ex_global_sales_opportunity,
-        "ex_important_stock": ex_important_stock,
-        "ex_local_supplier_volume": ex_local_supplier_volume,
-        "ex_market_share": ex_market_share,
-        "ex_parts_supplier_counts": ex_parts_supplier_counts,
-        "ex_pricing_summary": ex_pricing_summary,
-        "ex_product_profit": ex_product_profit,
-        "ex_range_join": ex_range_join,
-        "ex_repetition_stats": ex_repetition_stats,
-        "ex_returned_items": ex_returned_items,
-        "ex_top_supplier": ex_top_supplier,
-        "ex_winnow_dedup_apply": ex_winnow_dedup_apply,
-        "ex_winnow_fingerprint": ex_winnow_fingerprint,
-        "st_lang_id": st_lang_id,
-        "st_pii_scrub": st_pii_scrub,
-        "st_text_stats": st_text_stats,
-        "st_winnow_fingerprint": st_winnow_fingerprint,
-        # --- window 19-50: the 32 oldest r10-green entries (first-green r1/r2/r3/r5/r6/r9 + ex_ann_ivfpq) ---
-        "dq18": dq18,
-        "ex_ann_ivf": ex_ann_ivf,
-        "ex_ann_lsh": ex_ann_lsh,
-        "ex_ann_topk": ex_ann_topk,
-        "ex_dedup_exact": ex_dedup_exact,
-        "ex_fingerprint": ex_fingerprint,
-        "ex_minhash_sig": ex_minhash_sig,
-        "ex_neardup_cosine": ex_neardup_cosine,
-        "ex_neardup_minhash": ex_neardup_minhash,
-        "dq03": dq03,
-        "ex_multimodal_meta": ex_multimodal_meta,
-        "ex_except": ex_except,
-        "ex_dup_spans": ex_dup_spans,
-        "ex_frame_decode": ex_frame_decode,
-        "ex_anomaly": ex_anomaly,
-        "ex_bigram_logprob": ex_bigram_logprob,
-        "ex_bpe_encode": ex_bpe_encode,
-        "ex_bpe_train": ex_bpe_train,
-        "ex_cooccur": ex_cooccur,
-        "ex_domain_mix": ex_domain_mix,
-        "ex_downsample": ex_downsample,
-        "ex_downsample_seq": ex_downsample_seq,
-        "ex_funnel": ex_funnel,
-        "ex_heavy_hitters": ex_heavy_hitters,
-        "ex_label_prop": ex_label_prop,
-        "ex_normalize_text": ex_normalize_text,
-        "ex_pagerank": ex_pagerank,
-        "ex_quality_model": ex_quality_model,
-        "ex_retention": ex_retention,
-        "ex_asof_features": ex_asof_features,
-        "st_asof_features": st_asof_features,
-        "ex_ann_ivfpq": ex_ann_ivfpq,
-        # --- tail head: remaining 16 r10-green entries (rotate first in r15) ---
+        # --- window 1-16: the 16 remaining r10-green entries (r14 VERDICT mandate #1) ---
         "ex_ann_pq": ex_ann_pq,
         "ex_asof_features_skew": ex_asof_features_skew,
         "ex_balance_classes": ex_balance_classes,
@@ -4065,57 +4016,58 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_perplexity_buckets": st_perplexity_buckets,
         "st_repetition_stats": st_repetition_stats,
         "st_stratified_sample": st_stratified_sample,
-        # --- tail: r11-green ---
-        "st_zorder_layout": st_zorder_layout,
-        "st_hash_split": st_hash_split,
-        "st_video_neardup": st_video_neardup,
-        "st_video_dedup_apply": st_video_dedup_apply,
-        "ex_retention_matrix": ex_retention_matrix,
-        "ex_semdedup": ex_semdedup,
-        "ex_simhash": ex_simhash,
-        "ex_sketch_quantile": ex_sketch_quantile,
-        "ex_tfidf": ex_tfidf,
-        "ex_token_entropy": ex_token_entropy,
-        "ex_ts_similarity": ex_ts_similarity,
-        "st_ack_tracker": st_ack_tracker,
-        "st_anomaly": st_anomaly,
-        "st_command_plane": st_command_plane,
-        "st_console_roundtrip": st_console_roundtrip,
-        "st_content_dedup": st_content_dedup,
-        "st_dedup": st_dedup,
-        "st_heavy_hitters": st_heavy_hitters,
-        "st_latest_user": st_latest_user,
-        "st_override_asof": st_override_asof,
-        "st_quality_gate": st_quality_gate,
-        "st_quality_model": st_quality_model,
-        "st_session_window": st_session_window,
-        "st_sink_roundtrip": st_sink_roundtrip,
-        "st_sliding_counts": st_sliding_counts,
-        "st_stream_join": st_stream_join,
-        "st_window_counts": st_window_counts,
-        "st_image_neardup": st_image_neardup,
-        "st_audio_neardup": st_audio_neardup,
-        "st_image_dedup_apply": st_image_dedup_apply,
-        "st_audio_dedup_apply": st_audio_dedup_apply,
-        "dq01": dq01,
+        # --- window 17-50: the 34 oldest r11-green entries (first-green r1/r2/r3/r5 + three r6) ---
         "dq05": dq05,
         "dq06": dq06,
+        "dq13": dq13,
+        "dq20": dq20,
+        "dq23": dq23,
+        "dq25": dq25,
+        "ex_simhash": ex_simhash,
+        "dq01": dq01,
         "dq07": dq07,
         "dq08": dq08,
         "dq10": dq10,
         "dq11": dq11,
         "dq12": dq12,
-        "dq13": dq13,
         "dq15": dq15,
         "dq17": dq17,
-        "dq20": dq20,
-        "dq23": dq23,
         "dq24": dq24,
-        "dq25": dq25,
+        "ex_tfidf": ex_tfidf,
+        "st_ack_tracker": st_ack_tracker,
+        "st_command_plane": st_command_plane,
+        "st_content_dedup": st_content_dedup,
+        "st_dedup": st_dedup,
+        "st_latest_user": st_latest_user,
+        "st_override_asof": st_override_asof,
+        "st_session_window": st_session_window,
+        "st_sliding_counts": st_sliding_counts,
+        "st_stream_join": st_stream_join,
+        "st_window_counts": st_window_counts,
         "ex_approx_distinct": ex_approx_distinct,
         "ex_approx_quantile": ex_approx_quantile,
-        "ex_audio_neardup": ex_audio_neardup,
         "ex_correlated_min": ex_correlated_min,
+        "st_sink_roundtrip": st_sink_roundtrip,
+        "ex_retention_matrix": ex_retention_matrix,
+        "ex_semdedup": ex_semdedup,
+        "ex_sketch_quantile": ex_sketch_quantile,
+        # --- tail head: remaining 16 r11-green entries (rotate first in r16) ---
+        "ex_token_entropy": ex_token_entropy,
+        "ex_ts_similarity": ex_ts_similarity,
+        "st_anomaly": st_anomaly,
+        "st_console_roundtrip": st_console_roundtrip,
+        "st_heavy_hitters": st_heavy_hitters,
+        "st_quality_gate": st_quality_gate,
+        "st_quality_model": st_quality_model,
+        "ex_audio_neardup": ex_audio_neardup,
+        "st_audio_neardup": st_audio_neardup,
+        "st_image_neardup": st_image_neardup,
+        "st_video_neardup": st_video_neardup,
+        "st_audio_dedup_apply": st_audio_dedup_apply,
+        "st_image_dedup_apply": st_image_dedup_apply,
+        "st_video_dedup_apply": st_video_dedup_apply,
+        "st_hash_split": st_hash_split,
+        "st_zorder_layout": st_zorder_layout,
         # --- tail: r12-green ---
         "ex_decontaminate": ex_decontaminate,
         "ex_dedup_clusters": ex_dedup_clusters,
@@ -4167,7 +4119,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_dedup_apply": ex_dedup_apply,
         "ex_dedup_incremental": ex_dedup_incremental,
         "ex_zrange_bigmin": ex_zrange_bigmin,
-        # --- tail: the r13 window (freshest evidence last) ---
+        # --- tail: r13-green ---
         "ex_distinct_agg": ex_distinct_agg,
         "ex_dq_checks": ex_dq_checks,
         "ex_embed_quantize": ex_embed_quantize,
@@ -4218,4 +4170,55 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "ex_volume_shipping": ex_volume_shipping,
         "ex_large_orders": ex_large_orders,
+        # --- tail: the r14 window (freshest evidence last) ---
+        "ex_forecast_revenue": ex_forecast_revenue,
+        "ex_global_sales_opportunity": ex_global_sales_opportunity,
+        "ex_important_stock": ex_important_stock,
+        "ex_local_supplier_volume": ex_local_supplier_volume,
+        "ex_market_share": ex_market_share,
+        "ex_parts_supplier_counts": ex_parts_supplier_counts,
+        "ex_pricing_summary": ex_pricing_summary,
+        "ex_product_profit": ex_product_profit,
+        "ex_range_join": ex_range_join,
+        "ex_repetition_stats": ex_repetition_stats,
+        "ex_returned_items": ex_returned_items,
+        "ex_top_supplier": ex_top_supplier,
+        "ex_winnow_dedup_apply": ex_winnow_dedup_apply,
+        "ex_winnow_fingerprint": ex_winnow_fingerprint,
+        "st_lang_id": st_lang_id,
+        "st_pii_scrub": st_pii_scrub,
+        "st_text_stats": st_text_stats,
+        "st_winnow_fingerprint": st_winnow_fingerprint,
+        "dq18": dq18,
+        "ex_ann_ivf": ex_ann_ivf,
+        "ex_ann_lsh": ex_ann_lsh,
+        "ex_ann_topk": ex_ann_topk,
+        "ex_dedup_exact": ex_dedup_exact,
+        "ex_fingerprint": ex_fingerprint,
+        "ex_minhash_sig": ex_minhash_sig,
+        "ex_neardup_cosine": ex_neardup_cosine,
+        "ex_neardup_minhash": ex_neardup_minhash,
+        "dq03": dq03,
+        "ex_multimodal_meta": ex_multimodal_meta,
+        "ex_except": ex_except,
+        "ex_dup_spans": ex_dup_spans,
+        "ex_frame_decode": ex_frame_decode,
+        "ex_anomaly": ex_anomaly,
+        "ex_bigram_logprob": ex_bigram_logprob,
+        "ex_bpe_encode": ex_bpe_encode,
+        "ex_bpe_train": ex_bpe_train,
+        "ex_cooccur": ex_cooccur,
+        "ex_domain_mix": ex_domain_mix,
+        "ex_downsample": ex_downsample,
+        "ex_downsample_seq": ex_downsample_seq,
+        "ex_funnel": ex_funnel,
+        "ex_heavy_hitters": ex_heavy_hitters,
+        "ex_label_prop": ex_label_prop,
+        "ex_normalize_text": ex_normalize_text,
+        "ex_pagerank": ex_pagerank,
+        "ex_quality_model": ex_quality_model,
+        "ex_retention": ex_retention,
+        "ex_asof_features": ex_asof_features,
+        "st_asof_features": st_asof_features,
+        "ex_ann_ivfpq": ex_ann_ivfpq,
     }

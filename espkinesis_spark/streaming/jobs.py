@@ -101,6 +101,29 @@ def _record_stream_plan(query) -> None:
         pass
 
 
+def _fresh_store_error(exc: Exception) -> bool:
+    """True iff a parquet read failure means "store not started yet".
+
+    Only those shapes let the resume schema guard proceed without a
+    stored schema; any other failure (corrupt footer, FS error) must
+    propagate — skipping the guard on it would re-open the silent
+    NULL-backfill hole the guard exists to close. Match on the
+    structured error condition (stable across message-format changes),
+    by its ROOT segment so a dotted sub-condition refinement (e.g.
+    PATH_NOT_FOUND.SOMETHING in a future engine) still reads as fresh;
+    substring match only as the fallback when the exception carries no
+    condition. Fail-closed default.
+    """
+    fresh = {"UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"}
+    getter = getattr(exc, "getCondition", None) or getattr(
+        exc, "getErrorClass", None
+    )
+    cond = getter() if getter is not None else None
+    if cond is not None:
+        return cond.split(".")[0] in fresh
+    return any(c in str(exc) for c in fresh)
+
+
 def _drain_to_parquet(
     df: DataFrame, name: str, *, base: str | None = None, resume: bool = False
 ) -> DataFrame:
@@ -160,22 +183,7 @@ def _drain_to_parquet(
             try:
                 stored = spark.read.parquet(existing).schema
             except AnalysisException as exc:
-                # only "store not started yet" shapes mean nothing-to-check;
-                # any OTHER read failure (corrupt footer, FS error) must
-                # propagate — skipping the guard on it would re-open the
-                # silent NULL-backfill hole the guard exists to close.
-                # Match on the structured error condition (stable across
-                # message-format changes); substring match only as the
-                # fallback when the exception carries no condition.
-                fresh = {"UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"}
-                getter = getattr(exc, "getCondition", None) or getattr(
-                    exc, "getErrorClass", None
-                )
-                cond = getter() if getter is not None else None
-                if cond is not None:
-                    if cond not in fresh:
-                        raise
-                elif not any(c in str(exc) for c in fresh):
+                if not _fresh_store_error(exc):
                     raise
         if stored is not None:
             want = {(f.name, f.dataType.simpleString()) for f in stored.fields}

@@ -103,13 +103,15 @@ def test_registry_dict_literal_has_no_duplicate_keys():
         if isinstance(node, ast.FunctionDef) and node.name == "registry":
             dicts = [n for n in ast.walk(node) if isinstance(n, ast.Dict)]
             assert dicts, "registry() no longer returns a dict literal"
-            keys = [
-                k.value
-                for d in dicts
-                for k in d.keys
-                if isinstance(k, ast.Constant)
-            ]
-            dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
-            assert dupes == [], f"duplicate literal registry keys: {dupes}"
+            # check each dict literal INDEPENDENTLY (r14 ADVICE): pooling
+            # keys across all literals would false-positive if registry()
+            # ever grows a second dict (e.g. a local alias map) that
+            # legitimately shares a key with the registry literal
+            for d in dicts:
+                keys = [k.value for k in d.keys if isinstance(k, ast.Constant)]
+                dupes = [
+                    k for k, c in collections.Counter(keys).items() if c > 1
+                ]
+                assert dupes == [], f"duplicate literal registry keys: {dupes}"
             return
     raise AssertionError("registry() not found in queries.py")
