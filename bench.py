@@ -154,6 +154,13 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+def _p90(xs: list[float]) -> float:
+    """Nearest-rank 90th percentile (series are ~10 draws; interpolation
+    would manufacture precision the sample size doesn't have)."""
+    s = sorted(xs)
+    return s[max(0, -(-len(s) * 9 // 10) - 1)]
+
+
 def build_output(
     timings: dict[str, float],
     errors: dict[str, str],
@@ -210,10 +217,23 @@ def build_output(
         if len(s) >= 2 and _median(s) > 0
     ]
     sentinel_series = [round(x, 4) for x in (sentinel_series or [])]
+    sentinel_ok = bool(sentinel_series) and _median(sentinel_series) > 0
+    sentinel_med = _median(sentinel_series) if sentinel_ok else None
     sentinel_ratio = (
-        round(max(sentinel_series) / _median(sentinel_series), 4)
-        if sentinel_series and _median(sentinel_series) > 0
-        else None
+        round(max(sentinel_series) / sentinel_med, 4) if sentinel_ok else None
+    )
+    # diagnosability pair (VERDICT r14 #3): max/median alone can't tell a
+    # transient spike from sustained co-located load — r14's driver pass
+    # read 2.76 while its total was the lowest ever recorded. p90/median
+    # near 1 with a high max = one spike (totals likely fine); p90 also
+    # elevated = sustained load (every figure suspect). final/median is
+    # the END-OF-RUN re-draw (main() always draws the sentinel once more
+    # after the last loop): it shows whether the run ENDED contaminated.
+    sentinel_p90_ratio = (
+        round(_p90(sentinel_series) / sentinel_med, 4) if sentinel_ok else None
+    )
+    sentinel_final_ratio = (
+        round(sentinel_series[-1] / sentinel_med, 4) if sentinel_ok else None
     )
     out = {
         "metric": "declared_query_total_wall",
@@ -231,6 +251,8 @@ def build_output(
         "sentinel_entry": SENTINEL,
         "sentinel_series": sentinel_series,
         "sentinel_max_over_median": sentinel_ratio,
+        "sentinel_p90_over_median": sentinel_p90_ratio,
+        "sentinel_final_over_median": sentinel_final_ratio,
         # None (unknown) when the probe never produced a series — a broken
         # sentinel must not read as a verified-clean run
         "sentinel_contaminated": (
@@ -251,6 +273,10 @@ def build_output(
     # r13 VERDICT/ADVICE: the contamination verdict must survive the
     # driver's tail-fragment truncation — mirror it after `queries`
     out["tail_sentinel_max_over_median"] = sentinel_ratio
+    # r14 VERDICT #3: mirror the diagnosability pair too, so a tail
+    # fragment can distinguish transient spike from sustained load
+    out["tail_sentinel_p90_over_median"] = sentinel_p90_ratio
+    out["tail_sentinel_final_over_median"] = sentinel_final_ratio
     out["tail_sentinel_contaminated"] = out["sentinel_contaminated"]
     return out
 

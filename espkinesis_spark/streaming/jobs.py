@@ -114,14 +114,24 @@ def _fresh_store_error(exc: Exception) -> bool:
     substring match only as the fallback when the exception carries no
     condition. Fail-closed default.
     """
-    fresh = {"UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"}
+    # _LEGACY_ERROR_TEMP_1134 is "Unable to infer schema for <format> at
+    # <paths>": a file-sink store whose _spark_metadata exists but lists
+    # ZERO committed files (a prior leg that ran on an empty source)
+    # raises through this legacy slot, not UNABLE_TO_INFER_SCHEMA —
+    # found by the family-6 resume fuzzer's seam-at-zero draw. Nothing
+    # is committed in that store, so there is nothing to schema-check.
+    fresh = {
+        "UNABLE_TO_INFER_SCHEMA",
+        "PATH_NOT_FOUND",
+        "_LEGACY_ERROR_TEMP_1134",
+    }
     getter = getattr(exc, "getCondition", None) or getattr(
         exc, "getErrorClass", None
     )
     cond = getter() if getter is not None else None
     if cond is not None:
         return cond.split(".")[0] in fresh
-    return any(c in str(exc) for c in fresh)
+    return any(c in str(exc) for c in fresh | {"Unable to infer schema"})
 
 
 def _drain_to_parquet(

@@ -27,11 +27,13 @@ def test_headline_leads_and_tail_mirrors():
     keys = list(out)
     assert keys.index("value") < keys.index("queries")
     assert keys.index("n_queries") < keys.index("queries")
-    assert keys[-5:] == [
+    assert keys[-7:] == [
         "tail_total_sec",
         "tail_n_queries",
         "tail_n_errors",
         "tail_sentinel_max_over_median",
+        "tail_sentinel_p90_over_median",
+        "tail_sentinel_final_over_median",
         "tail_sentinel_contaminated",
     ]
     assert out["tail_total_sec"] == out["value"]
@@ -43,11 +45,20 @@ def test_headline_leads_and_tail_mirrors():
     assert (
         out["tail_sentinel_max_over_median"] == out["sentinel_max_over_median"]
     )
+    # r14 VERDICT #3: the diagnosability pair is mirrored too
+    assert (
+        out["tail_sentinel_p90_over_median"] == out["sentinel_p90_over_median"]
+    )
+    assert (
+        out["tail_sentinel_final_over_median"]
+        == out["sentinel_final_over_median"]
+    )
 
 
 def test_totals_recoverable_from_either_truncated_end():
     line = json.dumps(_sample())
-    head, tail = line[:300], line[-200:]
+    # the driver keeps ~2000 chars of tail; 300 is the adversarial floor
+    head, tail = line[:300], line[-300:]
     assert '"value":' in head and '"n_queries":' in head
     assert '"tail_total_sec":' in tail and '"tail_n_queries":' in tail
     # the contamination verdict must also survive a tail-only capture
@@ -100,6 +111,41 @@ def test_sentinel_series_marks_contamination():
     assert poisoned["sentinel_max_over_median"] == pytest.approx(3.913, abs=1e-3)
 
 
+def test_sentinel_diagnosability_separates_spike_from_sustained_load():
+    """r14 VERDICT #3: the r14 driver pass read max/median 2.76 while its
+    total was the lowest ever recorded — one transient spike, but the
+    artifact couldn't prove it. p90/median near 1 with a high max = a
+    transient spike; p90 elevated too = sustained co-located load. The
+    final/median ratio is the end-of-run re-draw: did the run END hot?"""
+    # one spike mid-series, clean tail: p90 stays at the clean plateau
+    spike = _sample(
+        sentinel_series=(0.1, 0.11, 0.1, 0.12, 0.1, 0.45, 0.11, 0.1, 0.12, 0.1)
+    )
+    assert spike["sentinel_contaminated"] is True
+    assert spike["sentinel_p90_over_median"] == pytest.approx(
+        0.12 / 0.105, abs=1e-3
+    )
+    assert spike["sentinel_p90_over_median"] < 1.5  # reads as TRANSIENT
+    assert spike["sentinel_final_over_median"] == pytest.approx(
+        0.1 / 0.105, abs=1e-3
+    )
+    # load arriving late and persisting to the end (under half the series,
+    # so the median still sits on the clean plateau): p90 rides the
+    # elevated plateau and the end-of-run re-draw is still hot
+    sustained = _sample(
+        sentinel_series=(0.1, 0.11, 0.1, 0.12, 0.1, 0.1, 0.3, 0.32, 0.31, 0.33)
+    )
+    assert sustained["sentinel_contaminated"] is True
+    assert sustained["sentinel_p90_over_median"] > 1.5  # reads as SUSTAINED
+    assert sustained["sentinel_final_over_median"] > 1.5
+    # clean run: both ratios hug 1
+    clean = _sample()
+    assert clean["sentinel_p90_over_median"] == pytest.approx(
+        0.12 / 0.11, abs=1e-3
+    )
+    assert clean["sentinel_final_over_median"] == pytest.approx(1.0, abs=1e-3)
+
+
 def test_empty_samples_do_not_break_output():
     out = build_output({"q1": 1.0}, {}, {}, "0.01")
     assert out["value"] == 1.0
@@ -139,6 +185,8 @@ def test_bench_diff_handles_both_artifact_shapes(tmp_path):
         "tail": '"mid": 2.1, "big": [4.4, 4.0, 4.2], "mid": [1.8, 2.0], '
         '"tiny": 0.25, "tail_total_sec": 9.9, "tail_n_queries": 3, '
         '"tail_n_errors": 0, "tail_sentinel_max_over_median": 1.31, '
+        '"tail_sentinel_p90_over_median": 1.12, '
+        '"tail_sentinel_final_over_median": 0.97, '
         '"tail_sentinel_contaminated": false}',
         "parsed": None,
     }
@@ -151,9 +199,14 @@ def test_bench_diff_handles_both_artifact_shapes(tmp_path):
     assert old["queries"]["big"] == 4.0  # min of the samples row
     assert old["queries"]["mid"] == 1.8  # min across bare figure + samples
     assert old["scalars"]["tail_total_sec"] == 9.9
-    # the fragment proves its own pass was clean (r13 ADVICE)
+    # the fragment proves its own pass was clean (r13 ADVICE); the
+    # sentinel mirrors are collapsed to their canonical non-tail names
+    # (r14 ADVICE — the full shape otherwise printed each value twice)
     assert old["contaminated"] is False
-    assert old["scalars"]["tail_sentinel_max_over_median"] == 1.31
+    assert old["scalars"]["sentinel_max_over_median"] == 1.31
+    assert old["scalars"]["sentinel_p90_over_median"] == 1.12
+    assert old["scalars"]["sentinel_final_over_median"] == 0.97
+    assert not any(k.startswith("tail_sentinel_") for k in old["scalars"])
 
     d = diff(new, old, band=0.2)
     assert d["compared"] == 3
@@ -163,3 +216,44 @@ def test_bench_diff_handles_both_artifact_shapes(tmp_path):
     # tiny drifted 0.25 -> 0.2 — sub-second entries classify by ABS drift
     # (<=0.5s is noise), so it must NOT be reported
     assert "tiny" not in by_name
+
+
+def test_bench_diff_head_fragment_does_not_misread_scalars_as_queries(
+    tmp_path,
+):
+    """r14 ADVICE: a fragment spanning the artifact HEAD carries the
+    headline scalars (n_queries, sampled_entries_n, heavy_samples_k, sf,
+    noise spreads) and the sentinel_series list before any per-entry map
+    — none of those may be recovered as per-entry query figures."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_diff import load
+
+    head = {
+        "n": 15,
+        "rc": 0,
+        "tail": '{"metric": "declared_query_total_wall", "value": 270.1, '
+        '"unit": "sec", "sf": 0.1, "n_queries": 216, "n_errors": 0, '
+        '"first_pass_total_sec": 280.2, "median_blended_total_sec": 275.0, '
+        '"sampled_entries_n": 55, "heavy_samples_k": 3, '
+        '"noise_rel_spread_median": 0.08, "noise_rel_spread_max": 1.9, '
+        '"sentinel_entry": "dq13", '
+        '"sentinel_series": [0.15, 0.16, 0.15, 0.14], '
+        '"sentinel_max_over_median": 1.07, '
+        '"sentinel_p90_over_median": 1.07, '
+        '"sentinel_final_over_median": 0.93, '
+        '"sentinel_contaminated": false, "loadavg_1m": 3.2, '
+        '"queries": {"dq01": 0.41, "ex_pricing_summary": 1.2, "ex_trunc',
+        "parsed": None,
+    }
+    hp = tmp_path / "head.json"
+    hp.write_text(json.dumps(head))
+    rec = load(str(hp))
+    # only the genuine per-entry figures survive recovery (the pair cut
+    # mid-name by the truncation is unrecoverable by design — its value
+    # could itself be truncated)
+    assert rec["queries"] == {"dq01": 0.41, "ex_pricing_summary": 1.2}
+    assert rec["contaminated"] is False
+    assert rec["scalars"]["value"] == 270.1
+    assert rec["scalars"]["sentinel_p90_over_median"] == 1.07

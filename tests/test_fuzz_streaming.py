@@ -13,7 +13,7 @@ a replayed batch — are exactly the class a fixed 3-chunk replay
 (tests/test_streaming.py's multibatch tests) can miss when the bug needs
 a specific boundary placement.
 
-Six families across the four streaming execution modes the engine uses
+Seven families across the four streaming execution modes the engine uses
 (families 4/4b/5 target applyInPandasWithState — one per stateful
 processor plus the bounded-lateness variant; transformWithStateInPandas
 stays unfuzzed because the sandbox blocks its state-server socket, same
@@ -50,7 +50,15 @@ as its self-skipping test):
     randomly-cut source, run through tag_frames_and_commands +
     override_sessions; the random-boundary replay must emit exactly the
     single-batch replay's output (patch/expiry state carried across the
-    cut, never recomputed per batch).
+    cut, never recomputed per batch);
+ 6. random-restart RESUME of the parquet extraction drain (VERDICT r14
+    #4) — the deterministic resume tests pin two fixed restart shapes;
+    this family randomizes WHERE the seam lands: seeded-random chunk
+    files are exposed in random prefixes across a random number of
+    jobs._drain_to_parquet(resume=True) legs on one stable base, and
+    after EVERY seam the store must equal the batch transform over the
+    rows exposed so far (exactly-once across any seam placement,
+    including nothing-new legs and a seam before the first commit).
 
 Families 4/4b/5 order chunks BY TIME (unlike the hash-random chunks of
 1-3): the stateful processors' contract is bounded disorder — state is
@@ -73,6 +81,7 @@ the streamed-equals-batch contract must survive).
 from __future__ import annotations
 
 import itertools
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -593,3 +602,119 @@ def test_stateful_asof_slackless_prune_witness(
         ).collect()
     }
     assert got == {(2, 1)}
+
+
+# --- family 6: random-restart resume of the parquet drain (VERDICT r14 #4) --
+
+
+_RESUME_SPEC = st.fixed_dictionaries(
+    {
+        **_BOUNDS,
+        "proj": st.sampled_from(["len", "head", "id_only"]),
+        "n_restarts": st.integers(min_value=1, max_value=3),
+        "seam_seed": st.integers(min_value=0, max_value=2**31),
+    }
+)
+
+
+@given(spec=_RESUME_SPEC)
+@settings(**{**_FUZZ_SETTINGS, "max_examples": 6})
+def test_parquet_drain_resume_exactly_once_at_random_seams(
+    spark, stream_fuzz_ctx, spec, tmp_path_factory
+):
+    """Family 6: WHERE a restart lands (VERDICT r14 #4). The deterministic
+    resume tests pin fixed two-run shapes; this family randomizes the
+    seam — the corpus is carved into seeded-random-sized chunk files
+    (one micro-batch each), a random number of RESTARTS expose random
+    file prefixes, and every leg resumes the same drain via
+    jobs._drain_to_parquet(resume=True) on one stable base. After EVERY
+    seam the store must equal the batch transform over exactly the rows
+    exposed so far: the count pins no-duplication across the seam (a
+    re-read committed batch would append twice), the set compare pins
+    no-loss (a skipped uncommitted file would drop rows). Duplicate
+    seam draws yield nothing-new legs — a restart with no new data must
+    return the store unchanged — and a seam at 0 resumes against a
+    checkpoint that has committed nothing. This is the 100 TB restart
+    story: streaming/jobs.py's file-sink drain claims end-to-end
+    exactly-once across ANY driver restart placement, not just the two
+    placements the deterministic tests chose."""
+    import random
+    import shutil
+
+    from espkinesis_spark.streaming import jobs
+
+    _, docs, _ = stream_fuzz_ctx
+
+    def transform(df):
+        return {
+            "len": df.select("doc_id", F.length("text").cast("long").alias("v")),
+            "head": df.select("doc_id", F.substring("text", 1, 16).alias("v")),
+            "id_only": df.select("doc_id"),
+        }[spec["proj"]]
+
+    # stage the seeded-random chunking (same cutpoint machinery as
+    # families 1-3), then flatten the partition dirs into an ordered
+    # list of chunk files we can expose incrementally
+    salt, cuts = spec["salt"], sorted(set(spec["cuts"]))
+    h = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt)), F.lit(1000))
+    chunk = F.lit(0)
+    for c in cuts:
+        chunk = chunk + (h >= F.lit(c)).cast("int")
+    staging = tmp_path_factory.mktemp(f"sfuzz_resume_stage{next(_uniq)}")
+    (
+        docs.withColumn("__c", chunk)
+        .repartition("__c")
+        .write.partitionBy("__c")
+        .mode("overwrite")
+        .parquet(str(staging / "data"))
+    )
+    part_dirs = sorted((staging / "data").glob("__c=*"))
+    files = [
+        (d, f)
+        for d in part_dirs
+        for f in sorted(d.glob("part-*.parquet"))
+    ]
+    m = len(files)
+
+    visible = tmp_path_factory.mktemp(f"sfuzz_resume_vis{next(_uniq)}")
+    (visible / "data").mkdir()
+    base = str(tmp_path_factory.mktemp(f"sfuzz_resume_base{next(_uniq)}") / "store")
+    name = f"sfuzz_resume{next(_uniq)}"
+    schema = transform(docs).schema
+
+    def source():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(visible / "data"))
+        )
+
+    rng = random.Random(spec["seam_seed"])
+    seams = sorted(rng.randint(0, m) for _ in range(spec["n_restarts"]))
+    exposed = 0
+    for leg, upto in enumerate([*seams, m]):
+        for i in range(exposed, upto):
+            d, f = files[i]
+            shutil.copy(f, visible / "data" / f"chunk{i:03d}.parquet")
+        exposed = max(exposed, upto)
+        drained = jobs._drain_to_parquet(
+            transform(source()), name, base=base, resume=True
+        )
+        if exposed == 0:
+            assert drained.count() == 0
+            continue
+        want_df = transform(
+            spark.read.schema(docs.schema).parquet(str(visible / "data"))
+        )
+        assert drained.count() == want_df.count(), f"dup rows after leg {leg}"
+        assert {tuple(r) for r in drained.collect()} == {
+            tuple(r) for r in want_df.collect()
+        }, f"lost rows after leg {leg}"
+    # the final store equals the whole-corpus batch transform — the
+    # chunking itself lost nothing
+    final = spark.read.schema(schema).parquet(os.path.join(base, "data"))
+    want_all = transform(docs)
+    assert final.count() == want_all.count()
+    assert {tuple(r) for r in final.collect()} == {
+        tuple(r) for r in want_all.collect()
+    }

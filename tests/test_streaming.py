@@ -774,6 +774,39 @@ def test_complete_mode_result_sink_routes_identically(
     assert via_parquet == via_memory and len(via_memory) > 0
 
 
+def test_fresh_store_error_classification():
+    """The resume schema guard may skip its check ONLY for failures that
+    mean "store not started": named conditions matched by ROOT segment
+    (r14 ADVICE — a dotted sub-condition refinement must not break
+    resume-from-empty), the legacy empty-_spark_metadata slot the
+    family-6 fuzzer surfaced, and the message fallback for
+    condition-less builds. Everything else fails closed."""
+    from espkinesis_spark.streaming.jobs import _fresh_store_error
+
+    class Exc(Exception):
+        def __init__(self, cond, msg="boom"):
+            super().__init__(msg)
+            self._c = cond
+
+        def getCondition(self):
+            return self._c
+
+    assert _fresh_store_error(Exc("PATH_NOT_FOUND"))
+    assert _fresh_store_error(Exc("UNABLE_TO_INFER_SCHEMA"))
+    # dotted sub-condition still reads as fresh via the root segment
+    assert _fresh_store_error(Exc("PATH_NOT_FOUND.STREAMING_SOURCE"))
+    # the zero-committed-files store (family 6's seam-at-zero draw)
+    assert _fresh_store_error(
+        Exc("_LEGACY_ERROR_TEMP_1134", "Unable to infer schema for Parquet at .")
+    )
+    # any other condition fails closed, whatever the message says
+    assert not _fresh_store_error(Exc("CANNOT_READ_FILE_FOOTER", "PATH_NOT_FOUND"))
+    # condition-less exceptions fall back to message matching
+    assert _fresh_store_error(ValueError("... PATH_NOT_FOUND ..."))
+    assert _fresh_store_error(ValueError("Unable to infer schema for Parquet"))
+    assert not _fresh_store_error(ValueError("corrupt footer"))
+
+
 def test_drain_to_parquet_resume_requires_stable_base(spark, sf_dir):
     """resume=True with the applicationId-scoped default base would never
     find the checkpoint after a driver restart (the id changes) and would

@@ -37,16 +37,50 @@ _SCALARS = (
     "tail_n_queries",
     "tail_n_errors",
     "tail_sentinel_max_over_median",
+    "tail_sentinel_p90_over_median",
+    "tail_sentinel_final_over_median",
     "value",
     "first_pass_total_sec",
     "median_blended_total_sec",
     "sentinel_max_over_median",
+    "sentinel_p90_over_median",
+    "sentinel_final_over_median",
     "loadavg_1m",
 )
+# head-of-artifact numeric keys that are NOT per-entry query figures (r14
+# ADVICE: a fragment spanning the artifact HEAD instead of the tail would
+# otherwise misread these as query entries); sentinel_series is a list the
+# samples regex would also swallow
+_NON_QUERY = frozenset(_SCALARS) | {
+    "n_queries",
+    "n_errors",
+    "sampled_entries_n",
+    "heavy_samples_k",
+    "noise_rel_spread_median",
+    "noise_rel_spread_max",
+    "sf",
+    "sentinel_series",
+}
 # the contamination verdict is a JSON bool/null, not a number — recover it
 # from the fragment separately (r13 ADVICE: a fragment must be able to
 # prove its own pass was clean)
 _CONTAMINATED = re.compile(r'"(?:tail_)?sentinel_contaminated":\s*(true|false|null)')
+
+
+def _collapse_mirrors(scalars: dict) -> dict:
+    """One canonical key per mirrored sentinel scalar (r14 ADVICE): a full
+    artifact carries both sentinel_x and tail_sentinel_x with the same
+    value, which printed twice — prefer the non-tail key, keep the tail
+    one (renamed) only when the head copy is missing (tail fragments)."""
+    out = {}
+    for k, v in scalars.items():
+        if k.startswith("tail_sentinel_"):
+            base = k[len("tail_") :]
+            if base not in scalars:
+                out[base] = v
+        else:
+            out[k] = v
+    return out
 
 
 def load(path: str) -> dict:
@@ -57,12 +91,16 @@ def load(path: str) -> dict:
         scalars = {}
         queries: dict[str, float] = {}
         for name, nums in _SAMPLES.findall(frag):
+            if name in _NON_QUERY:  # e.g. a head fragment's sentinel_series
+                continue
             draws = [float(x) for x in nums.split(",") if x.strip()]
             if draws:
                 queries[name] = min(draws)  # the r13 headline estimator
         for name, num in _PAIR.findall(frag):
             if name in _SCALARS:
                 scalars[name] = float(num)
+            elif name in _NON_QUERY:
+                continue  # head-of-artifact scalar, not a query figure
             else:
                 # a bare per-entry figure from whichever map the fragment
                 # caught; keep the SMALLEST occurrence regardless of key
@@ -77,7 +115,7 @@ def load(path: str) -> dict:
         )
         return {
             "queries": queries,
-            "scalars": scalars,
+            "scalars": _collapse_mirrors(scalars),
             "coverage": f"FRAGMENT ({len(queries)} entries recovered)",
             "contaminated": contaminated,
         }
@@ -86,7 +124,7 @@ def load(path: str) -> dict:
         contaminated = raw.get("tail_sentinel_contaminated")
     return {
         "queries": dict(raw.get("queries", {})),
-        "scalars": {k: raw[k] for k in _SCALARS if k in raw},
+        "scalars": _collapse_mirrors({k: raw[k] for k in _SCALARS if k in raw}),
         "coverage": f"full ({len(raw.get('queries', {}))} entries)",
         "contaminated": contaminated,
     }
@@ -149,6 +187,21 @@ def main() -> None:
     if new["contaminated"] or old["contaminated"]:
         print("\nWARNING: a compared run is marked sentinel-contaminated — "
               "treat its figures as inflated, not regressed.")
+        # r14 VERDICT #3: the p90/final ratios say WHICH KIND of
+        # contamination — one transient spike (p90 near 1) leaves most
+        # figures usable; sustained load (p90 also elevated) poisons all
+        for label, run in (("new", new), ("old", old)):
+            if not run["contaminated"]:
+                continue
+            p90 = run["scalars"].get("sentinel_p90_over_median")
+            fin = run["scalars"].get("sentinel_final_over_median")
+            if p90 is None:
+                kind = "pre-r15 artifact: no p90/final diagnosability pair"
+            elif p90 <= 1.5:
+                kind = "TRANSIENT spike (p90/median near 1)"
+            else:
+                kind = "SUSTAINED load (p90/median also elevated)"
+            print(f"  {label}: {kind} — p90/med={p90}, final/med={fin}")
 
 
 if __name__ == "__main__":
