@@ -9,7 +9,7 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
-Sixteen families: filter/group/agg, joins, windows, set ops, string
+Seventeen families: filter/group/agg, joins, windows, set ops, string
 scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
 null-safe equality / NULL join keys over a spec-built literal table —
 the fixture tables carry no NULLs, so the registry is blind here),
@@ -37,7 +37,12 @@ it proved and excludes, e.g. DuckDB's truncate-on-downscale-cast), and
 collation/ordering edge semantics (mixed-case/accent/emoji/decomposed
 strings under identical ANSI text — explicit NULLS FIRST/LAST because
 the engines' defaults diverge, upper('ß') excluded as a proven
-divergence, BINARY order otherwise agreeing byte-for-byte).
+divergence, BINARY order otherwise agreeing byte-for-byte), and JSON
+path extraction (get_json_object vs json_extract_string over a seeded
+random document corpus — malformed docs NULL in Spark but RAISE in
+DuckDB, so the oracle spells the Spark semantic with json_valid; '$'
+whole-doc re-serialization and bracket-quoted keys excluded as proven
+divergences).
 
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
@@ -1386,3 +1391,158 @@ def test_differential_collation_ordering(fuzz_sql_ctx, spec):
             f" min({s}) AS mn, max({s}) AS mx FROM fz_events {where}"
         )
     compare(spark.sql(sql), con.execute(sql).df())
+
+
+# --- family 17: JSON path extraction (VERDICT r14 optional #6) ---------------
+# dq14/dq15 pin two fixed extraction shapes; this family randomizes the
+# DOCUMENT (nesting, missing keys, arrays, escapes, malformed text) and
+# the PATH, comparing Spark's get_json_object (the engine's real
+# extraction surface) against DuckDB's json_extract_string over the
+# identical seeded corpus. Probed contracts the family encodes
+# (documented steering, proven by the pre-family probe — the same class
+# of real divergence the decimal and collation families each found):
+#  * MALFORMED documents: get_json_object returns NULL, DuckDB's
+#    json_extract_string RAISES -> the oracle wraps the extraction in
+#    CASE WHEN json_valid(j) — the guard IS the Spark semantic, spelled
+#    portably;
+#  * '$' whole-document extraction diverges on re-serialization (Spark
+#    escapes non-BMP chars to 😀 surrogate pairs where DuckDB
+#    keeps raw UTF-8, and a bare 'null' document reads as the STRING
+#    'null' in Spark vs SQL NULL in DuckDB) -> '$' stays out of the
+#    path pool and non-BMP strings out of the value palette (BMP
+#    non-ASCII — é, Ω, naïve — round-trips identically through subtree
+#    re-serialization on both engines, leaf extraction agrees on all);
+#  * bracket-quoted keys diverge SYNTACTICALLY (Spark $['sp ace'] vs
+#    DuckDB $."sp ace") -> keys stay identifier-shaped (dash-key works
+#    dotted on both and stays IN);
+#  * numeric coercion of extracted text: CAST in Spark is try-like
+#    (NULL on junk) while DuckDB CAST raises -> the oracle uses
+#    TRY_CAST, and the cast shape targets known-NUMERIC leaves only
+#    (DuckDB TRY_CAST('1.5' AS BIGINT) ROUNDS where Spark nulls — the
+#    proven family-15 class, excluded the same way: doubles only).
+# Everything else agreed exactly on the probe: missing keys, deep
+# nesting, out-of-bounds and nested array indexing ($.a[1][0]), JSON
+# null leaves (NULL on both), booleans, big/exponent number tokens
+# (raw text preserved), duplicate keys, object/array subtree
+# re-serialization (compact, key order preserved), escaped quotes,
+# empty containers, root-array indexing.
+
+_J_UNIQ = __import__("itertools").count()
+_J_STRINGS = ["x", "", " ", "he said \"hi\"", "naïve é", "Ω~z", "a\\b", "null"]
+_J_MALFORMED = ["not json at all", "", "{", "[1,", '{"a": }', "{}extra"]
+_J_PATHS = [
+    "$.i", "$.d", "$.s", "$.b", "$.z", "$.missing", "$.missing.deep",
+    "$.o", "$.o.k", "$.o.s2", "$.o.nope", "$.o.oo", "$.o.oo.w",
+    "$.arr", "$.arr[0]", "$.arr[1]", "$.arr[3]", "$.arr[7]",
+    "$.arr[0].x", "$.arr[1].x", "$.arr[1][0]", "$[0]", "$[1]",
+    "$.dash-key",
+]
+
+_JSON_SPEC = st.fixed_dictionaries(
+    {
+        "salt": st.integers(min_value=0, max_value=2**31),
+        "n_rows": st.integers(min_value=20, max_value=60),
+        "p_malformed": st.sampled_from([0, 10, 25]),  # percent
+        "paths": st.lists(
+            st.integers(min_value=0, max_value=len(_J_PATHS) - 1),
+            min_size=2,
+            max_size=5,
+            unique=True,
+        ),
+        "cast_shape": st.sampled_from(["none", "double_i", "double_d"]),
+    }
+)
+
+
+def _json_doc(rng):
+    """One seeded random document: every key optional, values drawn from
+    typed pools so paths can target known-numeric leaves."""
+    import json as _json
+
+    parts = {}
+    if rng.random() < 0.8:
+        parts["i"] = rng.randint(-(10**12), 10**12) if rng.random() < 0.7 else rng.randint(-5, 5)
+    if rng.random() < 0.7:
+        parts["d"] = round(rng.uniform(-1000, 1000), 2) if rng.random() < 0.8 else float(rng.choice(["1e3", "-2.5e-2"]))
+    if rng.random() < 0.7:
+        parts["s"] = rng.choice(_J_STRINGS)
+    if rng.random() < 0.5:
+        parts["b"] = rng.random() < 0.5
+    if rng.random() < 0.4:
+        parts["z"] = None
+    if rng.random() < 0.6:
+        o = {"k": rng.randint(0, 99)}
+        if rng.random() < 0.5:
+            o["s2"] = rng.choice(_J_STRINGS)
+        if rng.random() < 0.4:
+            o["oo"] = {"w": rng.choice(_J_STRINGS)} if rng.random() < 0.7 else {}
+        parts["o"] = o
+    if rng.random() < 0.6:
+        n = rng.randint(0, 4)
+        mode = rng.choice(["ints", "strs", "objs", "mixed"])
+        if mode == "ints":
+            parts["arr"] = [rng.randint(-99, 99) for _ in range(n)]
+        elif mode == "strs":
+            parts["arr"] = [rng.choice(_J_STRINGS) for _ in range(n)]
+        elif mode == "objs":
+            parts["arr"] = [{"x": rng.randint(0, 9)} for _ in range(n)]
+        else:
+            parts["arr"] = [rng.randint(0, 9), [rng.randint(0, 9)], {"x": 1}][:n]
+    if rng.random() < 0.3:
+        parts["dash-key"] = rng.randint(0, 9)
+    doc = _json.dumps(parts, ensure_ascii=False)
+    if rng.random() < 0.15:
+        # root ARRAY documents: $[i] indexes them, $.key must NULL
+        doc = _json.dumps([rng.randint(0, 9), rng.choice(_J_STRINGS)], ensure_ascii=False)
+    return doc
+
+
+@given(spec=_JSON_SPEC)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_json_path_extraction(fuzz_sql_ctx, spec):
+    import random
+
+    spark, con = fuzz_sql_ctx
+    rng = random.Random(spec["salt"])
+    docs = []
+    for i in range(spec["n_rows"]):
+        if rng.randint(0, 99) < spec["p_malformed"]:
+            docs.append((i, rng.choice(_J_MALFORMED)))
+        else:
+            docs.append((i, _json_doc(rng)))
+
+    sdf = spark.createDataFrame(docs, "id long, j string")
+    tname = f"fz_json_{next(_J_UNIQ)}"
+    con.execute(f"DROP TABLE IF EXISTS {tname}")
+    con.execute(
+        f"CREATE TABLE {tname} AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{d.replace(chr(39), chr(39) * 2)}')" for i, d in docs)
+        + ") AS t(id, j)"
+    )
+
+    paths = [_J_PATHS[i] for i in spec["paths"]]
+    cast_path = {"none": None, "double_i": "$.i", "double_d": "$.d"}[
+        spec["cast_shape"]
+    ]
+    cols = [F.col("id")]
+    exprs = ["id"]
+    for k, p in enumerate(paths):
+        cols.append(F.get_json_object("j", p).alias(f"v{k}"))
+        exprs.append(
+            f"CASE WHEN json_valid(j) THEN json_extract_string(j, '{p}') END AS v{k}"
+        )
+    if cast_path is not None:
+        cols.append(F.get_json_object("j", cast_path).cast("double").alias("num"))
+        exprs.append(
+            f"TRY_CAST(CASE WHEN json_valid(j) THEN"
+            f" json_extract_string(j, '{cast_path}') END AS DOUBLE) AS num"
+        )
+    compare(
+        sdf.select(*cols),
+        con.execute(f"SELECT {', '.join(exprs)} FROM {tname}").df(),
+    )
+    con.execute(f"DROP TABLE {tname}")
