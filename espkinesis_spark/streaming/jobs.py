@@ -186,6 +186,32 @@ def _drain_to_parquet(
     spark = df.sparkSession
     if resume:
         existing = os.path.join(base, "data")
+        # Checkpoint-consistency guard (found by the family-6 witness):
+        # a store with COMMITTED batches but no checkpoint offsets is a
+        # wrong-volume restore. Resuming it would renumber batches from
+        # 0 and the file sink's _spark_metadata batch-id log would SKIP
+        # them as already committed — benign if nothing changed, but
+        # SILENT DATA LOSS the moment the restarted run packs new files
+        # into a skipped batch id. Nothing duplicates through a kept
+        # manifest (the sink skip closes that channel), so loss is the
+        # only — and invisible — failure mode. Refuse loudly instead.
+        sink_log = os.path.join(existing, "_spark_metadata")
+        offsets = os.path.join(base, "ckpt", "offsets")
+
+        def _entries(d: str) -> bool:
+            return os.path.isdir(d) and any(
+                not e.startswith(".") for e in os.listdir(d)
+            )
+
+        if _entries(sink_log) and not _entries(offsets):
+            raise ValueError(
+                f"resume refused: store '{existing}' has committed "
+                f"batches but checkpoint '{offsets}' is missing or empty "
+                f"— a restarted query would renumber batches and the "
+                f"sink would skip or silently drop them; restore the "
+                f"checkpoint that matches this store, or start a fresh "
+                f"base (checkpoint and store live or die together)"
+            )
         stored = None
         if os.path.isdir(existing):
             from pyspark.errors import AnalysisException

@@ -718,3 +718,88 @@ def test_parquet_drain_resume_exactly_once_at_random_seams(
     assert {tuple(r) for r in final.collect()} == {
         tuple(r) for r in want_all.collect()
     }
+
+
+def test_checkpoint_loss_witness_resume_refuses_orphaned_store(
+    spark, stream_fuzz_ctx, tmp_path_factory
+):
+    """Deterministic witness hardening family 6's exactly-once claim (the
+    r14 slack-witness discipline: probe what the property does NOT
+    cover). Exactly-once across a resume seam is carried by the
+    checkpoint's offset log plus the sink's _spark_metadata batch-id
+    log. Lose the checkpoint but keep the store (an operator restoring
+    the wrong volume — the canonical 100 TB incident) and a restarted
+    query renumbers batches from 0; the sink then SKIPS every batch id
+    it already committed. Probing that state while building this
+    witness established: nothing DUPLICATES through a kept manifest
+    (the skip closes that channel — the originally-planned 2x witness
+    is unreachable), but the moment the restarted run packs NEW files
+    into a skipped batch id their rows are SILENTLY LOST, and the
+    store still reads back cleanly, just short. Silent loss being the
+    only failure mode is exactly why the engine now REFUSES the
+    orphaned-store state outright (jobs._drain_to_parquet's
+    checkpoint-consistency guard): this test pins the refusal in both
+    the benign shape (same files, same batching — would have
+    self-healed) and the lossy shape (new file + coarser batching —
+    would have dropped it), because the operator cannot tell the two
+    apart at restore time. A fresh base keeps working after the
+    refusal."""
+    import shutil
+
+    from espkinesis_spark.streaming import jobs
+
+    _, docs, _ = stream_fuzz_ctx
+    pdf = docs.select("doc_id").toPandas().sort_values("doc_id")
+    half = len(pdf) // 2
+    a, b = pdf.iloc[:half], pdf.iloc[half:]
+    src_dir = tmp_path_factory.mktemp("ckptloss_src")
+    (src_dir / "data").mkdir()
+
+    import glob as _glob
+    import os as _os
+
+    def land(frame, name):
+        tmp = src_dir / "data" / "__tmp"
+        spark.createDataFrame(frame).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        shutil.copy(_glob.glob(str(tmp / "part-*.parquet"))[0], src_dir / "data" / name)
+        shutil.rmtree(tmp)
+
+    land(a, "a.parquet")
+    base = str(tmp_path_factory.mktemp("ckptloss_base") / "store")
+
+    def source(max_files):
+        r = spark.readStream.schema("doc_id long")
+        if max_files:
+            r = r.option("maxFilesPerTrigger", 1)
+        return r.parquet(str(src_dir / "data"))
+
+    leg1 = jobs._drain_to_parquet(
+        source(max_files=True), "ckptloss", base=base, resume=True
+    )
+    assert leg1.count() == len(a)
+
+    # wrong-volume restore: checkpoint gone, store + manifest intact
+    shutil.rmtree(_os.path.join(base, "ckpt"))
+
+    # benign-LOOKING shape (same files, same batching) is refused too —
+    # indistinguishable from the lossy one at restore time
+    with pytest.raises(ValueError, match="committed batches but checkpoint"):
+        jobs._drain_to_parquet(
+            source(max_files=True), "ckptloss", base=base, resume=True
+        )
+
+    # lossy shape: new data + coarser batching — the one that would have
+    # silently dropped b's rows into a skipped batch id
+    land(b, "b.parquet")
+    with pytest.raises(ValueError, match="committed batches but checkpoint"):
+        jobs._drain_to_parquet(
+            source(max_files=False), "ckptloss", base=base, resume=True
+        )
+
+    # recovery path named in the error: a fresh base re-extracts cleanly
+    base2 = str(tmp_path_factory.mktemp("ckptloss_base2") / "store")
+    redo = jobs._drain_to_parquet(
+        source(max_files=True), "ckptloss", base=base2, resume=True
+    )
+    assert redo.count() == len(pdf)
+    assert {r[0] for r in redo.collect()} == set(pdf["doc_id"])
