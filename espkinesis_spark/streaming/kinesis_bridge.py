@@ -1,0 +1,158 @@
+"""boto3 landing bridge for the Kinesis ingestion edge (S1/S3).
+
+Two production paths exist for the ESP-NOW-equivalent ingestion edge
+(reference ``src/receiver/main.cpp:27-44`` receive callback,
+``src/transmitter/main.cpp:91-95`` send path):
+
+* the CONNECTOR path (``sources.kinesis_frames``) — preferred when a
+  spark-sql-kinesis jar is on the classpath: Spark's micro-batch planner
+  owns the shard cursors and the stream is one hop;
+* THIS landing bridge — the classic Kinesis -> landing-zone -> file-stream
+  architecture: a jar-free boto3 poller drains shard records into parquet
+  files that ``sources.file_stream`` (and therefore ``frames_source``'s
+  default ``file`` binding) already consumes, with per-shard sequence-number
+  cursors so a restarted poller resumes exactly where it stopped. At scale
+  the poller is a small always-on daemon (or Lambda/KCL worker) per stream;
+  Spark never talks to Kinesis, so executor count and shard count scale
+  independently and a reprocessing job is just a re-read of the landing
+  zone.
+
+The bridge is also the piece that is testable IN-SANDBOX against the real
+AWS API record shapes: moto mocks Kinesis inside the process (no socket —
+the connector jar is absent here and a moto/localstack HTTP server needs
+exactly the kind of listener this sandbox blocks), so shard iterators,
+sequence numbers, ApproximateArrivalTimestamp, and payload bytes all come
+from the genuine API surface rather than a hand-rolled fake
+(tests/test_kinesis_moto.py).
+
+Landed files carry the CONNECTOR's output shape (``data`` binary +
+``approximateArrivalTimestamp`` + ``partitionKey`` + ``sequenceNumber``),
+so everything downstream of either path is the same plan:
+``split_decoded_frames`` for JSON frame payloads, ``decode_espnow_frames``
+for 16-byte ESP-NOW wire frames.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import types as T
+
+# The connector-equivalent record shape (both public connectors emit
+# data + approximateArrivalTimestamp; key and sequence ride along for
+# lineage/debugging and are dropped by the decode stage).
+KINESIS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("approximateArrivalTimestamp", T.TimestampType()),
+        T.StructField("partitionKey", T.StringType()),
+        T.StructField("sequenceNumber", T.StringType()),
+    ]
+)
+
+
+def drain_stream(
+    client,
+    stream_name: str,
+    cursor: dict[str, str] | None = None,
+    limit_per_call: int = 1000,
+) -> tuple[list[dict], dict[str, str]]:
+    """Drain every record currently available from every shard.
+
+    ``cursor`` maps shard id -> last consumed sequence number; pass the
+    returned cursor back in to resume AFTER those records (the poller's
+    exactly-once seam — the file-sink side of the landing zone is
+    append-only, so not re-reading is what prevents duplicates). A fresh
+    shard (no cursor entry) starts at TRIM_HORIZON.
+
+    Returns ``(records, new_cursor)`` where each record dict carries
+    ``data`` (bytes), ``approximateArrivalTimestamp`` (datetime),
+    ``partitionKey``, ``sequenceNumber``, and ``shardId``. Per-shard
+    arrival order is preserved (Kinesis orders by sequence number within
+    a shard; cross-shard order is undefined, same as the connector).
+    """
+    cursor = dict(cursor or {})
+    records: list[dict] = []
+    shards = []
+    paginator = client.get_paginator("list_shards")
+    for page in paginator.paginate(StreamName=stream_name):
+        shards.extend(page["Shards"])
+    for shard in shards:
+        shard_id = shard["ShardId"]
+        if shard_id in cursor:
+            it = client.get_shard_iterator(
+                StreamName=stream_name,
+                ShardId=shard_id,
+                ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+                StartingSequenceNumber=cursor[shard_id],
+            )["ShardIterator"]
+        else:
+            it = client.get_shard_iterator(
+                StreamName=stream_name,
+                ShardId=shard_id,
+                ShardIteratorType="TRIM_HORIZON",
+            )["ShardIterator"]
+        while it:
+            resp = client.get_records(ShardIterator=it, Limit=limit_per_call)
+            for rec in resp["Records"]:
+                records.append(
+                    {
+                        "data": bytes(rec["Data"]),
+                        "approximateArrivalTimestamp": rec[
+                            "ApproximateArrivalTimestamp"
+                        ],
+                        "partitionKey": rec["PartitionKey"],
+                        "sequenceNumber": rec["SequenceNumber"],
+                        "shardId": shard_id,
+                    }
+                )
+                cursor[shard_id] = rec["SequenceNumber"]
+            it = resp.get("NextShardIterator")
+            # a drain is a bounded poll, not a tail: stop once the
+            # iterator is caught up (no records and zero lag)
+            if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
+                break
+    return records, cursor
+
+
+def land_records(records: list[dict], out_dir: str) -> str | None:
+    """Append one parquet file of connector-shaped rows to the landing
+    directory; returns the file path (None for an empty drain — no file,
+    so the file stream's trigger count is unaffected, the same contract
+    as an empty micro-batch).
+
+    pyarrow-direct on purpose: the poller is a daemon that must not need
+    a SparkSession (or a JVM) to land bytes. One file per drain keeps the
+    landing zone append-only — the file stream treats each file as one
+    replayable unit, and a poller restart after ``land_records`` but
+    before the cursor checkpoint re-lands at most one drain's records
+    into a NEW file (at-least-once at the bridge seam; the dedup stage
+    downstream is keyed on frame identity for exactly this reason).
+    """
+    if not records:
+        return None
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "data": pa.array([r["data"] for r in records], pa.binary()),
+            # tz-aware micros (isAdjustedToUTC) so Spark's parquet reader
+            # lands these as TimestampType, matching KINESIS_RAW_SCHEMA
+            "approximateArrivalTimestamp": pa.array(
+                [r["approximateArrivalTimestamp"] for r in records],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "partitionKey": pa.array(
+                [r["partitionKey"] for r in records], pa.string()
+            ),
+            "sequenceNumber": pa.array(
+                [r["sequenceNumber"] for r in records], pa.string()
+            ),
+        }
+    )
+    path = os.path.join(out_dir, f"drain-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, path)
+    return path
