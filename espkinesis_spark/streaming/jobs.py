@@ -212,6 +212,25 @@ def _drain_to_parquet(
                 f"checkpoint that matches this store, or start a fresh "
                 f"base (checkpoint and store live or die together)"
             )
+        # ... and the MIRROR direction (review catch): a checkpoint whose
+        # COMMITS log records completed batches next to a store with no
+        # sink log means the store was lost — resuming would skip every
+        # already-committed source batch and the rebuilt store would
+        # permanently lack those rows while reading back cleanly. The
+        # commits log (written AFTER the sink commit), not the offsets
+        # log, is the signal: offsets-without-commits is just a crash
+        # mid-first-batch, which is a legitimate replay-on-resume state.
+        commits = os.path.join(base, "ckpt", "commits")
+        if _entries(commits) and not _entries(sink_log):
+            raise ValueError(
+                f"resume refused: checkpoint '{commits}' records committed "
+                f"batches but store '{existing}' has no sink metadata — "
+                f"the store was lost or replaced, and resuming would skip "
+                f"every committed source batch, permanently dropping its "
+                f"rows; restore the store that matches this checkpoint, "
+                f"or start a fresh base (checkpoint and store live or die "
+                f"together)"
+            )
         stored = None
         if os.path.isdir(existing):
             from pyspark.errors import AnalysisException

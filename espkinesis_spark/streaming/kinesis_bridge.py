@@ -57,14 +57,24 @@ def drain_stream(
     stream_name: str,
     cursor: dict[str, str] | None = None,
     limit_per_call: int = 1000,
+    max_records: int = 100_000,
 ) -> tuple[list[dict], dict[str, str]]:
-    """Drain every record currently available from every shard.
+    """Drain records currently available from every shard, up to a bound.
 
     ``cursor`` maps shard id -> last consumed sequence number; pass the
     returned cursor back in to resume AFTER those records (the poller's
     exactly-once seam — the file-sink side of the landing zone is
     append-only, so not re-reading is what prevents duplicates). A fresh
     shard (no cursor entry) starts at TRIM_HORIZON.
+
+    ``max_records`` bounds ONE drain (review catch: a caught-up check
+    alone never fires under a steady producer, so an unbounded drain
+    would accumulate the whole live stream in memory and never return
+    to let the caller land + checkpoint). The returned cursor reflects
+    exactly what was consumed, so the caller's land/checkpoint/drain
+    loop picks up where the bound cut — the bound is also what keeps
+    the crash-replay window (records landed but cursor not yet
+    persisted) at one drain's worth instead of the whole backlog.
 
     Returns ``(records, new_cursor)`` where each record dict carries
     ``data`` (bytes), ``approximateArrivalTimestamp`` (datetime),
@@ -79,6 +89,8 @@ def drain_stream(
     for page in paginator.paginate(StreamName=stream_name):
         shards.extend(page["Shards"])
     for shard in shards:
+        if len(records) >= max_records:
+            break  # unvisited shards keep their cursor; next drain resumes
         shard_id = shard["ShardId"]
         if shard_id in cursor:
             it = client.get_shard_iterator(
@@ -93,8 +105,11 @@ def drain_stream(
                 ShardId=shard_id,
                 ShardIteratorType="TRIM_HORIZON",
             )["ShardIterator"]
-        while it:
-            resp = client.get_records(ShardIterator=it, Limit=limit_per_call)
+        while it and len(records) < max_records:
+            resp = client.get_records(
+                ShardIterator=it,
+                Limit=min(limit_per_call, max_records - len(records)),
+            )
             for rec in resp["Records"]:
                 records.append(
                     {

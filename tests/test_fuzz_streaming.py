@@ -803,3 +803,28 @@ def test_checkpoint_loss_witness_resume_refuses_orphaned_store(
     )
     assert redo.count() == len(pdf)
     assert {r[0] for r in redo.collect()} == set(pdf["doc_id"])
+
+    # MIRROR direction (review catch): checkpoint kept, STORE lost — the
+    # commits log records completed batches, so resuming would skip every
+    # committed source batch and silently rebuild a store without them
+    shutil.rmtree(_os.path.join(base2, "data"))
+    with pytest.raises(ValueError, match="store was lost or replaced"):
+        jobs._drain_to_parquet(
+            source(max_files=True), "ckptloss", base=base2, resume=True
+        )
+    # ... while offsets-WITHOUT-commits (the crash window between the
+    # offset WAL write and the batch commit) stays a legitimate resume:
+    # produce the state organically by wiping the commits log after a
+    # real run — the restart replays the uncommitted batches, the sink's
+    # batch-id log absorbs the rewrite, and the store stays exactly right
+    base3 = str(tmp_path_factory.mktemp("ckptloss_base3") / "store")
+    leg = jobs._drain_to_parquet(
+        source(max_files=True), "ckptloss", base=base3, resume=True
+    )
+    assert leg.count() == len(pdf)
+    shutil.rmtree(_os.path.join(base3, "ckpt", "commits"))
+    replayed = jobs._drain_to_parquet(
+        source(max_files=True), "ckptloss", base=base3, resume=True
+    )
+    assert replayed.count() == len(pdf)
+    assert {r[0] for r in replayed.collect()} == set(pdf["doc_id"])

@@ -168,11 +168,15 @@ def test_kinesis_cursor_resume_reads_only_new_records(
     assert {r["frame_id"] for r in got.collect()} == set(range(17))
 
 
-def test_connector_shape_decode_parity_with_landed_files(spark, kinesis):
-    """The decode stage must be byte-identical between the two production
+def test_connector_shape_decode_parity_with_landed_files(
+    spark, kinesis, tmp_path
+):
+    """The decode stage must be identical between the two production
     paths: a DataFrame built directly from the boto3 record dicts (the
-    connector's output shape) and the parquet-landed copy of the same
-    drain decode to the same frames."""
+    connector's output shape) and a batch read of the parquet-LANDED
+    copy of the same drain must decode to the same rows — frame ids,
+    channels, AND arrival timestamps (a tz-handling drift in
+    land_records would shift the landed leg's timestamps)."""
     kinesis.create_stream(StreamName="frames3", ShardCount=1)
     _put(kinesis, "frames3", [_frame_payload(i) for i in range(8)])
     records, _ = drain_stream(kinesis, "frames3")
@@ -189,15 +193,46 @@ def test_connector_shape_decode_parity_with_landed_files(spark, kinesis):
         ],
         KINESIS_RAW_SCHEMA,
     )
-    decoded = sources.decode_kinesis_payload(direct)
-    rows = {
-        (r["frame_id"], tuple(r["channels"]), r["ts"])
-        for r in decoded.collect()
-    }
-    assert {r[0] for r in rows} == set(range(8))
+    land_records(records, str(tmp_path / "landing3"))
+    landed = spark.read.schema(KINESIS_RAW_SCHEMA).parquet(
+        str(tmp_path / "landing3")
+    )
+
+    def rows(df):
+        return {
+            (r["frame_id"], tuple(r["channels"]), r["ts"])
+            for r in sources.decode_kinesis_payload(df).collect()
+        }
+
+    direct_rows, landed_rows = rows(direct), rows(landed)
+    assert direct_rows == landed_rows  # the two paths are ONE plan downstream
+    assert {r[0] for r in direct_rows} == set(range(8))
     # arrival timestamps come from the API, not the payload
     arrivals = {
         r["approximateArrivalTimestamp"].replace(tzinfo=None)
         for r in records
     }
-    assert {r[2] for r in rows} <= arrivals
+    assert {r[2] for r in direct_rows} <= arrivals
+
+
+def test_drain_bound_returns_and_cursor_resumes_mid_backlog(kinesis):
+    """max_records bounds ONE drain so a steady producer can't pin the
+    poller in memory forever; the cursor reflects exactly what was
+    consumed, so a land/checkpoint/drain loop walks the backlog in
+    bounded slices with no duplicates and no loss."""
+    kinesis.create_stream(StreamName="frames4", ShardCount=2)
+    _put(kinesis, "frames4", [_frame_payload(i) for i in range(10)])
+    seen: list[int] = []
+    cursor: dict[str, str] | None = None
+    drains = 0
+    while True:
+        batch, cursor = drain_stream(
+            kinesis, "frames4", cursor=cursor, max_records=4
+        )
+        if not batch:
+            break
+        drains += 1
+        assert len(batch) <= 4
+        seen.extend(json.loads(r["data"])["frame_id"] for r in batch)
+    assert drains >= 3  # the bound actually cut the backlog into slices
+    assert sorted(seen) == list(range(10))  # no dupes, no loss

@@ -103,15 +103,32 @@ def test_registry_dict_literal_has_no_duplicate_keys():
         if isinstance(node, ast.FunctionDef) and node.name == "registry":
             dicts = [n for n in ast.walk(node) if isinstance(n, ast.Dict)]
             assert dicts, "registry() no longer returns a dict literal"
-            # check each dict literal INDEPENDENTLY (r14 ADVICE): pooling
-            # keys across all literals would false-positive if registry()
-            # ever grows a second dict (e.g. a local alias map) that
-            # legitimately shares a key with the registry literal
+            # Two scopes (r14 ADVICE + review catch on the fix): dict
+            # literals inside the RETURN expression are pooled — they are
+            # what merges into the registry (a future {**core, **extra}
+            # refactor silently dedupes across literals, the exact r14
+            # failure class) — while literals elsewhere in the function
+            # (e.g. a local alias map) are checked independently so a
+            # legitimately-shared key can't false-positive.
+            returned = {
+                id(d)
+                for ret in ast.walk(node)
+                if isinstance(ret, ast.Return) and ret.value is not None
+                for d in ast.walk(ret.value)
+                if isinstance(d, ast.Dict)
+            }
+            pooled: list[str] = []
             for d in dicts:
                 keys = [k.value for k in d.keys if isinstance(k, ast.Constant)]
-                dupes = [
-                    k for k, c in collections.Counter(keys).items() if c > 1
-                ]
-                assert dupes == [], f"duplicate literal registry keys: {dupes}"
+                if id(d) in returned:
+                    pooled.extend(keys)
+                else:
+                    dupes = [
+                        k for k, c in collections.Counter(keys).items() if c > 1
+                    ]
+                    assert dupes == [], f"duplicate literal dict keys: {dupes}"
+            assert pooled, "registry() return carries no dict literal keys"
+            dupes = [k for k, c in collections.Counter(pooled).items() if c > 1]
+            assert dupes == [], f"duplicate literal registry keys: {dupes}"
             return
     raise AssertionError("registry() not found in queries.py")

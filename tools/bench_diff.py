@@ -196,7 +196,11 @@ def main() -> None:
             p90 = run["scalars"].get("sentinel_p90_over_median")
             fin = run["scalars"].get("sentinel_final_over_median")
             if p90 is None:
-                kind = "pre-r15 artifact: no p90/final diagnosability pair"
+                # absent ratios can mean an old artifact OR a fragment
+                # whose truncation cut (or nulled) the pair — the tool
+                # cannot tell vintage from absence, so it must not claim
+                kind = ("no p90/final pair recovered (pre-r15 artifact, "
+                        "or the fragment cut/nulled it)")
             elif p90 <= 1.5:
                 kind = "TRANSIENT spike (p90/median near 1)"
             else:
