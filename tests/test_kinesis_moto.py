@@ -236,3 +236,74 @@ def test_drain_bound_returns_and_cursor_resumes_mid_backlog(kinesis):
         seen.extend(json.loads(r["data"])["frame_id"] for r in batch)
     assert drains >= 3  # the bound actually cut the backlog into slices
     assert sorted(seen) == list(range(10))  # no dupes, no loss
+
+
+def test_drain_paginates_within_a_shard(kinesis):
+    """limit_per_call far below the backlog forces the NextShardIterator
+    pagination loop — every record must still arrive exactly once, in
+    sequence order, within one drain."""
+    kinesis.create_stream(StreamName="frames5", ShardCount=1)
+    _put(kinesis, "frames5", [_frame_payload(i) for i in range(25)], key=lambda i: "one")
+    records, _ = drain_stream(kinesis, "frames5", limit_per_call=3)
+    assert len(records) == 25
+    ids = [json.loads(r["data"])["frame_id"] for r in records]
+    assert ids == list(range(25))  # single shard, single key: total order
+    seqs = [int(r["sequenceNumber"]) for r in records]
+    assert seqs == sorted(seqs)
+
+
+def test_drain_survives_a_shard_split(kinesis):
+    """Resharding is routine at scale (a 100 TB/day stream splits shards
+    under load). After a split the parent shard CLOSES; the drain must
+    keep consuming a CLOSED shard (its retained records stay readable),
+    enumerate the children via list_shards without erroring on their
+    emptiness, and lose/re-read nothing across the reshard seam.
+    moto fidelity note (probed): the mock registers the split (parent
+    closed, two children listed) but still ROUTES new puts to the
+    parent, so child-shard consumption itself stays unexercised — what
+    this pins is closed-shard reads, child enumeration, and cursor
+    behavior across the seam."""
+    kinesis.create_stream(StreamName="frames6", ShardCount=1)
+    _put(kinesis, "frames6", [_frame_payload(i) for i in range(6)], key=lambda i: "one")
+    first, cursor = drain_stream(kinesis, "frames6")
+    assert len(first) == 6
+
+    shard = kinesis.describe_stream(StreamName="frames6")["StreamDescription"][
+        "Shards"
+    ][0]
+    lo, hi = (
+        int(shard["HashKeyRange"]["StartingHashKey"]),
+        int(shard["HashKeyRange"]["EndingHashKey"]),
+    )
+    kinesis.split_shard(
+        StreamName="frames6",
+        ShardToSplit=shard["ShardId"],
+        NewStartingHashKey=str((lo + hi) // 2),
+    )
+    # records put AFTER the split land in the child shards
+    _put(
+        kinesis,
+        "frames6",
+        [_frame_payload(i) for i in range(6, 14)],
+        key=lambda i: f"pk{i}",
+    )
+    # the split is visible: parent CLOSED, two children listed
+    shards = []
+    for page in kinesis.get_paginator("list_shards").paginate(
+        StreamName="frames6"
+    ):
+        shards.extend(page["Shards"])
+    assert len(shards) == 3
+    closed = [
+        s["ShardId"]
+        for s in shards
+        if "EndingSequenceNumber" in s["SequenceNumberRange"]
+    ]
+    assert closed == [shard["ShardId"]]
+
+    second, cursor = drain_stream(kinesis, "frames6", cursor=cursor)
+    got = [json.loads(r["data"])["frame_id"] for r in second]
+    assert sorted(got) == list(range(6, 14))  # no loss, no re-read,
+    # consumed from a CLOSED shard; empty children enumerated cleanly
+    third, _ = drain_stream(kinesis, "frames6", cursor=cursor)
+    assert third == []
