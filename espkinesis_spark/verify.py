@@ -52,6 +52,18 @@ def _norm_value(v):
     return v
 
 
+def _sort_key(x):
+    """Total-order wrapper for one normalized cell. Tuples (array cells)
+    must wrap their ELEMENTS too: an array cell holding a NULL element
+    next to a number would otherwise compare None < float inside the
+    plain tuple comparison and TypeError (found by the array-functions
+    fuzz family — no registry entry emits NULL-element arrays, but the
+    comparator must not be the thing that breaks first when one does)."""
+    if isinstance(x, tuple):
+        return (False, "tuple", tuple(_sort_key(e) for e in x))
+    return (x is None, str(type(x)), x)
+
+
 def normalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     """(sorted column names, normalized + canonically ordered rows)."""
     cols = sorted(pdf.columns)
@@ -59,7 +71,7 @@ def normalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
         tuple(_norm_value(v) for v in row)
         for row in pdf[cols].itertuples(index=False, name=None)
     ]
-    rows.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    rows.sort(key=lambda r: tuple(_sort_key(x) for x in r))
     return cols, rows
 
 

@@ -9,7 +9,7 @@ the exact driver-gate comparator. Random predicates reach corners fixed
 queries never do (empty selections, one-row groups, boundary literals,
 IN-lists that match nothing).
 
-Seventeen families: filter/group/agg, joins, windows, set ops, string
+Eighteen families: filter/group/agg, joins, windows, set ops, string
 scalars, NULL injection (NULL group keys / IN-NULL / NOT-IN-NULL /
 null-safe equality / NULL join keys over a spec-built literal table —
 the fixture tables carry no NULLs, so the registry is blind here),
@@ -42,7 +42,12 @@ path extraction (get_json_object vs json_extract_string over a seeded
 random document corpus — malformed docs NULL in Spark but RAISE in
 DuckDB, so the oracle spells the Spark semantic with json_valid; '$'
 whole-doc re-serialization and bracket-quoted keys excluded as proven
-divergences).
+divergences), and array/list function semantics (random NULL-element/
+empty/NULL arrays through size/element/contains/distinct/sort/minmax/
+position/join/concat/fold/slice/reverse — six probed divergences
+encoded as steering: ANSI element_at raises where list_extract NULLs,
+3VL array_contains, list_distinct dropping NULLs, empty/all-NULL join,
+NULL-array concat, and fold-vs-list_sum null handling).
 
 Determinism discipline (the cross-engine float rules from NOTES.md):
 aggregates are restricted to order-exact operations — count(*), exact
@@ -1546,3 +1551,184 @@ def test_differential_json_path_extraction(fuzz_sql_ctx, spec):
         con.execute(f"SELECT {', '.join(exprs)} FROM {tname}").df(),
     )
     con.execute(f"DROP TABLE {tname}")
+
+
+# --- family 18: array/list function semantics -------------------------------
+# The engine's frame plane IS an array column (channels: 8 x uint16;
+# P8 patches it element-wise), yet no family probed the array-function
+# surface. Seeded random int/string arrays (NULL elements, EMPTY arrays,
+# NULL arrays, duplicates, big ints, BMP unicode) through the common
+# array ops, compiled per-engine. The pre-family probe proved SIX real
+# divergences, encoded as documented steering:
+#  * Spark 4 runs ANSI by default: element_at RAISES on out-of-bounds
+#    (and BOTH element_at and try_element_at raise on index 0) ->
+#    the family uses try_element_at and never draws index 0; DuckDB
+#    list_extract NULLs on OOB and agrees with try_element_at on
+#    positive and negative (from-end) indices;
+#  * array_contains is THREE-VALUED (NULL when the needle is absent but
+#    the array holds a NULL) where list_contains returns false -> the
+#    oracle spells Spark's 3VL with an explicit CASE;
+#  * DuckDB list_distinct DROPS NULL elements, Spark array_distinct
+#    keeps one -> the Spark side filters NULLs before distinct;
+#  * array_join('') of an EMPTY array is '' in Spark but NULL from
+#    DuckDB's array_to_string -> the oracle cases the empty array (both
+#    sides skip NULL elements, probe-verified);
+#  * concat propagates a NULL array in Spark, DuckDB list_concat treats
+#    NULL as empty -> the oracle guards the NULL array;
+#  * elementwise sum: Spark aggregate() with a 0 init returns 0 on
+#    empty and NULL on any NULL element, DuckDB list_sum skips NULLs
+#    and returns NULL on empty -> both sides are normalized (Spark
+#    filters NULLs pre-fold; oracle coalesces to 0 behind a NULL-array
+#    guard). sort/min/max/position/slice/reverse/size agreed exactly,
+#    including NULL placement in sorts and NULL-array propagation.
+
+_AR_UNIQ = __import__("itertools").count()
+_AR_STRINGS = ["a", "A", "", " ", "é", "Ω", "naïve", "zz"]
+
+
+def _ar_rows(rng, n):
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.12:
+            xs = None
+        else:
+            xs = [
+                None
+                if rng.random() < 0.15
+                else rng.choice(
+                    [0, 1, -3, 5, 7, 2**40, rng.randint(-99, 99)]
+                )
+                for _ in range(rng.randint(0, 6))
+            ]
+        if rng.random() < 0.12:
+            ss = None
+        else:
+            ss = [
+                None if rng.random() < 0.15 else rng.choice(_AR_STRINGS)
+                for _ in range(rng.randint(0, 5))
+            ]
+        rows.append((i, xs, ss))
+    return rows
+
+
+def _ar_ops(spec):
+    """(alias, spark_expr, duck_expr) columns for the drawn op set."""
+    i = spec["idx"] or 1  # never 0: INVALID_INDEX_OF_ZERO on BOTH spark fns
+    needle = spec["needle"]
+    ops = {
+        "size": ("size(xs)", "len(xs)"),
+        "elem": (f"try_element_at(xs, {i})", f"list_extract(xs, {i})"),
+        "contains": (
+            f"array_contains(xs, {needle})",
+            f"CASE WHEN xs IS NULL THEN NULL"
+            f" WHEN list_contains(xs, {needle}) THEN true"
+            f" WHEN len(list_filter(xs, x -> x IS NULL)) > 0 THEN NULL"
+            f" ELSE false END",
+        ),
+        "distinct": (
+            "array_sort(array_distinct(filter(xs, x -> x IS NOT NULL)))",
+            "list_sort(list_distinct(xs))",
+        ),
+        "sort": ("array_sort(xs)", "list_sort(xs)"),
+        "sort_desc": ("sort_array(xs, false)", "list_sort(xs, 'DESC')"),
+        "minmax": ("array_min(xs)", "list_min(xs)"),
+        "pos": (f"array_position(xs, {needle})", f"list_position(xs, {needle})"),
+        "join": (
+            "array_join(ss, '|')",
+            # empty AND all-NULL arrays: Spark skips NULLs then joins
+            # what's left ('' for both shapes); DuckDB returns NULL
+            "CASE WHEN ss IS NULL THEN NULL"
+            " WHEN len(list_filter(ss, x -> x IS NOT NULL)) = 0 THEN ''"
+            " ELSE array_to_string(ss, '|') END",
+        ),
+        "concat": (
+            f"concat(xs, array({needle}L))",
+            f"CASE WHEN xs IS NULL THEN NULL"
+            f" ELSE list_concat(xs, [CAST({needle} AS BIGINT)]) END",
+        ),
+        "sum": (
+            "aggregate(filter(xs, x -> x IS NOT NULL), 0L, (a, x) -> a + x)",
+            "CASE WHEN xs IS NULL THEN NULL"
+            " ELSE COALESCE(CAST(list_sum(xs) AS BIGINT), 0) END",
+        ),
+        "slice": (
+            f"slice(xs, {abs(i)}, 2)",
+            f"list_slice(xs, {abs(i)}, {abs(i) + 1})",
+        ),
+        "reverse": ("reverse(xs)", "list_reverse(xs)"),
+    }
+    return [(k, *ops[k]) for k in spec["ops"]]
+
+
+_AR_SPEC = st.fixed_dictionaries(
+    {
+        "salt": st.integers(min_value=0, max_value=2**31),
+        "n_rows": st.integers(min_value=30, max_value=70),
+        "ops": st.lists(
+            st.sampled_from(
+                [
+                    "size", "elem", "contains", "distinct", "sort",
+                    "sort_desc", "minmax", "pos", "join", "concat",
+                    "sum", "slice", "reverse",
+                ]
+            ),
+            min_size=3,
+            max_size=6,
+            unique=True,
+        ),
+        "idx": st.integers(min_value=-4, max_value=6),
+        "needle": st.sampled_from([0, 1, 5, 7, -3, 2**40]),
+    }
+)
+
+
+@given(spec=_AR_SPEC)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_array_functions(fuzz_sql_ctx, spec):
+    import random
+
+    spark, con = fuzz_sql_ctx
+    rng = random.Random(spec["salt"])
+    rows = _ar_rows(rng, spec["n_rows"])
+
+    sdf = spark.createDataFrame(
+        rows, "id long, xs array<bigint>, ss array<string>"
+    )
+    vname = f"fz_arr_{next(_AR_UNIQ)}"
+    sdf.createOrReplaceTempView(vname)
+
+    def duck_lit(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if isinstance(v, list):
+            inner = ",".join(
+                "NULL"
+                if x is None
+                else (f"'{x.replace(chr(39), chr(39) * 2)}'" if isinstance(x, str) else str(x))
+                for x in v
+            )
+            return f"[{inner}]::{typ}"
+        raise AssertionError(v)
+
+    con.execute(f"DROP TABLE IF EXISTS {vname}")
+    con.execute(
+        f"CREATE TABLE {vname} AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, {duck_lit(xs, 'BIGINT[]')}, {duck_lit(ss, 'VARCHAR[]')})"
+            for i, xs, ss in rows
+        )
+        + f") AS t(id, xs, ss)"
+    )
+    cols_s, cols_d = ["id"], ["id"]
+    for k, s_expr, d_expr in _ar_ops(spec):
+        cols_s.append(f"{s_expr} AS {k}")
+        cols_d.append(f"{d_expr} AS {k}")
+    compare(
+        spark.sql(f"SELECT {', '.join(cols_s)} FROM {vname}"),
+        con.execute(f"SELECT {', '.join(cols_d)} FROM {vname}").df(),
+    )
+    con.execute(f"DROP TABLE {vname}")

@@ -156,6 +156,32 @@ def test_norm_value_numpy_scalars_and_arrays():
     assert _norm_value([np.int32(3), np.float32(0.5)]) == (3, 0.5)
 
 
+def test_normalize_sorts_null_element_arrays():
+    """Canonical row ordering must be a TOTAL order even when an array
+    cell holds NULL elements next to numbers (found by the array fuzz
+    family: the plain tuple sort key compared None < float inside the
+    cell and raised TypeError). Equal-prefix rows forcing the comparison
+    INTO the array cells, mixed with NULL cells and NULL elements."""
+    import pandas as pd
+
+    from espkinesis_spark.verify import normalize
+
+    pdf = pd.DataFrame(
+        {
+            "g": [0, 0, 0, 0],
+            "xs": [(None, 7.0), (1.0, None), None, (1.0, 2.0)],
+        }
+    )
+    cols, rows = normalize(pdf)
+    assert cols == ["g", "xs"]
+    # deterministic: same multiset in, same order out — and no TypeError
+    cols2, rows2 = normalize(pdf.iloc[::-1])
+    assert rows == rows2
+    assert sorted(map(repr, rows)) == sorted(
+        map(repr, [(0, (None, 7.0)), (0, (1.0, None)), (0, None), (0, (1.0, 2.0))])
+    )
+
+
 def test_asof_last_match_lookback_boundaries(spark):
     """The as-of window is (left_ts - lookback, left_ts]: a right row
     EXACTLY lookback old is excluded (strict >), one exactly at left_ts
