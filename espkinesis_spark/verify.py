@@ -46,6 +46,8 @@ def _norm_value(v):
     # to .item() before the sequence branch, which expects an iterable
     if hasattr(v, "item") and not hasattr(v, "__len__"):
         return _norm_value(v.item())
+    if isinstance(v, dict):  # MapType / DuckDB MAP cells
+        return {_norm_value(k): _norm_value(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
         seq = v.tolist() if hasattr(v, "tolist") else v
         return tuple(_norm_value(x) for x in seq)
@@ -53,14 +55,21 @@ def _norm_value(v):
 
 
 def _sort_key(x):
-    """Total-order wrapper for one normalized cell. Tuples (array cells)
-    must wrap their ELEMENTS too: an array cell holding a NULL element
-    next to a number would otherwise compare None < float inside the
-    plain tuple comparison and TypeError (found by the array-functions
-    fuzz family — no registry entry emits NULL-element arrays, but the
-    comparator must not be the thing that breaks first when one does)."""
+    """Total-order wrapper for one normalized cell. Container cells must
+    wrap their ELEMENTS too: an array cell holding a NULL element next
+    to a number would otherwise compare None < float inside the plain
+    tuple comparison and TypeError (found by the array-functions fuzz
+    family), and a map cell (Spark MapType / DuckDB MAP both reach
+    pandas as dict) has no native ordering at all — the comparator must
+    not be the thing that breaks first when a query emits one."""
     if isinstance(x, tuple):
         return (False, "tuple", tuple(_sort_key(e) for e in x))
+    if isinstance(x, dict):
+        return (
+            False,
+            "dict",
+            tuple(sorted((_sort_key(k), _sort_key(v)) for k, v in x.items())),
+        )
     return (x is None, str(type(x)), x)
 
 

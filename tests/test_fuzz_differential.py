@@ -1632,7 +1632,16 @@ def _ar_ops(spec):
         "sort": ("array_sort(xs)", "list_sort(xs)"),
         "sort_desc": ("sort_array(xs, false)", "list_sort(xs, 'DESC')"),
         "minmax": ("array_min(xs)", "list_min(xs)"),
-        "pos": (f"array_position(xs, {needle})", f"list_position(xs, {needle})"),
+        "maxop": ("array_max(xs)", "list_max(xs)"),
+        # absent needle: Spark array_position returns 0 (even with NULL
+        # elements present — probed, no 3VL here); duckdb 1.0 agrees but
+        # CURRENT DuckDB documents NULL-on-absent, so the oracle spells
+        # the Spark semantic version-safely (NULL array stays NULL)
+        "pos": (
+            f"array_position(xs, {needle})",
+            f"CASE WHEN xs IS NULL THEN NULL"
+            f" ELSE COALESCE(list_position(xs, {needle}), 0) END",
+        ),
         "join": (
             "array_join(ss, '|')",
             # empty AND all-NULL arrays: Spark skips NULLs then joins
@@ -1668,8 +1677,8 @@ _AR_SPEC = st.fixed_dictionaries(
             st.sampled_from(
                 [
                     "size", "elem", "contains", "distinct", "sort",
-                    "sort_desc", "minmax", "pos", "join", "concat",
-                    "sum", "slice", "reverse",
+                    "sort_desc", "minmax", "maxop", "pos", "join",
+                    "concat", "sum", "slice", "reverse",
                 ]
             ),
             min_size=3,
@@ -1732,3 +1741,4 @@ def test_differential_array_functions(fuzz_sql_ctx, spec):
         con.execute(f"SELECT {', '.join(cols_d)} FROM {vname}").df(),
     )
     con.execute(f"DROP TABLE {vname}")
+    spark.catalog.dropTempView(vname)

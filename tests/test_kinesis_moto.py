@@ -280,7 +280,8 @@ def test_drain_survives_a_shard_split(kinesis):
         ShardToSplit=shard["ShardId"],
         NewStartingHashKey=str((lo + hi) // 2),
     )
-    # records put AFTER the split land in the child shards
+    # real Kinesis would route these to the child shards; moto keeps
+    # routing to the (closed) parent — see the fidelity note above
     _put(
         kinesis,
         "frames6",

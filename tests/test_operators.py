@@ -180,6 +180,15 @@ def test_normalize_sorts_null_element_arrays():
     assert sorted(map(repr, rows)) == sorted(
         map(repr, [(0, (None, 7.0)), (0, (1.0, None)), (0, None), (0, (1.0, 2.0))])
     )
+    # map cells (Spark MapType / DuckDB MAP -> dict) are unorderable by
+    # <, so the sort key must wrap them too (review catch on the tuple
+    # fix); values inside normalize like any other cell
+    mdf = pd.DataFrame(
+        {"g": [0, 0, 0], "m": [{"a": 1}, {"b": None}, None]}
+    )
+    _, mrows = normalize(mdf)
+    _, mrows2 = normalize(mdf.iloc[::-1])
+    assert mrows == mrows2 and len(mrows) == 3
 
 
 def test_asof_last_match_lookback_boundaries(spark):
