@@ -144,8 +144,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"light re-draw of {name} failed: {exc}", file=sys.stderr)
             samples.pop(name, None)
+    # The end-of-run re-draw feeds sentinel_final_over_median. sentinel()
+    # swallows draw failures, so detect "did the final draw actually
+    # append" by series length — otherwise a failed final draw would
+    # silently relabel a MID-RUN draw as 'final', which is exactly the
+    # contaminated-ending case the metric exists to detect (ADVICE r15).
+    n_before_final = len(sentinel_series)
     sentinel()
-    print(json.dumps(build_output(timings, errors, samples, sf, sentinel_series)))
+    final_drawn = len(sentinel_series) > n_before_final
+    print(
+        json.dumps(
+            build_output(
+                timings, errors, samples, sf, sentinel_series,
+                final_sentinel_drawn=final_drawn,
+            )
+        )
+    )
 
 
 def _median(xs: list[float]) -> float:
@@ -167,6 +181,7 @@ def build_output(
     samples: dict[str, list[float]],
     sf: str,
     sentinel_series: list[float] | None = None,
+    final_sentinel_drawn: bool = True,
 ) -> dict:
     """Assemble the one-line JSON artifact.
 
@@ -232,8 +247,12 @@ def build_output(
     sentinel_p90_ratio = (
         round(_p90(sentinel_series) / sentinel_med, 4) if sentinel_ok else None
     )
+    # null (not a mid-run stand-in) when the end-of-run draw failed:
+    # absence must be distinguishable from clean (ADVICE r15)
     sentinel_final_ratio = (
-        round(sentinel_series[-1] / sentinel_med, 4) if sentinel_ok else None
+        round(sentinel_series[-1] / sentinel_med, 4)
+        if sentinel_ok and final_sentinel_drawn
+        else None
     )
     out = {
         "metric": "declared_query_total_wall",

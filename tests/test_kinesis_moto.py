@@ -308,3 +308,64 @@ def test_drain_survives_a_shard_split(kinesis):
     # consumed from a CLOSED shard; empty children enumerated cleanly
     third, _ = drain_stream(kinesis, "frames6", cursor=cursor)
     assert third == []
+
+
+def test_expired_cursor_raises_actionable_error(kinesis):
+    """ADVICE r15: a cursor whose sequence number aged past the stream's
+    retention makes GetShardIterator(AFTER_SEQUENCE_NUMBER) raise
+    InvalidArgumentException — the raw error gives no guidance, and a
+    poller stopped longer than retention could never restart without
+    manual cursor surgery. The bridge must stay fail-loud but say that
+    the records were trimmed and how to restart (delete the cursor
+    entry, accept the loss).
+
+    Fidelity note: moto never ages records, so it cannot produce the
+    expired-sequence error itself (probed: fabricated far-past sequence
+    numbers are accepted). The EXCEPTION CLASS is botocore's real
+    modeled InvalidArgumentException taken from the live client; only
+    the trigger is simulated by a delegating proxy."""
+    kinesis.create_stream(StreamName="frames7", ShardCount=1)
+    _put(kinesis, "frames7", [_frame_payload(0)])
+    records, cursor = drain_stream(kinesis, "frames7")
+    assert len(records) == 1
+
+    class _RetentionExpiredClient:
+        """Delegates everything to the real moto client except the
+        cursor-resume iterator call, which raises the real modeled
+        error the way aged-out sequence numbers do on live AWS."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def get_shard_iterator(self, **kwargs):
+            if kwargs.get("ShardIteratorType") == "AFTER_SEQUENCE_NUMBER":
+                raise self._inner.exceptions.InvalidArgumentException(
+                    {
+                        "Error": {
+                            "Code": "InvalidArgumentException",
+                            "Message": (
+                                "StartingSequenceNumber "
+                                + kwargs["StartingSequenceNumber"]
+                                + " used in GetShardIterator on shard "
+                                + kwargs["ShardId"]
+                                + " is invalid because it did not come "
+                                "from this stream."
+                            ),
+                        }
+                    },
+                    "GetShardIterator",
+                )
+            return self._inner.get_shard_iterator(**kwargs)
+
+    with pytest.raises(RuntimeError, match="trimmed by the stream's retention"):
+        drain_stream(_RetentionExpiredClient(kinesis), "frames7", cursor=cursor)
+    # the guidance names the remedy: delete the cursor entry and re-run
+    with pytest.raises(RuntimeError, match="delete its entry"):
+        drain_stream(_RetentionExpiredClient(kinesis), "frames7", cursor=cursor)
+    # and the remedy WORKS on the real client: a fresh (cursor-less)
+    # drain restarts at TRIM_HORIZON and re-reads the retained records
+    records2, _ = drain_stream(kinesis, "frames7")
+    assert len(records2) == 1

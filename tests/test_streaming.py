@@ -801,6 +801,13 @@ def test_fresh_store_error_classification():
     )
     # any other condition fails closed, whatever the message says
     assert not _fresh_store_error(Exc("CANNOT_READ_FILE_FOOTER", "PATH_NOT_FOUND"))
+    # ...EXCEPT the stable "Unable to infer schema" message shape: legacy
+    # slots get reassigned proper condition names across Spark releases
+    # (ADVICE r15), so a future engine renaming _LEGACY_ERROR_TEMP_1134
+    # must still read the empty-_spark_metadata store as fresh
+    assert _fresh_store_error(
+        Exc("SOME_FUTURE_CONDITION", "Unable to infer schema for Parquet at .")
+    )
     # condition-less exceptions fall back to message matching
     assert _fresh_store_error(ValueError("... PATH_NOT_FOUND ..."))
     assert _fresh_store_error(ValueError("Unable to infer schema for Parquet"))
