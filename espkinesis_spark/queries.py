@@ -629,14 +629,29 @@ def ex_zrange_query(spark, sf_dir):
         F.min("user_id").cast("long").alias("__umn"),
         F.max("user_id").cast("long").alias("__umx"),
     )
-    shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    # The 6-bit report bucket is the interleave of each axis' TOP-3 grid
+    # bits, so build it as z_value(uq >> 13, tq >> 13, bits=3) — 6
+    # interleave terms — rather than shiftright(z_value(uq, tq, 16), 26)
+    # — 32 terms. Identical values (the bit-position identity is pinned
+    # by tests/test_operators' z-report-bucket test); the narrow form
+    # matters because Catalyst's project collapse inlines __bucket's
+    # defining expression into all four octile-BETWEEN comparisons below
+    # (3 bucket references each -> ~12 copies), and the wide form's ~12x
+    # 32-term interleave blew Janino's 64 KB method limit inside the
+    # fused hashAgg, silently degrading the whole stage to interpreted
+    # execution (r15 VERDICT #3 — caught by the drive-log capture).
+    axis_shift = C.ZORDER_BITS - C.ZORDER_REPORT_BITS // 2
     q = (
         ev.crossJoin(F.broadcast(bounds))
         .withColumn("__uq", layout.range_quantize("user_id", "__umn", "__umx"))
         .withColumn("__tq", layout.range_quantize("t_ms", "__mn", "__mx"))
         .withColumn(
             "__bucket",
-            F.shiftright(layout.z_value(F.col("__uq"), F.col("__tq")), shift),
+            layout.z_value(
+                F.shiftright(F.col("__uq"), axis_shift),
+                F.shiftright(F.col("__tq"), axis_shift),
+                bits=C.ZORDER_REPORT_BITS // 2,
+            ),
         )
         # the middle-half box on each axis, in raw units (exact ints)
         .withColumn("__qulo", F.expr("__umn + (__umx - __umn + 1) div 4"))

@@ -280,3 +280,28 @@ def test_bench_diff_head_fragment_does_not_misread_scalars_as_queries(
     assert rec["contaminated"] is False
     assert rec["scalars"]["value"] == 270.1
     assert rec["scalars"]["sentinel_p90_over_median"] == 1.07
+
+
+def test_bench_diff_auto_orients_round_stamped_artifacts():
+    """r15 VERDICT #7: bench_diff's arg order is NEW OLD with nothing
+    preventing an inverted call — the judge tripped it once; inverted,
+    regressions silently read as improvements. When BOTH filenames carry
+    the driver's _rNN stamp, orientation is knowable: warn-and-swap if
+    the first is older. Free-named local artifacts pass through — the
+    usage line stays the contract there."""
+    from bench_diff import orient
+
+    # inverted driver pair -> swapped
+    n, o, swapped = orient("BENCH_r14.json", "BENCH_r15.json")
+    assert swapped and n == "BENCH_r15.json" and o == "BENCH_r14.json"
+    # correct driver pair -> untouched
+    n, o, swapped = orient("BENCH_r15.json", "BENCH_r14.json")
+    assert not swapped and n == "BENCH_r15.json"
+    # double-digit rounds compare numerically, not lexically
+    n, o, swapped = orient("BENCH_r9.json", "BENCH_r10.json")
+    assert swapped and n == "BENCH_r10.json"
+    # unstamped paths (local runs) are never reordered
+    n, o, swapped = orient("/tmp/a.json", "BENCH_r15.json")
+    assert not swapped and n == "/tmp/a.json"
+    n, o, swapped = orient("/tmp/new.json", "/tmp/old.json")
+    assert not swapped

@@ -2631,6 +2631,38 @@ def test_z_value_matches_python_interleave(spark):
         assert r["z"] == z_py(r["x"], r["y"]), (r["x"], r["y"])
 
 
+def test_z_report_bucket_narrow_form_equals_wide_form(spark):
+    """ex_zrange_query builds the 6-bit report bucket as
+    z_value(uq >> 13, tq >> 13, bits=3) — 6 interleave terms — instead
+    of shiftright(z_value(uq, tq, 16), 26) — 32 terms. The two are
+    bit-identical (the top 6 z-bits ARE the interleave of each axis'
+    top-3 bits), but the narrow form is what keeps Catalyst's project
+    collapse (which inlines __bucket into all four octile-BETWEEN
+    comparisons, ~12 copies) under Janino's 64 KB method limit; the
+    wide form tripped it and silently ran the whole fused hashAgg
+    interpreted (r15 VERDICT #3). This test pins the identity across
+    the full grid's corners so the narrow rewrite can never drift."""
+    from espkinesis_spark.functions import layout
+
+    rb = C.ZORDER_REPORT_BITS // 2
+    axis_shift = C.ZORDER_BITS - rb
+    wide_shift = 2 * C.ZORDER_BITS - C.ZORDER_REPORT_BITS
+    vals = [0, 1, 2, 3, 0x5555, 0xAAAA, 0x00FF, 0xFF00, 0xFFFF, 12345, 54321]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        F.shiftright(layout.z_value(F.col("x"), F.col("y")), wide_shift).alias(
+            "wide"
+        ),
+        layout.z_value(
+            F.shiftright(F.col("x"), axis_shift),
+            F.shiftright(F.col("y"), axis_shift),
+            bits=rb,
+        ).alias("narrow"),
+    )
+    for r in df.collect():
+        assert r["wide"] == r["narrow"]
+
+
 def test_zorder_report_is_biaxially_local(spark, sf_dir):
     """Every z-bucket spans at most one octile (+1 grid cell of rounding)
     of EACH axis — the biaxial locality a plain time-sort cannot give

@@ -160,16 +160,38 @@ def diff(new: dict, old: dict, band: float) -> dict:
     }
 
 
+_ROUND = re.compile(r"BENCH_r(\d+)\.json$")
+
+
+def orient(new_path: str, old_path: str) -> tuple[str, str, bool]:
+    """Auto-orient a NEW OLD pair of driver artifacts (r15 VERDICT #7):
+    an inverted call silently reads regressions as improvements — the
+    output labels the files but nothing in it screams "swapped". When
+    BOTH filenames carry the driver's _rNN round stamp, orientation is
+    knowable: warn-and-swap if the first is the older round. Unstamped
+    paths (local runs named freely) pass through untouched — the usage
+    line stays the contract there."""
+    mn, mo = _ROUND.search(new_path), _ROUND.search(old_path)
+    if mn and mo and int(mn.group(1)) < int(mo.group(1)):
+        print(
+            f"WARNING: argument order is NEW OLD but r{mn.group(1)} predates "
+            f"r{mo.group(1)} — swapping so the diff reads newest-vs-oldest"
+        )
+        return old_path, new_path, True
+    return new_path, old_path, False
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
         raise SystemExit(2)
     band = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
-    new, old = load(sys.argv[1]), load(sys.argv[2])
+    new_path, old_path, _ = orient(sys.argv[1], sys.argv[2])
+    new, old = load(new_path), load(old_path)
     d = diff(new, old, band)
-    print(f"new: {sys.argv[1]} — {new['coverage']}, "
+    print(f"new: {new_path} — {new['coverage']}, "
           f"contaminated={new['contaminated']}, scalars={new['scalars']}")
-    print(f"old: {sys.argv[2]} — {old['coverage']}, "
+    print(f"old: {old_path} — {old['coverage']}, "
           f"contaminated={old['contaminated']}, scalars={old['scalars']}")
     print(f"\ncompared {d['compared']} common entries at noise band {band:.0%} "
           f"(abs 0.5s under 1s); {d['within_noise']} within noise")
