@@ -1742,3 +1742,203 @@ def test_differential_array_functions(fuzz_sql_ctx, spec):
     )
     con.execute(f"DROP TABLE {vname}")
     spark.catalog.dropTempView(vname)
+
+
+# --- family 19: map/struct function semantics (r15 VERDICT optional #6) -----
+# The r15 comparator fix proved MAP cells can reach the parity gate, and
+# family 18's array probe found six real divergences on its first run —
+# the map surface was the same class of unprobed cross-engine corner.
+# Seeded random (keys, values) array pairs (NULL values, EMPTY maps,
+# NULL maps, big ints, BMP unicode keys) build a map per-engine
+# (map_from_arrays vs map) and run the common map/struct ops, compiled
+# per-engine. Probed contracts the family encodes (documented steering,
+# all proven by the pre-family probe on THIS duckdb/spark pair):
+#  * representation: raw MAP columns never reach the comparator — a
+#    Spark map lands in pandas as {k: v} but DuckDB's .df() MAP shape
+#    is {'key': [...], 'value': [...]}; every op ends scalar or array;
+#  * construction: BOTH engines reject duplicate and NULL keys
+#    (DUPLICATED_MAP_KEY / "Map keys must be unique", NULL_MAP_KEY /
+#    "Map keys can not be NULL") -> keys are unique non-NULL by
+#    generation; both make a NULL map from NULL key/value arrays, and
+#    both RAISE on mismatched key/value lengths -> lengths equal by
+#    generation;
+#  * extraction agrees: Spark try_element_at(m, k) == DuckDB
+#    map_extract(m, k)[1] on present / absent / NULL-valued keys and
+#    NULL maps (Spark 4 ANSI element_at does NOT raise on absent map
+#    keys — probed, unlike array OOB — but try_element_at is used for
+#    symmetry with family 18);
+#  * key membership: DuckDB 1.0 has NO map_contains (and contains()
+#    does not accept MAP) -> the oracle emulates via
+#    len(map_extract(m,k)) > 0, which must be CASE-guarded on the NULL
+#    map: map_extract(NULL, k) is [] so the emulation reads false where
+#    Spark's map_contains_key reads NULL; a present key with a NULL
+#    value is [NULL] (len 1) and correctly reads true on both;
+#  * map_concat DIVERGES twice: Spark RAISES on duplicate keys
+#    (mapKeyDedupPolicy EXCEPTION default) where DuckDB last-wins ->
+#    the two maps' key pools are DISJOINT by generation; Spark
+#    propagates a NULL side where DuckDB treats it as empty -> the
+#    oracle NULL-guards both sides;
+#  * map_filter / transform_values / map_entries / map_keys /
+#    map_values / cardinality / entry-struct field access agreed
+#    exactly everywhere probed, including NULL maps, empty maps, NULL
+#    values under lambdas (v > x drops them in both filters; v * 2
+#    propagates NULL in both transforms), and struct field access
+#    through a NULL/absent entry (NULL on both).
+
+_MP_UNIQ = __import__("itertools").count()
+_MP_KEYS = ["a", "A", "", " ", "é", "Ω", "key9", "zz"]       # map 1 pool
+_MP_KEYS2 = ["p", "q", "naïve", "r8"]                        # disjoint pool
+
+
+def _mp_rows(rng, n):
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.12:
+            ks, vs = None, None                               # NULL map
+        else:
+            ks = rng.sample(_MP_KEYS, rng.randint(0, len(_MP_KEYS)))
+            vs = [
+                None
+                if rng.random() < 0.2
+                else rng.choice([0, 1, -3, 7, 2**40, rng.randint(-99, 99)])
+                for _ in ks
+            ]
+        if rng.random() < 0.12:
+            ks2, vs2 = None, None
+        else:
+            ks2 = rng.sample(_MP_KEYS2, rng.randint(0, len(_MP_KEYS2)))
+            vs2 = [
+                None if rng.random() < 0.2 else rng.randint(-99, 99)
+                for _ in ks2
+            ]
+        rows.append((i, ks, vs, ks2, vs2))
+    return rows
+
+
+def _mp_ops(spec):
+    """(alias, spark_expr, duck_expr) for the drawn op set; m is built
+    per-engine from the same (ks, vs) arrays so insertion order — which
+    both engines preserve through keys/values/entries — is identical."""
+    sm, dm = "map_from_arrays(ks, vs)", "map(ks, vs)"
+    sm2, dm2 = "map_from_arrays(ks2, vs2)", "map(ks2, vs2)"
+    k = spec["key"].replace("'", "''")
+    x = spec["thresh"]
+    ops = {
+        "getk": (
+            f"try_element_at({sm}, '{k}')",
+            f"map_extract({dm}, '{k}')[1]",
+        ),
+        "haskey": (
+            f"map_contains_key({sm}, '{k}')",
+            f"CASE WHEN ks IS NULL THEN NULL"
+            f" ELSE len(map_extract({dm}, '{k}')) > 0 END",
+        ),
+        "nkeys": (f"cardinality({sm})", f"cardinality({dm})"),
+        "keys": (f"map_keys({sm})", f"map_keys({dm})"),
+        "vals": (f"map_values({sm})", f"map_values({dm})"),
+        "ekeys": (
+            f"transform(map_entries({sm}), e -> e.key)",
+            f"list_transform(map_entries({dm}), e -> e.key)",
+        ),
+        "filterk": (
+            f"map_keys(map_filter({sm}, (k, v) -> v > {x}))",
+            f"map_keys(map_from_entries("
+            f"list_filter(map_entries({dm}), e -> e.value > {x})))",
+        ),
+        "tvals": (
+            f"map_values(transform_values({sm}, (k, v) -> v * 2))",
+            f"list_transform(map_values({dm}), v -> v * 2)",
+        ),
+        "concat": (
+            f"map_keys(map_concat({sm}, {sm2}))",
+            f"CASE WHEN ks IS NULL OR ks2 IS NULL THEN NULL"
+            f" ELSE map_keys(map_concat({dm}, {dm2})) END",
+        ),
+        "firstk": (
+            f"try_element_at(map_entries({sm}), 1).key",
+            f"map_entries({dm})[1].key",
+        ),
+    }
+    return [(name, *ops[name]) for name in spec["ops"]]
+
+
+_MP_SPEC = st.fixed_dictionaries(
+    {
+        "salt": st.integers(min_value=0, max_value=2**31),
+        "n_rows": st.integers(min_value=30, max_value=70),
+        "ops": st.lists(
+            st.sampled_from(
+                [
+                    "getk", "haskey", "nkeys", "keys", "vals",
+                    "ekeys", "filterk", "tvals", "concat", "firstk",
+                ]
+            ),
+            min_size=3,
+            max_size=6,
+            unique=True,
+        ),
+        # lookup keys: pool members plus a never-present needle
+        "key": st.sampled_from(_MP_KEYS + ["absent"]),
+        "thresh": st.integers(min_value=-5, max_value=8),
+    }
+)
+
+
+@given(spec=_MP_SPEC)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_differential_map_functions(fuzz_sql_ctx, spec):
+    import random
+
+    spark, con = fuzz_sql_ctx
+    rng = random.Random(spec["salt"])
+    rows = _mp_rows(rng, spec["n_rows"])
+
+    sdf = spark.createDataFrame(
+        rows,
+        "id long, ks array<string>, vs array<bigint>, "
+        "ks2 array<string>, vs2 array<bigint>",
+    )
+    vname = f"fz_map_{next(_MP_UNIQ)}"
+    sdf.createOrReplaceTempView(vname)
+
+    def duck_lit(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        inner = ",".join(
+            "NULL"
+            if x is None
+            else (
+                f"'{x.replace(chr(39), chr(39) * 2)}'"
+                if isinstance(x, str)
+                else str(x)
+            )
+            for x in v
+        )
+        return f"[{inner}]::{typ}"
+
+    con.execute(f"DROP TABLE IF EXISTS {vname}")
+    con.execute(
+        f"CREATE TABLE {vname} AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, {duck_lit(ks, 'VARCHAR[]')}, {duck_lit(vs, 'BIGINT[]')}, "
+            f"{duck_lit(ks2, 'VARCHAR[]')}, {duck_lit(vs2, 'BIGINT[]')})"
+            for i, ks, vs, ks2, vs2 in rows
+        )
+        + f") AS t(id, ks, vs, ks2, vs2)"
+    )
+    try:
+        cols_s, cols_d = ["id"], ["id"]
+        for name, s_expr, d_expr in _mp_ops(spec):
+            cols_s.append(f"{s_expr} AS {name}")
+            cols_d.append(f"{d_expr} AS {name}")
+        compare(
+            spark.sql(f"SELECT {', '.join(cols_s)} FROM {vname}"),
+            con.execute(f"SELECT {', '.join(cols_d)} FROM {vname}").df(),
+        )
+    finally:
+        con.execute(f"DROP TABLE IF EXISTS {vname}")
+        spark.catalog.dropTempView(vname)
