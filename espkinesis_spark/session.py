@@ -69,6 +69,12 @@ def get_spark(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback local[*]).
     """
+    # before the JVM exists: state-API workers (transformWithStateInPandas)
+    # inherit the JVM env, which inherits ours — see protobuf_compat
+    from espkinesis_spark.protobuf_compat import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -171,10 +171,14 @@ def override_sessions_tws(tagged: DataFrame) -> DataFrame:
     schema evolution). Semantics identical to ``override_sessions``;
     requires the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass`` — the production
-    provider recommended at scale anyway). NOTE: the API spawns a local
-    state-server socket; sandboxes that block local connections cannot run
-    it (the test suite skips in that case) — ``override_sessions`` is the
-    portable default.
+    provider recommended at scale anyway). NOTE: the API's state workers
+    need the ``google.protobuf`` runtime (they import pyspark's generated
+    ``StateMessage_pb2``); an interpreter without protobuf crashes the
+    "TransformWithStateInPySpark driver worker" at PRE_INIT —
+    ``protobuf_compat.ensure_protobuf_runtime`` (called by
+    ``session.get_spark``) shims a vendored runtime when one exists, and
+    the test suite skips when none can be found. ``override_sessions`` is
+    the portable default.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

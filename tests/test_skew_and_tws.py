@@ -89,9 +89,9 @@ def test_tws_override_session_matches_classic(spark, fixture_paths):
         except Exception as exc:  # noqa: BLE001
             if "TransformWithStateInPySpark driver worker" in str(exc):
                 pytest.skip(
-                    "transformWithStateInPandas state server cannot run in this "
-                    "sandbox (local socket connections blocked); API exercised on "
-                    "real clusters"
+                    "transformWithStateInPandas state workers cannot start here "
+                    "(no google.protobuf runtime and no vendored copy for "
+                    "protobuf_compat to shim); API exercised where one exists"
                 )
             raise
         got = {
