@@ -118,3 +118,84 @@ def test_tws_override_session_matches_classic(spark, fixture_paths):
         for r in spark.table("classic_out").collect()
     }
     assert got == want and len(got) == 400 * 8
+
+
+def test_tws_state_survives_query_restart(spark, tmp_path_factory):
+    """The TWS value state must be RESTORED from the RocksDB checkpoint
+    across a full query stop/restart: a command consumed in leg 1 sets
+    (patch, expiry); a frame delivered only in leg 2 — a brand-new query
+    resuming the same checkpoint — must still be patched by it, and a
+    frame past expiry must not. A processor whose state silently resets
+    on restart (init() ignoring the restored store, a state schema
+    mismatch, a checkpoint not carrying the store) emits f2 unpatched and
+    fails the exact-tuple compare. Hand-computed expectation — no reuse
+    of either engine path as its own oracle."""
+    from datetime import datetime, timezone
+
+    from espkinesis_spark.protobuf_compat import ensure_protobuf_runtime
+
+    if not ensure_protobuf_runtime():
+        pytest.skip("no google.protobuf runtime for the TWS state workers")
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s, tzinfo=timezone.utc)  # noqa: E731
+    base = tmp_path_factory.mktemp("tws_restart")
+    frames_dir, cmds_dir = str(base / "frames"), str(base / "cmds")
+    sink, ckpt = str(base / "sink"), str(base / "ckpt")
+
+    live = [1500] * 8
+    patch = [-1, 1200] * 4
+    merged = [1500, 1200] * 4
+
+    def write_frames(rows):
+        spark.createDataFrame(rows, sources.FRAME_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(frames_dir)
+
+    cmd_schema = "target_id int, ts timestamp, channels array<int>, duration long"
+    # leg 1: the command (10:00, 10-minute override) + one in-window frame
+    spark.createDataFrame(
+        [(1, t(0), patch, 600000)], cmd_schema
+    ).coalesce(1).write.mode("append").parquet(cmds_dir)
+    write_frames([(1, t(0, 30), live)])
+
+    def run_leg():
+        frames = sources.file_stream(spark, frames_dir, sources.FRAME_SCHEMA)
+        cmds = sources.file_stream(spark, cmds_dir, spark.createDataFrame([], cmd_schema).schema)
+        targets = spark.createDataFrame([(1,)], "id int")
+        tagged = pipeline.tag_frames_and_commands(frames, cmds, targets)
+        q = (
+            state.override_sessions_tws(tagged)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_leg()
+        # leg 2: new files only — f2 inside the leg-1 expiry, f3 far past it
+        write_frames([(2, t(1), live), (3, t(50), live)])
+        run_leg()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = {
+        (r["target_id"], r["frame_id"]): (list(r["channels"]), r["overridden"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        (1, 1): (merged, True),   # leg 1, in window
+        (1, 2): (merged, True),   # leg 2 — ONLY correct if state was restored
+        (1, 3): (live, False),    # leg 2, past expiry
+    }
