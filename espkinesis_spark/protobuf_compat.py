@@ -16,7 +16,10 @@ Engine platform tree. When ``google.protobuf`` is missing and such a copy
 exists, this module exposes ONLY the ``google/protobuf`` subtree through an
 isolated shim directory on ``sys.path`` + ``PYTHONPATH`` (never the whole
 vendored tree — it also carries ``google.appengine``/``google.auth``
-packages that must not shadow real installs).
+packages that must not shadow real installs). The shim's ``google`` dir is
+a PEP-420 namespace PORTION (no ``__init__.py``): a plain package there
+would stop namespace merging and break every other installed ``google.*``
+distribution (google-auth, google-cloud-*) for the whole process tree.
 
 Version skew: pyspark's generated ``StateMessage_pb2`` pins a gencode
 version (6.33.0 for Spark 4.1) and the vendored runtime may trail by a
@@ -51,13 +54,15 @@ _VENDOR_ROOTS = (
 )
 
 _shim_dir: str | None = None
+_failed = False  # a failed attempt is permanent for this process
 
 
 def ensure_protobuf_runtime() -> bool:
     """Return True when ``google.protobuf`` is importable (possibly via the
     shim this call just installed); False when no runtime can be found.
-    Idempotent; never raises."""
-    global _shim_dir
+    Idempotent (a failed attempt is cached, never retried with another
+    shim dir); a failed attempt rolls its path edits back. Never raises."""
+    global _shim_dir, _failed
     try:
         if importlib.util.find_spec("google.protobuf") is not None:
             return True
@@ -65,6 +70,8 @@ def ensure_protobuf_runtime() -> bool:
         pass
     if _shim_dir is not None:
         return True
+    if _failed:
+        return False
 
     roots = []
     override = os.environ.get("ESPK_PROTOBUF_PATH")
@@ -80,17 +87,17 @@ def ensure_protobuf_runtime() -> bool:
         None,
     )
     if src is None:
+        _failed = True
         return False
 
     try:
         shim = tempfile.mkdtemp(prefix="espk_protobuf_shim_")
         pkg = os.path.join(shim, "google")
         os.mkdir(pkg)
-        # plain (non-namespace) package so only the symlinked subtree resolves
-        with open(os.path.join(pkg, "__init__.py"), "w", encoding="utf-8"):
-            pass
+        # namespace PORTION (no __init__.py) holding only the symlink
         os.symlink(src, os.path.join(pkg, "protobuf"))
     except OSError:
+        _failed = True
         return False
 
     sys.path.insert(0, shim)
@@ -99,10 +106,22 @@ def ensure_protobuf_runtime() -> bool:
     # protobuf's official escape hatch for gencode>runtime minor skew
     os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
 
+    ok = False
     try:
-        if importlib.util.find_spec("google.protobuf") is None:
-            return False
+        ok = importlib.util.find_spec("google.protobuf") is not None
     except Exception:
+        ok = False
+    if not ok:
+        # roll back: a dead shim must not linger at sys.path[0] / PYTHONPATH
+        try:
+            sys.path.remove(shim)
+        except ValueError:
+            pass
+        if prior is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = prior
+        _failed = True
         return False
     _shim_dir = shim
     return True

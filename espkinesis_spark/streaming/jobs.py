@@ -135,15 +135,21 @@ def _fresh_store_error(exc: Exception) -> bool:
     # releases (ADVICE r15): keying only on _LEGACY_ERROR_TEMP_1134
     # would fail closed on a future engine's legitimately-empty store.
     # The message shape "Unable to infer schema" is the stable signal
-    # across that rename, and it carries the same fresh-store meaning
-    # whichever condition slot it rides — so accept it even when an
-    # unrecognized condition is present. Everything else stays
-    # fail-closed.
-    if "Unable to infer schema" in str(exc):
-        return True
-    if cond is not None:
-        return False
-    return any(c in str(exc) for c in fresh)
+    # across that rename — but only when the condition is ABSENT or is
+    # itself an unrecognized legacy slot. An exception carrying a
+    # proper non-fresh condition stays non-fresh even if its message
+    # (or an attached JVM cause chain) quotes the phrase: a rename of
+    # the empty-store error lands on UNABLE_TO_INFER_SCHEMA, which the
+    # condition set already accepts, so the widening is not needed
+    # there and would re-open the guard on corrupt-store failures
+    # (r16 review catch).
+    if cond is None:
+        return "Unable to infer schema" in str(exc) or any(
+            c in str(exc) for c in fresh
+        )
+    if cond.startswith("_LEGACY_ERROR_TEMP"):
+        return "Unable to infer schema" in str(exc)
+    return False
 
 
 def _drain_to_parquet(

@@ -107,15 +107,24 @@ def drain_stream(
                 # behind manual cursor surgery (ADVICE r15). Stay
                 # fail-loud (restarting at TRIM_HORIZON silently would
                 # hide that records were lost) but say what happened and
-                # what the operator must decide.
+                # what the operator must decide. InvalidArgumentException
+                # also covers a cursor REPLAYED AGAINST THE WRONG STREAM
+                # (sequence 'did not come from this stream') — deleting
+                # the cursor there would mass-duplicate the backlog and
+                # mask a config error, so the advice must be conditional.
                 raise RuntimeError(
                     f"cursor for {shard_id} (sequence "
-                    f"{cursor[shard_id]}) is no longer valid — records "
-                    "after it were already trimmed by the stream's "
-                    "retention window, so the gap is unrecoverable. To "
-                    "restart this shard at TRIM_HORIZON and accept the "
-                    "loss, delete its entry from the cursor checkpoint "
-                    "and re-run the drain."
+                    f"{cursor[shard_id]}) was rejected by "
+                    f"{stream_name!r}: {exc}. If this checkpoint really "
+                    "belongs to this stream, the records after it were "
+                    "trimmed by the retention window and the gap is "
+                    "unrecoverable — to restart the shard at TRIM_HORIZON "
+                    "and accept the loss, delete its entry from the "
+                    "cursor checkpoint and re-run the drain. If the "
+                    "sequence 'did not come from this stream', the "
+                    "checkpoint is being replayed against the wrong "
+                    "stream — fix the stream/cursor pairing instead "
+                    "(deleting it would re-ingest the whole backlog)."
                 ) from exc
         else:
             it = client.get_shard_iterator(

@@ -8,10 +8,17 @@ sentinel series (VERDICT r12 #2a) so a poisoned pass is marked in the
 artifact itself."""
 
 import json
+import os
+import sys
 
 import pytest
 
 from bench import SENTINEL, build_output
+
+# absolute, so bench_diff imports survive any cwd and test selection
+# (a relative "tools" insert only worked from the repo root, and only
+# for tests that ran after one that happened to insert it)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "tools"))
 
 
 def _sample(sentinel_series=(0.11, 0.12, 0.1, 0.11)):
@@ -185,9 +192,6 @@ def test_bench_diff_handles_both_artifact_shapes(tmp_path):
     fragment, per-entry figures classified against the noise band (abs
     drift for sub-second entries), and a samples row recovered as its
     MIN (the r13 headline estimator)."""
-    import sys
-
-    sys.path.insert(0, "tools")
     from bench_diff import diff, load
 
     full = {
@@ -248,9 +252,6 @@ def test_bench_diff_head_fragment_does_not_misread_scalars_as_queries(
     headline scalars (n_queries, sampled_entries_n, heavy_samples_k, sf,
     noise spreads) and the sentinel_series list before any per-entry map
     — none of those may be recovered as per-entry query figures."""
-    import sys
-
-    sys.path.insert(0, "tools")
     from bench_diff import load
 
     head = {

@@ -1691,6 +1691,21 @@ _AR_SPEC = st.fixed_dictionaries(
 )
 
 
+def _duck_array_lit(v, typ):
+    """DuckDB list literal for a python list (or NULL) of str/int cells —
+    shared by the array (18) and map (19) families so escaping fixes land
+    in one place."""
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    inner = ",".join(
+        "NULL"
+        if x is None
+        else (f"'{x.replace(chr(39), chr(39) * 2)}'" if isinstance(x, str) else str(x))
+        for x in v
+    )
+    return f"[{inner}]::{typ}"
+
+
 @given(spec=_AR_SPEC)
 @settings(
     max_examples=25,
@@ -1710,18 +1725,7 @@ def test_differential_array_functions(fuzz_sql_ctx, spec):
     vname = f"fz_arr_{next(_AR_UNIQ)}"
     sdf.createOrReplaceTempView(vname)
 
-    def duck_lit(v, typ):
-        if v is None:
-            return f"CAST(NULL AS {typ})"
-        if isinstance(v, list):
-            inner = ",".join(
-                "NULL"
-                if x is None
-                else (f"'{x.replace(chr(39), chr(39) * 2)}'" if isinstance(x, str) else str(x))
-                for x in v
-            )
-            return f"[{inner}]::{typ}"
-        raise AssertionError(v)
+    duck_lit = _duck_array_lit
 
     con.execute(f"DROP TABLE IF EXISTS {vname}")
     con.execute(
@@ -1905,20 +1909,7 @@ def test_differential_map_functions(fuzz_sql_ctx, spec):
     vname = f"fz_map_{next(_MP_UNIQ)}"
     sdf.createOrReplaceTempView(vname)
 
-    def duck_lit(v, typ):
-        if v is None:
-            return f"CAST(NULL AS {typ})"
-        inner = ",".join(
-            "NULL"
-            if x is None
-            else (
-                f"'{x.replace(chr(39), chr(39) * 2)}'"
-                if isinstance(x, str)
-                else str(x)
-            )
-            for x in v
-        )
-        return f"[{inner}]::{typ}"
+    duck_lit = _duck_array_lit
 
     con.execute(f"DROP TABLE IF EXISTS {vname}")
     con.execute(

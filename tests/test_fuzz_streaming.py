@@ -887,6 +887,10 @@ def test_tws_override_sessions_match_classic_at_random_boundaries(
     src = _ordered_boundary_source(
         spark, tmp, pdf, ev.schema, ["ts", "event_id"], spec["cuts"]
     )
+    # classic reference FIRST: the vacuity assume depends only on it, so a
+    # vacuous draw is rejected before paying for the TWS/RocksDB replay
+    want = _override_session_run(spark, src, spec)
+    assume(any(over for _, over in want.values()))
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -899,7 +903,4 @@ def test_tws_override_sessions_match_classic_at_random_boundaries(
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-    want = _override_session_run(spark, src, spec)
-    # vacuity: a draw with zero applied overrides exercises no state
-    assume(any(over for _, over in want.values()))
     assert got == want

@@ -315,9 +315,12 @@ def test_expired_cursor_raises_actionable_error(kinesis):
     retention makes GetShardIterator(AFTER_SEQUENCE_NUMBER) raise
     InvalidArgumentException — the raw error gives no guidance, and a
     poller stopped longer than retention could never restart without
-    manual cursor surgery. The bridge must stay fail-loud but say that
-    the records were trimmed and how to restart (delete the cursor
-    entry, accept the loss).
+    manual cursor surgery. The bridge must stay fail-loud and actionable
+    — but CONDITIONALLY so (r16 review): InvalidArgumentException also
+    covers a cursor replayed against the WRONG stream, where
+    delete-the-cursor advice would mass-duplicate the backlog and mask a
+    config error. The message must carry the underlying AWS error and
+    distinguish the two remedies.
 
     Fidelity note: moto never ages records, so it cannot produce the
     expired-sequence error itself (probed: fabricated far-past sequence
@@ -360,10 +363,16 @@ def test_expired_cursor_raises_actionable_error(kinesis):
                 )
             return self._inner.get_shard_iterator(**kwargs)
 
-    with pytest.raises(RuntimeError, match="trimmed by the stream's retention"):
+    # the guidance: carries the raw AWS message, names the trimmed-
+    # retention remedy (delete the cursor entry) AND the wrong-stream
+    # caveat (fix the pairing, deleting would re-ingest the backlog)
+    with pytest.raises(RuntimeError, match="did not come from this stream"):
         drain_stream(_RetentionExpiredClient(kinesis), "frames7", cursor=cursor)
-    # the guidance names the remedy: delete the cursor entry and re-run
+    with pytest.raises(RuntimeError, match="trimmed by the retention window"):
+        drain_stream(_RetentionExpiredClient(kinesis), "frames7", cursor=cursor)
     with pytest.raises(RuntimeError, match="delete its entry"):
+        drain_stream(_RetentionExpiredClient(kinesis), "frames7", cursor=cursor)
+    with pytest.raises(RuntimeError, match="wrong\\s+stream"):
         drain_stream(_RetentionExpiredClient(kinesis), "frames7", cursor=cursor)
     # and the remedy WORKS on the real client: a fresh (cursor-less)
     # drain restarts at TRIM_HORIZON and re-reads the retained records

@@ -612,11 +612,14 @@ def test_codegen_fallback_capture(tmp_path):
     hits = codegen_errors(chunk)
     assert len(hits) == 1 and "64 KB" in hits[0]
 
-    # offset attribution: per-entry reads see only THEIR slice
+    # offset attribution: per-entry reads see only THEIR slice — and the
+    # offset is BYTE-accurate across multi-byte chars (a text-mode
+    # len(str) offset would desync after 'λ→é' and re-read or split lines)
     log = tmp_path / "jvm.log"
-    log.write_text("ERROR CodeGenerator - first entry overflow\n")
+    log.write_text("ERROR CodeGenerator - first entry overflow λ→é\n")
     chunk1, off = _read_new(str(log), 0)
     assert len(codegen_errors(chunk1)) == 1
+    assert off == len(chunk1.encode("utf-8"))
     with open(log, "a") as fh:
         fh.write("ok line\nERROR CodeGenerator - second entry overflow\n")
     chunk2, _ = _read_new(str(log), off)

@@ -29,12 +29,83 @@ def test_ensure_is_idempotent_and_resolves_here():
 
 def test_returns_false_when_no_vendored_copy(monkeypatch, tmp_path):
     monkeypatch.setattr(protobuf_compat, "_shim_dir", None)
+    monkeypatch.setattr(protobuf_compat, "_failed", False)
     monkeypatch.setattr(protobuf_compat, "_VENDOR_ROOTS", ())
     monkeypatch.setenv("ESPK_PROTOBUF_PATH", str(tmp_path / "nowhere"))
     monkeypatch.setattr(
         protobuf_compat.importlib.util, "find_spec", lambda name: None
     )
     assert protobuf_compat.ensure_protobuf_runtime() is False
+    # the failure is cached — no second scan, still False
+    assert protobuf_compat._failed is True
+    assert protobuf_compat.ensure_protobuf_runtime() is False
+
+
+def test_failed_verification_rolls_back_path_edits(monkeypatch, tmp_path):
+    # vendored root exists, but the post-install find_spec probe fails:
+    # the dead shim must NOT linger on sys.path/PYTHONPATH, and the
+    # failure must be cached (no shim-dir accumulation on retries)
+    root = tmp_path / "vendor"
+    (root / "google" / "protobuf").mkdir(parents=True)
+    (root / "google" / "protobuf" / "__init__.py").write_text("")
+    monkeypatch.setattr(protobuf_compat, "_shim_dir", None)
+    monkeypatch.setattr(protobuf_compat, "_failed", False)
+    monkeypatch.setattr(protobuf_compat, "_VENDOR_ROOTS", ())
+    monkeypatch.setenv("ESPK_PROTOBUF_PATH", str(root))
+    monkeypatch.setattr(
+        protobuf_compat.importlib.util, "find_spec", lambda name: None
+    )
+    prior_path = list(sys.path)
+    prior_env = os.environ.get("PYTHONPATH")
+    assert protobuf_compat.ensure_protobuf_runtime() is False
+    assert sys.path == prior_path
+    assert os.environ.get("PYTHONPATH") == prior_env
+    assert protobuf_compat._failed is True
+
+
+def test_shim_is_namespace_portion_not_plain_package(monkeypatch, tmp_path):
+    # a plain google/__init__.py in the shim would stop PEP-420 namespace
+    # merging and break every other installed google.* distribution; the
+    # shim must coexist with a sibling namespace portion (like google-auth)
+    import subprocess
+
+    root = tmp_path / "vendor"
+    (root / "google" / "protobuf").mkdir(parents=True)
+    (root / "google" / "protobuf" / "__init__.py").write_text("MARK = 7\n")
+    site = tmp_path / "site"
+    (site / "google" / "auth").mkdir(parents=True)
+    (site / "google" / "auth" / "__init__.py").write_text("WHO = 'auth'\n")
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(site)!r})\n"
+        "import importlib.util\n"
+        "from espkinesis_spark import protobuf_compat as pc\n"
+        "real = importlib.util.find_spec\n"
+        "calls = [0]\n"
+        "def fake(name):\n"
+        "    calls[0] += 1\n"
+        "    return None if calls[0] == 1 else real(name)\n"
+        "pc.importlib.util.find_spec = fake\n"
+        "assert pc.ensure_protobuf_runtime() is True\n"
+        "import google.protobuf, google.auth\n"
+        "assert google.protobuf.MARK == 7 and google.auth.WHO == 'auth'\n"
+        "import os\n"
+        "assert not os.path.exists(os.path.join(pc._shim_dir, 'google', '__init__.py'))\n"
+        "print('NAMESPACE OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env={
+            **{k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+            "PYTHONPATH": "/root/repo",
+            "ESPK_PROTOBUF_PATH": str(root),
+        },
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "NAMESPACE OK" in proc.stdout
 
 
 def test_shim_built_from_override_root(monkeypatch, tmp_path):
@@ -47,6 +118,7 @@ def test_shim_built_from_override_root(monkeypatch, tmp_path):
     (root / "google" / "sibling" / "__init__.py").write_text("")
 
     monkeypatch.setattr(protobuf_compat, "_shim_dir", None)
+    monkeypatch.setattr(protobuf_compat, "_failed", False)
     monkeypatch.setattr(protobuf_compat, "_VENDOR_ROOTS", ())
     monkeypatch.setenv("ESPK_PROTOBUF_PATH", str(root))
 

@@ -801,11 +801,19 @@ def test_fresh_store_error_classification():
     )
     # any other condition fails closed, whatever the message says
     assert not _fresh_store_error(Exc("CANNOT_READ_FILE_FOOTER", "PATH_NOT_FOUND"))
-    # ...EXCEPT the stable "Unable to infer schema" message shape: legacy
-    # slots get reassigned proper condition names across Spark releases
-    # (ADVICE r15), so a future engine renaming _LEGACY_ERROR_TEMP_1134
-    # must still read the empty-_spark_metadata store as fresh
+    # the stable "Unable to infer schema" message shape survives a legacy
+    # slot RENUMBERING (ADVICE r15) — but ONLY on legacy slots: a proper
+    # non-fresh condition whose message (or attached JVM cause chain)
+    # quotes the phrase must stay non-fresh (r16 review — a rename of the
+    # empty-store error lands on UNABLE_TO_INFER_SCHEMA, already in the
+    # condition set, so proper conditions never need the message fallback)
     assert _fresh_store_error(
+        Exc("_LEGACY_ERROR_TEMP_9999", "Unable to infer schema for Parquet at .")
+    )
+    assert not _fresh_store_error(
+        Exc("CANNOT_READ_FILE_FOOTER", "... Unable to infer schema ...")
+    )
+    assert not _fresh_store_error(
         Exc("SOME_FUTURE_CONDITION", "Unable to infer schema for Parquet at .")
     )
     # condition-less exceptions fall back to message matching

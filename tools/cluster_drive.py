@@ -141,8 +141,10 @@ def main() -> None:
     scope = sys.argv[2] if len(sys.argv) > 2 else "window"
 
     cluster = Standalone()
-    cluster.start()
     try:
+        # inside the try: a startup timeout must still stop() whatever
+        # daemons already spawned, not leak them holding ports
+        cluster.start()
         spark = cluster_session(cluster.master_url)
         spark.sparkContext.setLogLevel("ERROR")
 

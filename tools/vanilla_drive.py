@@ -48,12 +48,15 @@ rootLogger.appenderRef.drive.ref = drive
 
 
 def _read_new(log_path: str, offset: int) -> tuple[str, int]:
-    """Return (new bytes as text, new offset) from the JVM log file."""
+    """Return (new bytes as text, new BYTE offset) from the JVM log file.
+    Binary read: a text-mode len(str) offset desyncs on the first
+    multi-byte char in the log (generated-code dumps can carry unicode),
+    double- or mis-attributing codegen errors to the wrong entry."""
     try:
-        with open(log_path, "r", errors="replace") as fh:
+        with open(log_path, "rb") as fh:
             fh.seek(offset)
-            chunk = fh.read()
-            return chunk, offset + len(chunk)
+            raw = fh.read()
+            return raw.decode("utf-8", errors="replace"), offset + len(raw)
     except FileNotFoundError:
         return "", offset
 
