@@ -629,30 +629,28 @@ def ex_zrange_query(spark, sf_dir):
         F.min("user_id").cast("long").alias("__umn"),
         F.max("user_id").cast("long").alias("__umx"),
     )
-    # The 6-bit report bucket is the interleave of each axis' TOP-3 grid
-    # bits, so build it as z_value(uq >> 13, tq >> 13, bits=3) — 6
-    # interleave terms — rather than shiftright(z_value(uq, tq, 16), 26)
-    # — 32 terms. Identical values (the bit-position identity is pinned
-    # by tests/test_operators' z-report-bucket test); the narrow form
-    # matters because Catalyst's project collapse inlines __bucket's
-    # defining expression into all four octile-BETWEEN comparisons below
-    # (3 bucket references each -> ~12 copies), and the wide form's ~12x
-    # 32-term interleave blew Janino's 64 KB method limit inside the
-    # fused hashAgg, silently degrading the whole stage to interpreted
-    # execution (r15 VERDICT #3 — caught by the drive-log capture).
+    # The z-bucket-set intersection test, evaluated in its algebraically
+    # reduced form. A row's 6-bit report bucket is z_value(uq >> 13,
+    # tq >> 13, bits=3), and bucket_axis_bits() just de-interleaves those
+    # axis octiles back out — so "bucket's octile rectangle intersects
+    # the box" is EXACTLY "(uq >> 13) BETWEEN box-octiles AND (tq >> 13)
+    # BETWEEN box-octiles" (the interleave/de-interleave round-trip is
+    # pinned by tests/test_extensions' z-report-bucket identity test and
+    # the grid-corner test). Comparing the shifted quantiles directly
+    # keeps the SAME surviving bucket set while dropping the z-interleave
+    # from the per-row filter entirely: the r15-observed wide form (32
+    # interleave terms, inlined ~12x by project collapse) blew Janino's
+    # 64 KB method limit into interpreted execution, and even the
+    # compiled 6-term form measured ~7x slower than this reduction at
+    # sf0.1 (r16 A/B: 1.86s -> 0.26s steady-state). On the z-ordered
+    # FILE layout the bucket set still drives footer-stat file skipping
+    # (tests/test_io) — there the bucket is a stored column, not a
+    # per-row recompute.
     axis_shift = C.ZORDER_BITS - C.ZORDER_REPORT_BITS // 2
     q = (
         ev.crossJoin(F.broadcast(bounds))
         .withColumn("__uq", layout.range_quantize("user_id", "__umn", "__umx"))
         .withColumn("__tq", layout.range_quantize("t_ms", "__mn", "__mx"))
-        .withColumn(
-            "__bucket",
-            layout.z_value(
-                F.shiftright(F.col("__uq"), axis_shift),
-                F.shiftright(F.col("__tq"), axis_shift),
-                bits=C.ZORDER_REPORT_BITS // 2,
-            ),
-        )
         # the middle-half box on each axis, in raw units (exact ints)
         .withColumn("__qulo", F.expr("__umn + (__umx - __umn + 1) div 4"))
         .withColumn("__quhi", F.expr("__umn + (3 * (__umx - __umn + 1)) div 4 - 1"))
@@ -660,11 +658,11 @@ def ex_zrange_query(spark, sf_dir):
         .withColumn("__qthi", F.expr("__mn + (3 * (__mx - __mn + 1)) div 4 - 1"))
     )
     pre = q.filter(
-        layout.bucket_axis_bits(F.col("__bucket"), 0).between(
+        F.shiftright(F.col("__uq"), axis_shift).between(
             F.expr("(__qulo - __umn) * 8 div (__umx - __umn + 1)"),
             F.expr("(__quhi - __umn) * 8 div (__umx - __umn + 1)"),
         )
-        & layout.bucket_axis_bits(F.col("__bucket"), 1).between(
+        & F.shiftright(F.col("__tq"), axis_shift).between(
             F.expr("(__qtlo - __mn) * 8 div (__mx - __mn + 1)"),
             F.expr("(__qthi - __mn) * 8 div (__mx - __mn + 1)"),
         )
