@@ -18,7 +18,7 @@ All hashing is md5-based so the DuckDB oracle reproduces it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from espkinesis_spark.functions import common as C
@@ -627,32 +627,46 @@ def dedup_clusters(
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round: connect every strictly-larger neighbor of u to the
-    minimum of N(u) ∪ {u}. One groupBy + one join, both on node id."""
+    minimum of N(u) ∪ {u}. One groupBy + one join, both on node id.
+
+    No trailing distinct (r16): the only consumer is small∘large, and
+    _small_star's first step re-orients and DISTINCTs its input — the
+    extra exchange+aggregate per round deduplicated rows that were about
+    to be deduplicated again. Duplicate edges cannot change the
+    neighborhood minimum (min is duplicate-blind).
+
+    The neighborhood minimum rides a WINDOW over the same u-keyed
+    shuffle instead of groupBy + join-back (r16, guide §2.4): one pass
+    over ``sym`` replaces aggregate + broadcast-join stages — identical
+    edge set (A/B-checked), one fewer stage per round on a kernel whose
+    rounds are stage-latency-bound."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("__m"))
+    w = Window.partitionBy("u")
+    with_m = sym.withColumn("__m", F.least(F.min("v").over(w), F.col("u")))
     return (
-        sym.join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
+        with_m.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("__m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star round: orient edges high→low, then connect every smaller
-    neighbor (and u itself) to the minimum of the oriented neighborhood."""
+    neighbor (and u itself) to the minimum of the oriented neighborhood.
+    Same window-over-one-shuffle shape as _large_star (r16); the ``own``
+    self-edge emits once per input row instead of once per node — the
+    trailing distinct collapses both identically."""
     d = (
         edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    mins = d.groupBy("u").agg(F.min("v").alias("__m"))
+    w = Window.partitionBy("u")
+    with_m = d.withColumn("__m", F.min("v").over(w))
     nbr = (
-        d.join(mins, "u")
-        .filter(F.col("v") != F.col("__m"))
+        with_m.filter(F.col("v") != F.col("__m"))
         .select(F.col("v").alias("u"), F.col("__m").alias("v"))
     )
-    own = mins.select("u", F.col("__m").alias("v"))
+    own = with_m.select("u", F.col("__m").alias("v"))
     return nbr.union(own).distinct()
 
 
@@ -674,14 +688,24 @@ def _dedup_clusters_star(pairs: DataFrame, max_iters: int, checkpoint: str) -> D
         .distinct(),
         checkpoint,
     )
+    # Fixpoint check, count-gated (r16): both edge sets are DISTINCT
+    # (small_star ends in distinct), so set equality ⟺ |nxt| == |edges|
+    # AND nxt \ edges = ∅ (equal-cardinality subset ⇒ equality). The
+    # count over a just-checkpointed frame is a near-free local-block
+    # scan, so non-converged rounds skip the two anti-joins the old
+    # symmetric-difference check paid every round; the one-direction
+    # except runs only when the counts agree (typically once, at the
+    # actual fixpoint).
+    n_edges = edges.count()
     converged = False
     for _ in range(max_iters):
         nxt = _ckpt(_small_star(_large_star(edges)), checkpoint)
-        if nxt.exceptAll(edges).union(edges.exceptAll(nxt)).isEmpty():
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
             edges = nxt
             converged = True
             break
-        edges = nxt
+        edges, n_edges = nxt, n_nxt
     if not converged:
         raise RuntimeError(
             f"dedup_clusters(star) not a fixpoint after {max_iters} rounds — "

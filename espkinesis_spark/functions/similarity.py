@@ -40,6 +40,40 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_w(a: Column, b: Column, width: int) -> Column:
+    """``dot`` unrolled for a statically-known vector width (guide §1.2
+    per-task work): the higher-order fold allocates a zip array and runs
+    an interpreted lambda per element, which dominates candidate-join
+    stages that evaluate millions of d² terms; the unrolled left-assoc
+    sum is pure codegen. Bit-identical to ``dot``: the fold's seed makes
+    its first step 0.0 + a[0]*b[0], and IEEE 0.0 + x == x for every x
+    except -0.0 (sign only, which dies in the downstream subtraction /
+    ordered-fold that every consumer applies)."""
+    e = a[0] * b[0]
+    for i in range(1, width):
+        e = e + a[i] * b[i]
+    return e
+
+
+def _fanout_width(df: DataFrame, expand: int) -> int:
+    """Partition count for an exchange feeding a stage that EXPANDS its
+    input ~``expand``× (broadcast-candidate joins ahead of an argmin):
+    AQE sizes coalesced partitions by the exchange's own bytes, blind to
+    downstream fan-out, and at small inputs collapses the exchange to
+    ONE partition — serializing the whole d² chain (measured 2.8 s →
+    1.1 s on pq assign at sf0.1). Scale-adaptively derive the width from
+    the Catalyst size estimate × fan-out at the guide's ~64 MB/partition
+    target (§2.2), floored at the cluster's default parallelism so small
+    inputs still use every core; at 100 TB the estimate term dominates
+    and the floor is irrelevant."""
+    spark = df.sparkSession
+    floor = spark.sparkContext.defaultParallelism
+    est = _plan_size_bytes(df)
+    if est is None:
+        return floor
+    return max(floor, int(est) * max(expand, 1) // (64 << 20))
+
+
 def sq_norm(a: Column) -> Column:
     return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -51,6 +85,34 @@ def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return F.round(dot(_as_double(a), _as_double(b)) / (norm_a * norm_b), C.COSINE_ROUND)
+
+
+def cosine_w(
+    a: Column, b: Column, norm_a: Column, norm_b: Column, width: int
+) -> Column:
+    """``cosine`` with the statically-known-width unrolled dot (see
+    dot_w for the bit-identity argument). ONLY a win for narrow vectors
+    (PQ subvectors, width ≤ ~8): the r16 A/B at width 64 measured the
+    unrolled form ~2.5× SLOWER than the fold (140k-pair projection
+    4.0 s vs 1.4 s, plan shape identical, expression evaluated once) —
+    the giant generated method loses to the fold's interpreted loop,
+    consistent with HotSpot declining to JIT huge methods. Full-width
+    embedding cosines stay on ``cosine``."""
+    e = a[0].cast("double") * b[0].cast("double")
+    for i in range(1, width):
+        e = e + a[i].cast("double") * b[i].cast("double")
+    return F.round(e / (norm_a * norm_b), C.COSINE_ROUND)
+
+
+def _count_and_dim(vecs: DataFrame, vec_col: str = "embedding") -> tuple[int, int]:
+    """One scalar-summary aggregate returning (row count, vector width) —
+    the callers that need the corpus size for auto-scaling (knn bits,
+    semdedup k) get the static width for unrolled kernels from the SAME
+    job instead of a second lookup."""
+    row = vecs.agg(
+        F.count("*").alias("__n"), F.first(F.size(F.col(vec_col))).alias("__d")
+    ).first()
+    return int(row["__n"]), int(row["__d"] or 0)
 
 
 def _pairs(queries: DataFrame, corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -431,8 +493,9 @@ def knn_graph(
     bucket (all-near-duplicate corpora collapse into few sign patterns);
     pre-split hot buckets exactly as the banded-minhash df cap does.
     """
+    n, dim = _count_and_dim(vecs)
     if bits is None:
-        bits = knn_graph_auto_bits(vecs.count())
+        bits = knn_graph_auto_bits(n)
     bucketed = vecs.withColumn("__bucket", sign_bucket(F.col("embedding"), bits))
     probe_cols = [F.col("__bucket")] + [
         F.expr(f"__bucket ^ {2 ** i}") for i in range(bits)
@@ -509,10 +572,19 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame, impl: str = "numpy") -> Da
     )
 
 
-def _ivf_assign_numpy(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+def _ivf_assign_numpy(
+    vecs: DataFrame, centroids: DataFrame, keep_vec: bool = False
+) -> DataFrame:
     """Matmul assignment kernel. Centroid ids are sorted ascending so a
     plain argmax over rounded cosines lands on the lowest id at ties,
-    matching the SQL path."""
+    matching the SQL path.
+
+    ``keep_vec=True`` passes the embedding column through the kernel
+    unchanged (r16): kmeans_train's update step previously JOINED the
+    assignment back to the corpus to re-fetch the vector — a full
+    corpus-by-corpus equi-join per Lloyd round — when the Arrow batch
+    already held it; the pass-through trades a few extra Arrow bytes for
+    removing that shuffle join entirely (guide §2.4)."""
     import numpy as np
     import pandas as pd
 
@@ -521,6 +593,7 @@ def _ivf_assign_numpy(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     c_mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
     c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
     bc = vecs.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_norms))
+    vec_field = next(f for f in vecs.schema.fields if f.name == "embedding")
 
     def run(batches):
         ci, cm, cn = bc.value
@@ -529,11 +602,15 @@ def _ivf_assign_numpy(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
             v_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             v_norms = np.sqrt((v_mat * v_mat).sum(axis=1))
             cos = np.round((v_mat @ cm.T) / (v_norms[:, None] * cn[None, :]), C.COSINE_ROUND)
-            yield pd.DataFrame({"vec_id": v_ids, "centroid_id": ci[np.argmax(cos, axis=1)]})
+            out = {"vec_id": v_ids, "centroid_id": ci[np.argmax(cos, axis=1)]}
+            if keep_vec:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
-    return vecs.select("vec_id", "embedding").mapInPandas(
-        run, schema="vec_id long, centroid_id long"
-    )
+    schema = "vec_id long, centroid_id long"
+    if keep_vec:
+        schema += f", embedding {vec_field.dataType.simpleString()}"
+    return vecs.select("vec_id", "embedding").mapInPandas(run, schema=schema)
 
 
 def topk_ivf(
@@ -645,24 +722,37 @@ def kmeans_train(
 
     Scale shape per round: assignment broadcasts the k-row centroid matrix
     and is a pure map over the corpus (one BLAS matmul per Arrow batch);
-    the update shuffles only scalar-narrow (centroid_id, dim, x) rows with
+    the update shuffles only (centroid_id) + dim doubles per row with
     map-side partial aggregation. ``iters`` is a fixed budget — no
     convergence collect, no driver-side data, so the loop costs exactly
     iters × (map + narrow shuffle) at any corpus size.
-    """
+
+    r16 shuffle cut (guide §2.4): the assignment kernel passes the vector
+    THROUGH (keep_vec), so the update no longer joins the assignment back
+    to the corpus — one full corpus-keyed shuffle join per Lloyd round
+    removed; the per-dim mean keeps the posexplode → (centroid, dim)
+    aggregate → collect_list shape (an A/B of a fused 64-avg aggregate
+    measured it 2× SLOWER — the same giant-generated-method pathology as
+    the width-64 unrolled cosine, see cosine_w). Identical values: same
+    mean multisets, same 6-dp round. The returned centroid table is
+    locally checkpointed — consumers broadcast/collect it several times
+    (probe build sides, assignment matmuls) and each use otherwise
+    re-runs the final Lloyd round."""
     cents = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), _as_double(F.col(vec_col)).alias("c")
     )
     for _ in range(iters):
         # ivf_assign's kernel reads the canonical 'embedding' column —
         # rename at the boundary so any vec_col works
-        assign = ivf_assign(
+        assign = _ivf_assign_numpy(
             vecs.select("vec_id", F.col(vec_col).alias("embedding")),
             cents.select(F.col("centroid_id").alias("vec_id"), F.col("c").alias("embedding")),
+            keep_vec=True,
         )
         per = (
-            vecs.join(assign, "vec_id")
-            .select("centroid_id", F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+            assign.select(
+                "centroid_id", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
+            )
             .groupBy("centroid_id", "dim")
             .agg(F.avg("x").alias("m"))
         )
@@ -674,7 +764,7 @@ def kmeans_train(
                 F.transform("dm", lambda s: F.round(s["m"], 6)).alias("c"),
             )
         )
-    return cents
+    return cents.localCheckpoint(eager=True)
 
 
 def _subvectors(vecs: DataFrame, m: int = C.PQ_M, vec_col: str = "embedding") -> DataFrame:
@@ -695,7 +785,13 @@ def _subvectors(vecs: DataFrame, m: int = C.PQ_M, vec_col: str = "embedding") ->
     )
 
 
-def _pq_assign(sub: DataFrame, cents: DataFrame, out_col: str = "centroid_id") -> DataFrame:
+def _pq_assign(
+    sub: DataFrame,
+    cents: DataFrame,
+    out_col: str = "centroid_id",
+    keep_sv: bool = False,
+    width: int | None = None,
+) -> DataFrame:
     """Nearest codeword per (vector, subspace): rounded-L2 argmin, ties to
     the lowest centroid id — the deterministic, engine-portable rule
     (kmeans_train's discipline, L2 instead of cosine because PQ must
@@ -704,23 +800,37 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, out_col: str = "centroid_id") -
     subvector / per codeword, not once per pair), and the argmin is a
     lexicographic struct-MIN — a hash aggregate with map-side partials,
     measured ~2× the sort-window form, with the identical
-    (d², centroid_id) ordering."""
-    s = sub.withColumn("__svv", dot(F.col("sv"), F.col("sv")))
-    c = F.broadcast(cents.withColumn("__scc", dot(F.col("c"), F.col("c"))))
+    (d², centroid_id) ordering.
+
+    ``keep_sv=True`` carries the subvector through the same aggregation
+    (``sub`` is unique per (vec_id, m), so every row in a group holds the
+    identical ``sv`` and ``first`` is deterministic) — the r16 shuffle cut:
+    pq_train's update previously JOINED the assignment back to ``sub`` to
+    re-fetch sv, re-shuffling the corpus-long subvector frame once per
+    Lloyd round when one hash aggregate already had the value in hand.
+
+    ``width`` (the statically-known subvector length) switches the three
+    d² dot products to the unrolled codegen form (``dot_w``) — same
+    values, no per-element lambda interpretation on the candidate-join
+    rows."""
+    _dot = (lambda a, b: dot_w(a, b, width)) if width else dot
+    s = sub.withColumn("__svv", _dot(F.col("sv"), F.col("sv")))
+    c = F.broadcast(cents.withColumn("__scc", _dot(F.col("c"), F.col("c"))))
     joined = s.join(c, "m")
     d2 = F.round(
-        F.col("__svv") - 2 * dot(F.col("sv"), F.col("c")) + F.col("__scc"),
+        F.col("__svv") - 2 * _dot(F.col("sv"), F.col("c")) + F.col("__scc"),
         C.COSINE_ROUND,
     )
-    return (
-        joined.groupBy("vec_id", "m")
-        .agg(
-            F.min(F.struct(d2.alias("d2"), F.col("centroid_id")))
-            .getField("centroid_id")
-            .alias(out_col)
-        )
-        .select("vec_id", "m", out_col)
-    )
+    aggs = [
+        F.min(F.struct(d2.alias("d2"), F.col("centroid_id")))
+        .getField("centroid_id")
+        .alias(out_col)
+    ]
+    cols = ["vec_id", "m", out_col]
+    if keep_sv:
+        aggs.append(F.first("sv").alias("sv"))
+        cols.append("sv")
+    return joined.groupBy("vec_id", "m").agg(*aggs).select(*cols)
 
 
 def pq_train(
@@ -729,6 +839,7 @@ def pq_train(
     k: int = C.PQ_K,
     iters: int = C.PQ_ITERS,
     vec_col: str = "embedding",
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011): per-subspace
     Lloyd's k-means with the deterministic trajectory the SQL oracle
@@ -738,49 +849,72 @@ def pq_train(
 
     Scale shape per round: the codebook is m·k rows (tiny — broadcast),
     assignment is a map over the corpus-long subvector frame, the update
-    shuffles narrow (m, code, dim, x) rows with map-side partials —
-    exactly kmeans_train's cost envelope, ×1 regardless of m because the
-    subspace index rides as a column. The subvector frame REPARTITIONS
-    once up front: with the codebook broadcast, the whole d² map chain
-    would otherwise run at the scan's file-partition count (measured 4
-    partitions = 4 busy cores on a 61M-row assignment at the 30×
-    ladder — 249 s of train that repartitioning cuts to the shuffle
-    width)."""
-    sub = _subvectors(vecs, m, vec_col).repartition("vec_id", "m")
+    shuffles narrow (m, code) + sub_dim doubles per row with map-side
+    partials — exactly kmeans_train's cost envelope, ×1 regardless of m
+    because the subspace index rides as a column. The subvector frame
+    REPARTITIONS once up front: with the codebook broadcast, the whole d²
+    map chain would otherwise run at the scan's file-partition count
+    (measured 4 partitions = 4 busy cores on a 61M-row assignment at the
+    30× ladder — 249 s of train that repartitioning cuts to the shuffle
+    width).
+
+    r16 shuffle cut (guide §2.3/§2.4): per round the assignment argmin
+    CARRIES the subvector (keep_sv — one hash aggregate instead of
+    argmin + join-back-to-sub, which re-shuffled and re-sorted the
+    corpus-long frame every round), and the codeword update is ONE
+    (m, code)-keyed aggregate of per-index means (``avg(sv[i])`` per
+    subvector slot) instead of posexplode → (m, code, dim) aggregate →
+    (m, code) collect_list re-aggregate — two exchanges and an
+    ObjectHashAggregate replaced by one codegen hash aggregate. Values
+    are unchanged: the per-(m, code, dim) mean averages the identical
+    multiset either way, and the 6-dp round applies as before (the
+    oracle replays the same trajectory; re-value-matched this round).
+    The subvector width comes from one first() over the scan — a scalar
+    summary lookup (the IVF-centroid precedent), never data-sized.
+
+    The up-front repartition carries an EXPLICIT width from
+    ``_fanout_width`` (input-size-derived): AQE sizes the coalesced
+    exchange by its own bytes, blind to the k× candidate fan-out behind
+    it, and at small inputs collapses it to ONE partition, serializing
+    every Lloyd round (observed at sf0.1: post-AQE partition count 1)."""
+    if sub_dim is None:
+        first_vec = vecs.select(F.size(_as_double(F.col(vec_col))).alias("__d")).first()
+        sub_dim = int(first_vec["__d"]) // m
+    sub = _subvectors(vecs, m, vec_col).repartition(
+        _fanout_width(vecs, k), "vec_id", "m"
+    )
     cents = sub.filter(F.col("vec_id") < k).select(
         "m", F.col("vec_id").alias("centroid_id"), F.col("sv").alias("c")
     )
     for _ in range(iters):
-        assign = _pq_assign(sub, cents)
-        per = (
-            sub.join(assign, ["vec_id", "m"])
-            .select("m", "centroid_id", F.posexplode("sv").alias("dim", "x"))
-            .groupBy("m", "centroid_id", "dim")
-            .agg(F.avg("x").alias("mn"))
-        )
-        cents = (
-            per.groupBy("m", "centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("dm"))
-            .select(
-                "m",
-                "centroid_id",
-                F.transform("dm", lambda s: F.round(s["mn"], 6)).alias("c"),
-            )
+        assign = _pq_assign(sub, cents, keep_sv=True, width=sub_dim)
+        cents = assign.groupBy("m", F.col("centroid_id")).agg(
+            F.array(
+                *[F.round(F.avg(F.col("sv")[i]), 6) for i in range(sub_dim)]
+            ).alias("c")
         )
     return cents
 
 
 def pq_encode(
-    vecs: DataFrame, cents: DataFrame, m: int = C.PQ_M, vec_col: str = "embedding"
+    vecs: DataFrame,
+    cents: DataFrame,
+    m: int = C.PQ_M,
+    vec_col: str = "embedding",
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """Corpus → PQ codes (vec_id, m, code): each subvector's nearest
     codeword id. With PQ_K ≤ 256 a vector compresses to PQ_M bytes — the
-    memory-side half of billion-vector ANN. Repartitioned up front for
-    the same broadcast-join parallelism reason as pq_train."""
+    memory-side half of billion-vector ANN. Repartitioned up front
+    (explicit fan-out-derived width, see pq_train) for the same
+    broadcast-join parallelism reason as pq_train."""
     return _pq_assign(
-        _subvectors(vecs, m, vec_col).repartition("vec_id", "m"),
+        _subvectors(vecs, m, vec_col).repartition(
+            _fanout_width(vecs, C.PQ_K), "vec_id", "m"
+        ),
         cents,
         out_col="code",
+        width=sub_dim,
     )
 
 
@@ -818,10 +952,12 @@ def topk_pq(
     restricts scoring to a pre-pruned pair set — topk_ivfpq passes the
     IVF candidate rule here, turning the flat scan into IVFADC.
     """
+    first_vec = vecs.select(F.size(_as_double(F.col("embedding"))).alias("__d")).first()
+    sub_dim = int(first_vec["__d"]) // m
     if cents is None:
-        cents = pq_train(vecs, m, k, iters).localCheckpoint(eager=True)
-    codes = pq_encode(vecs, cents, m)
-    cw = cents.withColumn("scc", dot(F.col("c"), F.col("c")))
+        cents = pq_train(vecs, m, k, iters, sub_dim=sub_dim).localCheckpoint(eager=True)
+    codes = pq_encode(vecs, cents, m, sub_dim=sub_dim)
+    cw = cents.withColumn("scc", dot_w(F.col("c"), F.col("c"), sub_dim))
     coded = codes.join(
         F.broadcast(cw), (codes.m == cw.m) & (codes.code == cw.centroid_id)
     ).select(codes.vec_id, codes.m, "c", "scc")
@@ -845,7 +981,7 @@ def topk_pq(
         ).filter(F.col("qid") != F.col("neighbor_id"))
         terms = cand.join(qsub, "qid").join(coded_n, ["neighbor_id", "m"])
     terms = terms.select(
-        "qid", "neighbor_id", "m", dot(F.col("sv"), F.col("c")).alias("term")
+        "qid", "neighbor_id", "m", dot_w(F.col("sv"), F.col("c"), sub_dim).alias("term")
     )
     adc = terms.groupBy("qid", "neighbor_id").agg(
         _ordered_sum(F.collect_list(F.struct("m", "term")), "term").alias("dp")
