@@ -101,12 +101,15 @@ def label_propagation(
     wcol = (
         F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
     )
-    both = edges.select("src", "dst", wcol.alias("__w")).union(
-        edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), wcol.alias("__w")
-        )
+    # checkpoint the DIRECTED edge table once, THEN symmetrize (r16): the
+    # union's two branches each re-ran the upstream edge construction (a
+    # join, typically), so materializing after the union paid that join
+    # twice; symmetrizing from the checkpointed blocks is a cheap local
+    # re-read and halves the construction cost (guide §5 localCheckpoint)
+    edges = edges.select("src", "dst", wcol.alias("__w")).localCheckpoint(eager=True)
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "__w")
     )
-    both = both.localCheckpoint(eager=True)
     labels = both.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )

@@ -2583,11 +2583,22 @@ def ex_pagerank(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # Iterate on NUMERIC node ids and restore the 'c<k>'/'s<k>' labels at
+    # the output only (r16, guide §2.3 narrower types): the three
+    # dst-keyed contribution shuffles carried ~20 B string keys where 8 B
+    # longs suffice. PageRank never orders or tie-breaks on the label
+    # (unlike label propagation, whose min-label rule pins the string
+    # form), so any bijection preserves the trajectory exactly: same
+    # grouping sets, same 9-dp-rounded sums, same N.
     edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    return graph.pagerank(edges)
+    ranks = graph.pagerank(edges)
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+    return ranks.select(label.alias("node"), "rank")
 
 
 def ex_label_prop(spark, sf_dir):
@@ -2958,20 +2969,51 @@ def ex_ts_similarity(spark, sf_dir):
         .limit(1)
         .select(znorm(F.col("arr")).alias("qz"))
     )
-    zw = wins.withColumn("zarr", znorm(F.col("arr")))
-    dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("zarr"), F.col("qz"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ),
-        6,
+
+    # Corpus-side scoring with SCALAR mean/std columns and a W-term
+    # unrolled distance (r16, guide §1.2 per-task work): the HOF form
+    # (two folds + a transform building zarr + a zip_with fold per row)
+    # allocated three W-length arrays per window and ran interpreted
+    # lambdas; the z-normalized array never needs to materialize —
+    # dist² = Σ ((arr[i]-mean)/std - qz[i])². Left-assoc static sums are
+    # bit-identical to the sequential folds (0.0 + x == x, the dot_w
+    # argument), per-element whens reproduce the σ=0 → zero-vector rule,
+    # and W=16 is safely under the giant-method JIT hazard the width-64
+    # unroll hit (similarity.cosine_w notes). A/B at sf0.1: 2.4 s →
+    # 0.45 s with exact row equality.
+    def _ssum(terms):
+        e = terms[0]
+        for t in terms[1:]:
+            e = e + t
+        return e
+
+    arr = F.col("arr")
+    base = (
+        wins.crossJoin(F.broadcast(q))
+        .withColumn("__mean", _ssum([arr[i] for i in range(w)]) / F.lit(float(w)))
+        .withColumn(
+            "__ex2", _ssum([arr[i] * arr[i] for i in range(w)]) / F.lit(float(w))
+        )
+        .withColumn(
+            "__std",
+            F.sqrt(
+                F.greatest(
+                    F.col("__ex2") - F.col("__mean") * F.col("__mean"), F.lit(0.0)
+                )
+            ),
+        )
     )
+
+    def _zterm(i):
+        z = F.when(F.col("__std") == 0.0, F.lit(0.0)).otherwise(
+            (arr[i] - F.col("__mean")) / F.col("__std")
+        )
+        d = z - F.col("qz")[i]
+        return d * d
+
+    dist = F.round(F.sqrt(_ssum([_zterm(i) for i in range(w)])), 6)
     return (
-        zw.crossJoin(F.broadcast(q))
-        .select("user_id", "start_event_id", dist.alias("dist"))
+        base.select("user_id", "start_event_id", dist.alias("dist"))
         .orderBy("dist", "user_id", "start_event_id")
         .limit(C.TSS_TOPK)
     )
