@@ -69,9 +69,13 @@ def _fanout_width(df: DataFrame, expand: int) -> int:
     spark = df.sparkSession
     floor = spark.sparkContext.defaultParallelism
     est = _plan_size_bytes(df)
-    if est is None:
+    # None or the no-stats sentinel (Catalyst reports ~8 EB for unknown
+    # sources): fall back to the parallelism floor rather than asking for
+    # an absurd partition count; cap the derived width at 2^17 — a single
+    # shuffle wider than that is operationally wrong anyway.
+    if est is None or est >= (1 << 50):
         return floor
-    return max(floor, int(est) * max(expand, 1) // (64 << 20))
+    return min(max(floor, int(est) * max(expand, 1) // (64 << 20)), 1 << 17)
 
 
 def sq_norm(a: Column) -> Column:
@@ -878,8 +882,10 @@ def pq_train(
     it, and at small inputs collapses it to ONE partition, serializing
     every Lloyd round (observed at sf0.1: post-AQE partition count 1)."""
     if sub_dim is None:
-        first_vec = vecs.select(F.size(_as_double(F.col(vec_col))).alias("__d")).first()
-        sub_dim = int(first_vec["__d"]) // m
+        row = vecs.agg(F.max(F.size(F.col(vec_col))).alias("__d")).first()
+        # empty corpus / all-NULL vectors: any positive width works — every
+        # downstream frame is empty anyway
+        sub_dim = max(int(row["__d"] or m), m) // m
     sub = _subvectors(vecs, m, vec_col).repartition(
         _fanout_width(vecs, k), "vec_id", "m"
     )
@@ -952,8 +958,8 @@ def topk_pq(
     restricts scoring to a pre-pruned pair set — topk_ivfpq passes the
     IVF candidate rule here, turning the flat scan into IVFADC.
     """
-    first_vec = vecs.select(F.size(_as_double(F.col("embedding"))).alias("__d")).first()
-    sub_dim = int(first_vec["__d"]) // m
+    row = vecs.agg(F.max(F.size(F.col("embedding"))).alias("__d")).first()
+    sub_dim = max(int(row["__d"] or m), m) // m
     if cents is None:
         cents = pq_train(vecs, m, k, iters, sub_dim=sub_dim).localCheckpoint(eager=True)
     codes = pq_encode(vecs, cents, m, sub_dim=sub_dim)

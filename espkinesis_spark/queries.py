@@ -2596,8 +2596,8 @@ def ex_pagerank(spark, sf_dir):
     )
     ranks = graph.pagerank(edges)
     label = F.when(
-        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
-    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")))
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
     return ranks.select(label.alias("node"), "rank")
 
 
