@@ -18,7 +18,7 @@ All hashing is md5-based so the DuckDB oracle reproduces it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from espkinesis_spark.functions import common as C
@@ -640,16 +640,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
     to be deduplicated again. Duplicate edges cannot change the
     neighborhood minimum (min is duplicate-blind).
 
-    The neighborhood minimum rides a WINDOW over the same u-keyed
-    shuffle instead of groupBy + join-back (r16, guide §2.4): one pass
-    over ``sym`` replaces aggregate + broadcast-join stages — identical
-    edge set (A/B-checked), one fewer stage per round on a kernel whose
-    rounds are stage-latency-bound."""
+    The min stays a groupBy + join-back rather than a window over the
+    u-keyed shuffle (r16 review): a window buffers a hot node's ENTIRE
+    neighborhood in one task — and a converged dup cluster is a star on
+    its minimum, so the hottest node's degree is the largest cluster's
+    size — while the aggregate reduces it map-side and the join is
+    AQE-skew-splittable (guide §2.5: skew handling applies to joins,
+    not windows). The ~0.15 s/round local window win was not worth the
+    scale hazard."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    w = Window.partitionBy("u")
-    with_m = sym.withColumn("__m", F.least(F.min("v").over(w), F.col("u")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("__m"))
     return (
-        with_m.filter(F.col("v") > F.col("u"))
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("__m").alias("v"))
     )
 
@@ -657,21 +660,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star round: orient edges high→low, then connect every smaller
     neighbor (and u itself) to the minimum of the oriented neighborhood.
-    Same window-over-one-shuffle shape as _large_star (r16); the ``own``
-    self-edge emits once per input row instead of once per node — the
-    trailing distinct collapses both identically."""
+    groupBy + join-back for the same skew reason as _large_star."""
     d = (
         edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    w = Window.partitionBy("u")
-    with_m = d.withColumn("__m", F.min("v").over(w))
+    mins = d.groupBy("u").agg(F.min("v").alias("__m"))
     nbr = (
-        with_m.filter(F.col("v") != F.col("__m"))
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("__m"))
         .select(F.col("v").alias("u"), F.col("__m").alias("v"))
     )
-    own = with_m.select("u", F.col("__m").alias("v"))
+    own = mins.select("u", F.col("__m").alias("v"))
     return nbr.union(own).distinct()
 
 

@@ -71,9 +71,11 @@ def _fanout_width(df: DataFrame, expand: int) -> int:
     est = _plan_size_bytes(df)
     # None or the no-stats sentinel (Catalyst reports ~8 EB for unknown
     # sources): fall back to the parallelism floor rather than asking for
-    # an absurd partition count; cap the derived width at 2^17 — a single
-    # shuffle wider than that is operationally wrong anyway.
-    if est is None or est >= (1 << 50):
+    # an absurd partition count. The sentinel gate sits at 2^60 (~1 EB)
+    # so genuine petabyte-scale estimates still derive a real width; the
+    # 2^17 cap bounds the result — a single shuffle wider than that is
+    # operationally wrong anyway.
+    if est is None or est >= (1 << 60):
         return floor
     return min(max(floor, int(est) * max(expand, 1) // (64 << 20)), 1 << 17)
 
@@ -91,32 +93,13 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return F.round(dot(_as_double(a), _as_double(b)) / (norm_a * norm_b), C.COSINE_ROUND)
 
 
-def cosine_w(
-    a: Column, b: Column, norm_a: Column, norm_b: Column, width: int
-) -> Column:
-    """``cosine`` with the statically-known-width unrolled dot (see
-    dot_w for the bit-identity argument). ONLY a win for narrow vectors
-    (PQ subvectors, width ≤ ~8): the r16 A/B at width 64 measured the
-    unrolled form ~2.5× SLOWER than the fold (140k-pair projection
-    4.0 s vs 1.4 s, plan shape identical, expression evaluated once) —
-    the giant generated method loses to the fold's interpreted loop,
-    consistent with HotSpot declining to JIT huge methods. Full-width
-    embedding cosines stay on ``cosine``."""
-    e = a[0].cast("double") * b[0].cast("double")
-    for i in range(1, width):
-        e = e + a[i].cast("double") * b[i].cast("double")
-    return F.round(e / (norm_a * norm_b), C.COSINE_ROUND)
-
-
-def _count_and_dim(vecs: DataFrame, vec_col: str = "embedding") -> tuple[int, int]:
-    """One scalar-summary aggregate returning (row count, vector width) —
-    the callers that need the corpus size for auto-scaling (knn bits,
-    semdedup k) get the static width for unrolled kernels from the SAME
-    job instead of a second lookup."""
-    row = vecs.agg(
-        F.count("*").alias("__n"), F.first(F.size(F.col(vec_col))).alias("__d")
-    ).first()
-    return int(row["__n"]), int(row["__d"] or 0)
+# NOTE (r16, measured twice): statically unrolling FULL-WIDTH (64-dim)
+# kernels is a LOSS — an unrolled 64-term cosine A/B'd ~2.5× slower than
+# the interpreted fold with identical plan shape and single evaluation
+# (140k-pair projection 4.0 s vs 1.4 s), and a fused 64-avg k-means
+# update 2× slower — consistent with HotSpot declining to JIT giant
+# generated methods. Unrolls (dot_w) are used ONLY for narrow widths
+# (PQ subvectors w=4; the W=16 ts-similarity distance).
 
 
 def _pairs(queries: DataFrame, corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -497,9 +480,8 @@ def knn_graph(
     bucket (all-near-duplicate corpora collapse into few sign patterns);
     pre-split hot buckets exactly as the banded-minhash df cap does.
     """
-    n, dim = _count_and_dim(vecs)
     if bits is None:
-        bits = knn_graph_auto_bits(n)
+        bits = knn_graph_auto_bits(vecs.count())
     bucketed = vecs.withColumn("__bucket", sign_bucket(F.col("embedding"), bits))
     probe_cols = [F.col("__bucket")] + [
         F.expr(f"__bucket ^ {2 ** i}") for i in range(bits)
@@ -771,6 +753,17 @@ def kmeans_train(
     return cents.localCheckpoint(eager=True)
 
 
+def _probe_sub_dim(vecs: DataFrame, m: int, vec_col: str) -> int:
+    """Subvector width for the statically-unrolled PQ kernels: one
+    LIMIT-1 row lookup (O(1) — never a column scan; the table contract
+    is fixed-width vectors per FIXTURES.md, same uniformity the fold
+    form's zip_with already assumed). Empty corpus / NULL vector → any
+    positive width works, every downstream frame is empty anyway."""
+    row = vecs.select(F.size(F.col(vec_col)).alias("__d")).limit(1).first()
+    d = int(row["__d"]) if row is not None and row["__d"] is not None else m
+    return max(d, m) // m
+
+
 def _subvectors(vecs: DataFrame, m: int = C.PQ_M, vec_col: str = "embedding") -> DataFrame:
     """(vec_id, m, sv): the vector split into ``m`` equal contiguous
     subspaces — PQ's long form. Keeping the subspace index as a COLUMN
@@ -882,10 +875,7 @@ def pq_train(
     it, and at small inputs collapses it to ONE partition, serializing
     every Lloyd round (observed at sf0.1: post-AQE partition count 1)."""
     if sub_dim is None:
-        row = vecs.agg(F.max(F.size(F.col(vec_col))).alias("__d")).first()
-        # empty corpus / all-NULL vectors: any positive width works — every
-        # downstream frame is empty anyway
-        sub_dim = max(int(row["__d"] or m), m) // m
+        sub_dim = _probe_sub_dim(vecs, m, vec_col)
     sub = _subvectors(vecs, m, vec_col).repartition(
         _fanout_width(vecs, k), "vec_id", "m"
     )
@@ -958,8 +948,7 @@ def topk_pq(
     restricts scoring to a pre-pruned pair set — topk_ivfpq passes the
     IVF candidate rule here, turning the flat scan into IVFADC.
     """
-    row = vecs.agg(F.max(F.size(F.col("embedding"))).alias("__d")).first()
-    sub_dim = max(int(row["__d"] or m), m) // m
+    sub_dim = _probe_sub_dim(vecs, m, "embedding")
     if cents is None:
         cents = pq_train(vecs, m, k, iters, sub_dim=sub_dim).localCheckpoint(eager=True)
     codes = pq_encode(vecs, cents, m, sub_dim=sub_dim)

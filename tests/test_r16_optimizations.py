@@ -9,7 +9,8 @@ mysterious oracle diff):
   * ``dot_w`` / the unrolled ts-similarity distance == the sequential
     fold (the 0.0 + x == x seed argument),
   * ``_pq_assign(keep_sv=True)`` == argmin + join-back-to-sub,
-  * the window-form star rounds == the groupBy+join reference form,
+  * the star rounds without large-star's trailing distinct == the
+    both-distinct reference form,
   * ``_ivf_assign_numpy(keep_vec=True)`` == assignment ⋈ corpus,
   * ex_pagerank's numeric node relabeling == the string-key trajectory.
 """
@@ -65,7 +66,7 @@ def test_pq_assign_keep_sv_matches_joinback(spark, sf_dir):
     )
 
 
-def test_star_rounds_window_form_matches_reference(spark):
+def test_star_rounds_no_large_distinct_matches_reference(spark):
     # a graph with chains, a star, duplicates-after-orientation and
     # isolated pairs — the shapes the alternation contracts differently
     edges = spark.createDataFrame(
