@@ -286,6 +286,16 @@ def build_output(
     }
     if errors:
         out["errors"] = errors
+    # r16 VERDICT #2: the r15 driver artifact survived only as a tail
+    # fragment — the tail_* scalars were recoverable but the per-query
+    # dict (head-positioned) was not, so PERF_r16 had no geomean. Mirror
+    # the COMPACT headline per-entry map (name -> headline seconds, no
+    # sample arrays) at the END of the line, just before the tail
+    # scalars: whatever suffix of the line survives a capture truncation
+    # carries the line's most valuable per-entry data. bench_diff's
+    # fragment recovery reads the inner pairs as bare per-entry figures
+    # (min across duplicates — identical values here, so a no-op).
+    out["tail_queries"] = headline
     out["tail_total_sec"] = total
     out["tail_n_queries"] = len(timings)
     out["tail_n_errors"] = len(errors)

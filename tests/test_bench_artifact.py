@@ -34,6 +34,11 @@ def test_headline_leads_and_tail_mirrors():
     keys = list(out)
     assert keys.index("value") < keys.index("queries")
     assert keys.index("n_queries") < keys.index("queries")
+    # r16 VERDICT #2: the compact per-entry mirror sits at the line's end,
+    # directly before the tail scalars, so a tail-only fragment carries
+    # (a suffix of) the per-query figures the r15 fragment lost
+    assert keys[-8] == "tail_queries"
+    assert out["tail_queries"] == out["queries"]
     assert keys[-7:] == [
         "tail_total_sec",
         "tail_n_queries",
@@ -71,6 +76,28 @@ def test_totals_recoverable_from_either_truncated_end():
     # the contamination verdict must also survive a tail-only capture
     assert '"tail_sentinel_contaminated":' in tail
     assert '"tail_sentinel_max_over_median":' in tail
+
+
+def test_tail_fragment_recovers_per_query_figures(tmp_path):
+    """r16 VERDICT #2: a tail-only fragment must yield per-entry figures
+    (from the end-positioned tail_queries mirror) through bench_diff's
+    fragment recovery, so a truncated artifact still supports a
+    per-query geomean next round."""
+    from bench_diff import load
+
+    line = json.dumps(_sample())
+    # cut everything before the tail_queries mirror — the r15 failure mode
+    frag = line[line.index('"tail_queries"'):]
+    wrapped = {"n": 17, "rc": 0, "tail": frag, "parsed": None}
+    wp = tmp_path / "frag.json"
+    wp.write_text(json.dumps(wrapped))
+    rec = load(str(wp))
+    assert rec["coverage"].startswith("FRAGMENT")
+    # all 120 per-entry figures recovered from the mirror alone
+    assert len(rec["queries"]) == 120
+    assert rec["queries"]["q000"] == pytest.approx(0.5)
+    assert rec["scalars"]["tail_total_sec"] == rec["scalars"].get("tail_total_sec")
+    assert rec["contaminated"] is False
 
 
 def test_min_of_k_absorbs_contaminated_draws():
