@@ -298,7 +298,41 @@ def _drain_to_parquet(
     return spark.read.schema(df.schema).parquet(out_dir)
 
 
-def _drain_complete_to_parquet(df: DataFrame, name: str) -> DataFrame:
+# Target state rows per state-store partition. Each stateful-operator
+# partition costs a fixed per-micro-batch overhead (task + store open /
+# commit / snapshot), so the partition count should track the STATE
+# cardinality, not the session's compute parallelism: at a 250k-key
+# target a partition's store stays ~tens of MB while tiny replay
+# fixtures derive 1-2 partitions instead of paying 8-32 stores per
+# batch. Upper-bounded at 4x the cluster's default parallelism so a
+# 100 TB key space still spreads over every core with skew headroom
+# (state partitions are pinned at first checkpoint — oversizing beats
+# resizing). r17 measurement note: at sf0.1 the choice measured FLAT
+# across 1/2/4/8 partitions (the per-store overhead is no longer the
+# floor after the r13 32->8 cut), so the derivation is a scale-story
+# parameterization, not a local win.
+STATE_ROWS_PER_PARTITION = 250_000
+
+
+def _state_partitions(spark: SparkSession, source_rows: int | None) -> str:
+    """Derived state-store partition count for one streaming query:
+    ESPK_STREAM_STATE_PARTITIONS overrides; otherwise ceil(source_rows /
+    STATE_ROWS_PER_PARTITION) — source rows upper-bound the state keys —
+    clamped to [1, 4 x defaultParallelism]. An unknown source size falls
+    back to the cluster's default parallelism (the cluster-true choice;
+    every in-repo job passes its source's footer row count)."""
+    env = os.environ.get("ESPK_STREAM_STATE_PARTITIONS")
+    if env:
+        return env
+    hi = 4 * spark.sparkContext.defaultParallelism
+    if source_rows is None:
+        return str(spark.sparkContext.defaultParallelism)
+    return str(max(1, min(-(-source_rows // STATE_ROWS_PER_PARTITION), hi)))
+
+
+def _drain_complete_to_parquet(
+    df: DataFrame, name: str, source_rows: int | None = None
+) -> DataFrame:
     """Executor-parallel drain for COMPLETE-mode results whose size tracks
     the corpus (st_session_window's ~one-session-per-active-user result):
     the file sink rejects complete output, so foreachBatch overwrites a
@@ -324,7 +358,7 @@ def _drain_complete_to_parquet(df: DataFrame, name: str) -> DataFrame:
     out_dir, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("ESPK_STREAM_STATE_PARTITIONS", "8")
+        "spark.sql.shuffle.partitions", _state_partitions(spark, source_rows)
     )
     try:
         query = (
@@ -345,26 +379,29 @@ def _drain_complete_to_parquet(df: DataFrame, name: str) -> DataFrame:
     return spark.read.schema(df.schema).parquet(out_dir)
 
 
-def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+def _drain_to_memory(
+    df: DataFrame, name: str, mode: str, source_rows: int | None = None
+) -> DataFrame:
     # ESPK_RESULT_SINK=parquet: production jobs opt every COMPLETE-mode
     # result leg into the executor-parallel snapshot drain (durable, no
     # driver copy) — one policy point for all of them. The memory sink
     # stays the default: it IS the declared result the harness collects.
     if mode == "complete" and os.environ.get("ESPK_RESULT_SINK") == "parquet":
-        return _drain_complete_to_parquet(df, name)
+        return _drain_complete_to_parquet(df, name, source_rows)
     spark = df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
     # Stateful operators pay a fixed per-partition state-store cost each
-    # micro-batch, so the partition count must track key cardinality, not the
-    # session default (measured 3x on the replay jobs: 32 -> 8 partitions).
-    # On a cluster, size via ESPK_STREAM_STATE_PARTITIONS ~ keys / target
-    # state per task; shuffle.partitions is captured at query start, so the
-    # temporary override pins only this query's state layout.
+    # micro-batch, so the partition count must track key cardinality, not
+    # the session default (measured 3x on the replay jobs: 32 -> 8
+    # partitions in r13; r17 derives it from the source's footer row
+    # count via _state_partitions — scale-adaptive, env-overridable).
+    # shuffle.partitions is captured at query start, so the temporary
+    # override pins only this query's state layout.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("ESPK_STREAM_STATE_PARTITIONS", "8")
+        "spark.sql.shuffle.partitions", _state_partitions(spark, source_rows)
     )
     try:
         query = (
@@ -425,9 +462,10 @@ def _drain_rowstore(
         os.environ.get("ESPK_MEMORY_DRAIN_MAX_ROWS", MEMORY_DRAIN_MAX_SOURCE_ROWS)
     )
     files = _source_files(table_path(sf_dir, table))  # ONE directory walk
-    if _bytes_of(files) > byte_bound or _rows_of(files) > row_bound:
+    rows = _rows_of(files)
+    if _bytes_of(files) > byte_bound or rows > row_bound:
         return _drain_to_parquet(df, name)
-    return _drain_to_memory(df, name, "append")
+    return _drain_to_memory(df, name, "append", source_rows=rows or None)
 
 
 def _source_files(path: str) -> list[str]:
@@ -470,6 +508,15 @@ def _rows_of(files: list[str]) -> int:
     return total
 
 
+def _table_rows(sf_dir: str, table: str) -> int | None:
+    """Footer row count of a job's source table, for the state-partition
+    derivation (None when the table is missing — the stream's own reader
+    raises the clearer error; the derivation then falls back to the
+    cluster default). One footer read per drain call — metadata-only."""
+    files = _source_files(table_path(sf_dir, table))
+    return _rows_of(files) if files else None
+
+
 def _source_bytes(path: str) -> int:
     """On-disk bytes of a parquet source (os.path.getsize on a directory
     returns the ~4 KB inode size, which would silently pin the router to
@@ -490,7 +537,7 @@ def latest_per_user_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(struct(event_type, value), struct(ts, event_id))").alias("m")
     )
     out = agg.select("user_id", F.col("m.event_type").alias("event_type"), F.col("m.value").alias("value"))
-    return _drain_to_memory(out, "st_latest_user_sink", "complete")
+    return _drain_to_memory(out, "st_latest_user_sink", "complete", source_rows=_table_rows(sf_dir, "events"))
 
 
 def window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,14 +547,14 @@ def window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n")
     )
     out = agg.select(F.col("win.start").alias("w"), "event_type", "n")
-    return _drain_to_memory(out, "st_window_counts_sink", "complete")
+    return _drain_to_memory(out, "st_window_counts_sink", "complete", source_rows=_table_rows(sf_dir, "events"))
 
 
 def override_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming A5: per-key as-of state via applyInPandasWithState."""
     src = _events_stream(spark, sf_dir)
     out = st.asof_override(src)
-    return _drain_to_memory(out, "st_override_asof_sink", "append")
+    return _drain_to_memory(out, "st_override_asof_sink", "append", source_rows=_table_rows(sf_dir, "events"))
 
 
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,7 +572,7 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user) — the r11 VERDICT design-note-b case for the
     # ESPK_RESULT_SINK=parquet opt-in, which _drain_to_memory routes for
     # every complete-mode leg from one policy point.
-    return _drain_to_memory(out, "st_session_window_sink", "complete")
+    return _drain_to_memory(out, "st_session_window_sink", "complete", source_rows=_table_rows(sf_dir, "events"))
 
 
 def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,7 +583,7 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n")
     )
     out = agg.select(F.col("win.start").alias("w_start"), "event_type", "n")
-    return _drain_to_memory(out, "st_sliding_counts_sink", "complete")
+    return _drain_to_memory(out, "st_sliding_counts_sink", "complete", source_rows=_table_rows(sf_dir, "events"))
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,7 +608,7 @@ def content_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _documents_stream(spark, sf_dir)
     signed = dedup.simhash(src)  # mapInPandas works on streaming DataFrames
     out = signed.dropDuplicates(["simhash"]).select("simhash")
-    return _drain_to_memory(out, "st_content_dedup_sink", "append")
+    return _drain_to_memory(out, "st_content_dedup_sink", "append", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def image_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,7 +868,7 @@ def anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = src.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(F.count("*").cast("long").alias("n"))
-    counts = _drain_to_memory(agg, "st_anomaly_sink", "complete")
+    counts = _drain_to_memory(agg, "st_anomaly_sink", "complete", source_rows=_table_rows(sf_dir, "events"))
     # the flagging self-joins the snapshot (stats side + probe side); a
     # memory-sink view can't appear twice in one plan (conflicting expr
     # ids), so freeze the calendar-sized table first
@@ -839,7 +886,7 @@ def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _documents_stream(spark, sf_dir)
     out = quality_gate_stateless(src)
-    return _drain_to_memory(out, "st_quality_gate_sink", "append")
+    return _drain_to_memory(out, "st_quality_gate_sink", "append", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def quality_model_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,7 +899,7 @@ def quality_model_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _documents_stream(spark, sf_dir)
     out = quality_model_score(src)
-    return _drain_to_memory(out, "st_quality_model_sink", "append")
+    return _drain_to_memory(out, "st_quality_model_sink", "append", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def winnow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,7 +960,7 @@ def lang_id_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _documents_stream(spark, sf_dir)
     out = lang_id(src).select("doc_id", "lang_pred")
-    return _drain_to_memory(out, "st_lang_id_sink", "append")
+    return _drain_to_memory(out, "st_lang_id_sink", "append", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,7 +982,7 @@ def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.lit(1_000_000)).cast("string"),
         ),
     )
-    return _drain_to_memory(pii_scrub(aug), "st_pii_scrub_sink", "append")
+    return _drain_to_memory(pii_scrub(aug), "st_pii_scrub_sink", "append", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def text_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,7 +992,7 @@ def text_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from espkinesis_spark.functions.text import text_stats
 
     src = _documents_stream(spark, sf_dir)
-    return _drain_to_memory(text_stats(src), "st_text_stats_sink", "append")
+    return _drain_to_memory(text_stats(src), "st_text_stats_sink", "append", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def stratified_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,7 +1007,7 @@ def stratified_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sampling.stratified_sample(
         src, "lang", rates={"en": 10}, default_pct=50, key_col="doc_id"
     ).select("doc_id", "lang", "source")
-    return _drain_to_memory(out, "st_stratified_sink", "append")
+    return _drain_to_memory(out, "st_stratified_sink", "append", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def hash_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,7 +1025,7 @@ def hash_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _documents_stream(spark, sf_dir)
     split = sampling.hash_split(src, "doc_id", {"train": 90, "val": 5, "test": 5})
     out = split.groupBy("split", "lang").agg(F.count("*").cast("long").alias("n"))
-    return _drain_to_memory(out, "st_hash_split_sink", "complete")
+    return _drain_to_memory(out, "st_hash_split_sink", "complete", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def perplexity_buckets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,7 +1108,7 @@ def vocab_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    return _drain_to_memory(out, "st_vocab_sink", "complete")
+    return _drain_to_memory(out, "st_vocab_sink", "complete", source_rows=_table_rows(sf_dir, "documents"))
 
 
 def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,7 +1131,7 @@ def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    counts = _drain_to_memory(agg, "st_heavy_hitters_sink", "complete")
+    counts = _drain_to_memory(agg, "st_heavy_hitters_sink", "complete", source_rows=_table_rows(sf_dir, "documents"))
     counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(F.sum("n").cast("long").alias("total"))
     return exact_share_filter(counts, tot, "token", C.HH_K)
@@ -1102,7 +1149,7 @@ def hdr_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _events_stream(spark, sf_dir)
     buckets = quantiles.hdr_buckets(src, "value")
-    snap = _drain_to_memory(buckets, "st_hdr_quantile_sink", "complete")
+    snap = _drain_to_memory(buckets, "st_hdr_quantile_sink", "complete", source_rows=_table_rows(sf_dir, "events"))
     return quantiles.hdr_quantiles(snap.localCheckpoint(eager=True))
 
 
@@ -1126,7 +1173,7 @@ def ack_tracker_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, f"AA:BB:CC:DD:EE:{i:02X}") for i in range(1, 9)], "id int, mac string"
     )
     out = ack_tracker(acks, targets, tiebreak="ack_id")
-    return _drain_to_memory(out, "st_ack_tracker_sink", "complete")
+    return _drain_to_memory(out, "st_ack_tracker_sink", "complete", source_rows=_table_rows(sf_dir, "events"))
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1136,7 +1183,7 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production with ``dropDuplicatesWithinWatermark``."""
     src = _events_stream(spark, sf_dir)
     out = src.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
-    return _drain_to_memory(out, "st_dedup_sink", "append")
+    return _drain_to_memory(out, "st_dedup_sink", "append", source_rows=_table_rows(sf_dir, "events"))
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,7 +1219,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts"))
         & (F.col("p_ts") > F.col("c_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id")
-    return _drain_to_memory(joined, "st_stream_join_sink", "append")
+    return _drain_to_memory(joined, "st_stream_join_sink", "append", source_rows=_table_rows(sf_dir, "events"))
 
 
 def _command_lines_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -1247,9 +1294,8 @@ def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from espkinesis_spark.streaming.pipeline import classify_command_lines
     from espkinesis_spark.streaming.sources import COMMAND_LINE_SCHEMA, file_stream
 
-    lines = file_stream(
-        spark, _command_lines_dir(spark, sf_dir), COMMAND_LINE_SCHEMA, fmt="parquet"
-    )
+    cmd_dir = _command_lines_dir(spark, sf_dir)
+    lines = file_stream(spark, cmd_dir, COMMAND_LINE_SCHEMA, fmt="parquet")
     targets = spark.createDataFrame(
         [(i, f"AA:BB:CC:DD:EE:{i:02X}") for i in range(1, 9)], "id int, mac string"
     )
@@ -1259,7 +1305,7 @@ def command_plane_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cls")
         .agg(F.count("*").alias("n"))
     )
-    return _drain_to_memory(out, "st_command_plane_sink", "complete")
+    return _drain_to_memory(out, "st_command_plane_sink", "complete", source_rows=_rows_of(_source_files(cmd_dir)) or None)
 
 
 _ROUNDTRIP_SCHEMA = "event_type string, n long, sum_v double, n_distinct long"
